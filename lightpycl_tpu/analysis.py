@@ -1,0 +1,153 @@
+"""Post-processing & analysis: directivity binning, beam statistics, plots.
+
+Reference parity: the measured-ray getters, spherical directivity histogram,
+3-D scene+ray plots, and beam statistics of iterative_tracer.py (SURVEY.md
+§3 'Measurement & directivity analysis', §4.4). Binning runs in numpy on
+harvested rays (matching reference semantics); the fast path is the
+on-device histogram in tracer/step.py. matplotlib is imported lazily so the
+core framework has no hard plotting dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def spherical_angles(vectors: np.ndarray):
+    """(azimuth [0, 2pi), polar [0, pi]) of (N, 3) vectors."""
+    v = np.asarray(vectors, np.float64)
+    n = np.linalg.norm(v, axis=1)
+    n = np.where(n > 0, n, 1.0)
+    az = np.arctan2(v[:, 1], v[:, 0])
+    az = np.where(az < 0, az + 2 * np.pi, az)
+    pol = np.arccos(np.clip(v[:, 2] / n, -1.0, 1.0))
+    return az, pol
+
+
+def directivity_histogram(vectors, powers, n_azimuth: int = 36, n_polar: int = 18,
+                          solid_angle_normalize: bool = False):
+    """Bin power over direction into an (n_azimuth, n_polar) histogram.
+
+    `vectors` are hit positions (relative to the detector center) or ray
+    directions. With solid_angle_normalize, values become intensity
+    (power / steradian) — the reference's directivity quantity.
+    Returns (hist, azimuth_edges, polar_edges).
+    """
+    az, pol = spherical_angles(vectors)
+    az_edges = np.linspace(0.0, 2 * np.pi, n_azimuth + 1)
+    pol_edges = np.linspace(0.0, np.pi, n_polar + 1)
+    hist, _, _ = np.histogram2d(az, pol, bins=[az_edges, pol_edges],
+                                weights=np.asarray(powers, np.float64))
+    if solid_angle_normalize:
+        dphi = az_edges[1] - az_edges[0]
+        domega = dphi * (np.cos(pol_edges[:-1]) - np.cos(pol_edges[1:]))  # (n_polar,)
+        hist = hist / np.maximum(domega[None, :], 1e-30)
+    return hist, az_edges, pol_edges
+
+
+def polar_directivity(vectors, powers, n_polar: int = 90,
+                      solid_angle_normalize: bool = True):
+    """Azimuth-integrated directivity I(polar) — the reference's headline
+    polar plot. Returns (intensity (n_polar,), polar_bin_centers)."""
+    _, pol = spherical_angles(vectors)
+    edges = np.linspace(0.0, np.pi, n_polar + 1)
+    hist, _ = np.histogram(pol, bins=edges, weights=np.asarray(powers, np.float64))
+    if solid_angle_normalize:
+        domega = 2 * np.pi * (np.cos(edges[:-1]) - np.cos(edges[1:]))
+        hist = hist / np.maximum(domega, 1e-30)
+    return hist, 0.5 * (edges[:-1] + edges[1:])
+
+
+def beam_statistics(directions, powers) -> dict:
+    """Power-weighted beam statistics of a measured ray bundle: mean
+    direction, RMS divergence half-angle (radians), total power."""
+    d = np.asarray(directions, np.float64)
+    p = np.asarray(powers, np.float64)
+    total = p.sum()
+    if total <= 0 or len(d) == 0:
+        return {"total_power": 0.0, "mean_direction": np.zeros(3),
+                "rms_divergence": 0.0, "count": 0}
+    mean = (d * p[:, None]).sum(axis=0) / total
+    norm = np.linalg.norm(mean)
+    mean_u = mean / norm if norm > 0 else np.array([0.0, 0.0, 1.0])
+    cosang = np.clip(d @ mean_u, -1.0, 1.0)
+    ang = np.arccos(cosang)
+    rms = float(np.sqrt((p * ang**2).sum() / total))
+    return {"total_power": float(total), "mean_direction": mean_u,
+            "rms_divergence": rms, "count": int(len(d))}
+
+
+def intensity_map(positions, powers, plane_normal=(0, 0, 1), plane_point=(0, 0, 0),
+                  half_extent: float = 1.0, bins: int = 128):
+    """2-D intensity map of hit positions projected onto a plane — the
+    reference's focal-plane intensity map (BASELINE configs[1]).
+    Returns (image (bins, bins), x_edges, y_edges)."""
+    p = np.asarray(positions, np.float64) - np.asarray(plane_point, np.float64)
+    w = np.asarray(plane_normal, np.float64)
+    w = w / np.linalg.norm(w)
+    a = np.array([1.0, 0, 0]) if abs(w[0]) < 0.9 else np.array([0.0, 1, 0])
+    u = np.cross(a, w); u /= np.linalg.norm(u)
+    v = np.cross(w, u)
+    x, y = p @ u, p @ v
+    edges = np.linspace(-half_extent, half_extent, bins + 1)
+    img, _, _ = np.histogram2d(x, y, bins=[edges, edges],
+                               weights=np.asarray(powers, np.float64))
+    return img, edges, edges
+
+
+# ---------------------------------------------------------------------------
+# Plots (lazy matplotlib; reference: plot_measured_directivity /
+# plot_elements_and_rays, SURVEY.md §3)
+# ---------------------------------------------------------------------------
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_measured_directivity(vectors, powers, n_polar: int = 45, ax=None,
+                              show: bool = False, path: str | None = None):
+    """Polar directivity plot of measured rays (reference-shaped)."""
+    plt = _plt()
+    inten, centers = polar_directivity(vectors, powers, n_polar)
+    if ax is None:
+        _, ax = plt.subplots(subplot_kw={"projection": "polar"})
+    ax.plot(centers, inten)
+    ax.plot(-centers, inten)  # mirror for the traditional antenna-style plot
+    ax.set_title("measured directivity (power / sr)")
+    if path:
+        ax.figure.savefig(path, dpi=120)
+    if show:
+        plt.show()
+    return ax
+
+
+def plot_elements_and_rays(elements, segments, max_rays: int = 200, ax=None,
+                           show: bool = False, path: str | None = None):
+    """3-D wireframe of scene elements + traced ray segments.
+
+    `segments` is TraceResult.segments: [(starts (C,3), ends (C,3),
+    alive (C,))] per iteration (record_paths=True).
+    """
+    plt = _plt()
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+    for el in elements:
+        tv = el.triangle_vertices()
+        stride = max(1, len(tv) // 400)
+        for tri in tv[::stride]:
+            loop = np.vstack([tri, tri[:1]])
+            ax.plot(loop[:, 0], loop[:, 1], loop[:, 2], lw=0.3, color="gray")
+    for starts, ends, alive in segments:
+        idx = np.nonzero(alive)[0][:max_rays]
+        for i in idx:
+            ax.plot([starts[i, 0], ends[i, 0]], [starts[i, 1], ends[i, 1]],
+                    [starts[i, 2], ends[i, 2]], lw=0.5, color="tab:orange")
+    if path:
+        ax.figure.savefig(path, dpi=120)
+    if show:
+        plt.show()
+    return ax

@@ -1,0 +1,169 @@
+"""Triangle-mesh optical elements and affine transforms.
+
+Reference parity: `GeoObject` in geo_optical_elements.py (SURVEY.md §3
+"GeoObject" [recalled]) — a triangle mesh plus material type and index of
+refraction, with translate / rotate / scale transforms.
+
+TPU-first design note: meshes are HOST-side numpy float64 during scene
+construction (tessellation and transforms are cold-path; f64 keeps the
+precomputed unit-triangle transforms accurate), and are flattened + cast to
+f32 device arrays only by `tracer.scene.build_scene`. Transform methods
+mutate in place AND return self (chainable), matching the reference's
+imperative scripting style; `transformed()` offers the pure-functional
+variant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional
+
+import numpy as np
+
+from lightpycl_tpu.materials import Material
+
+
+def rotation_matrix(axis, angle: float) -> np.ndarray:
+    """3x3 rotation matrix about `axis` by `angle` radians (Rodrigues)."""
+    axis = np.asarray(axis, dtype=np.float64)
+    n = np.linalg.norm(axis)
+    if n == 0.0:
+        raise ValueError("rotation axis must be nonzero")
+    x, y, z = axis / n
+    c, s = np.cos(angle), np.sin(angle)
+    C = 1.0 - c
+    return np.array(
+        [
+            [c + x * x * C, x * y * C - z * s, x * z * C + y * s],
+            [y * x * C + z * s, c + y * y * C, y * z * C - x * s],
+            [z * x * C - y * s, z * y * C + x * s, c + z * z * C],
+        ]
+    )
+
+
+@dataclasses.dataclass
+class GeoObject:
+    """A triangle-mesh optical element.
+
+    Attributes:
+      vertices:     (V, 3) float64 vertex positions
+      triangles:    (T, 3) int32 vertex indices, CCW winding = outward normal
+      material:     Material (mirror / refractive / terminator / measure)
+      ior:          index of refraction INSIDE the volume the outward normals
+                    bound (used for Material.REFRACTIVE)
+      reflectivity: mirror power reflectivity in [0, 1]
+      name:         optional label (used for per-detector power reporting)
+    """
+
+    vertices: np.ndarray
+    triangles: np.ndarray
+    material: Material = Material.TERMINATOR
+    ior: float = 1.0
+    reflectivity: float = 1.0
+    name: Optional[str] = None
+
+    def __post_init__(self):
+        self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
+        self.triangles = np.ascontiguousarray(self.triangles, dtype=np.int32)
+        if self.vertices.ndim != 2 or self.vertices.shape[1] != 3:
+            raise ValueError(f"vertices must be (V, 3), got {self.vertices.shape}")
+        if self.triangles.ndim != 2 or self.triangles.shape[1] != 3:
+            raise ValueError(f"triangles must be (T, 3), got {self.triangles.shape}")
+        if self.triangles.size and self.triangles.max() >= len(self.vertices):
+            raise ValueError("triangle index out of range")
+        self.material = Material.from_any(self.material)
+
+    # ---- transforms (in place, chainable — reference style) -------------
+
+    def translate(self, offset) -> "GeoObject":
+        self.vertices = self.vertices + np.asarray(offset, dtype=np.float64)
+        return self
+
+    def rotate(self, axis, angle: float, pivot=(0.0, 0.0, 0.0)) -> "GeoObject":
+        """Rotate about `axis` by `angle` (radians) around point `pivot`."""
+        R = rotation_matrix(axis, angle)
+        pivot = np.asarray(pivot, dtype=np.float64)
+        self.vertices = (self.vertices - pivot) @ R.T + pivot
+        return self
+
+    def scale(self, factor) -> "GeoObject":
+        """Scale by a scalar or per-axis (3,) factor about the origin.
+
+        A negative/odd reflection flips triangle winding to keep outward
+        normals outward.
+        """
+        f = np.asarray(factor, dtype=np.float64)
+        if f.ndim == 0:
+            f = np.full(3, float(f))
+        self.vertices = self.vertices * f
+        if np.prod(np.sign(f)) < 0:
+            self.triangles = self.triangles[:, ::-1].copy()
+        return self
+
+    def transformed(self, matrix: np.ndarray, offset=(0.0, 0.0, 0.0)) -> "GeoObject":
+        """Pure-functional affine transform: returns a NEW GeoObject."""
+        out = self.copy()
+        out.vertices = out.vertices @ np.asarray(matrix, np.float64).T + np.asarray(
+            offset, np.float64
+        )
+        if np.linalg.det(matrix) < 0:
+            out.triangles = out.triangles[:, ::-1].copy()
+        return out
+
+    def copy(self) -> "GeoObject":
+        return GeoObject(
+            self.vertices.copy(),
+            self.triangles.copy(),
+            self.material,
+            self.ior,
+            self.reflectivity,
+            self.name,
+        )
+
+    # ---- derived quantities ---------------------------------------------
+
+    @property
+    def num_triangles(self) -> int:
+        return len(self.triangles)
+
+    def triangle_vertices(self) -> np.ndarray:
+        """(T, 3, 3) per-triangle vertex positions."""
+        return self.vertices[self.triangles]
+
+    def face_normals(self, normalized: bool = True) -> np.ndarray:
+        """(T, 3) outward face normals (CCW winding)."""
+        tv = self.triangle_vertices()
+        n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        if normalized:
+            ln = np.linalg.norm(n, axis=1, keepdims=True)
+            n = n / np.where(ln > 0, ln, 1.0)
+        return n
+
+    def area(self) -> float:
+        tv = self.triangle_vertices()
+        n = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+        return float(0.5 * np.linalg.norm(n, axis=1).sum())
+
+    def bounds(self):
+        return self.vertices.min(axis=0), self.vertices.max(axis=0)
+
+
+def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
+    """Concatenate meshes into one GeoObject (material etc. from the first
+    unless overridden)."""
+    objs = list(objects)
+    if not objs:
+        raise ValueError("merge() needs at least one object")
+    verts, tris, off = [], [], 0
+    for o in objs:
+        verts.append(o.vertices)
+        tris.append(o.triangles + off)
+        off += len(o.vertices)
+    base = dict(
+        material=objs[0].material,
+        ior=objs[0].ior,
+        reflectivity=objs[0].reflectivity,
+        name=objs[0].name,
+    )
+    base.update(overrides)
+    return GeoObject(np.concatenate(verts), np.concatenate(tris), **base)

@@ -1,0 +1,250 @@
+"""Parametric tessellated optical-element primitives.
+
+Reference parity: the `optical_elements` factory of geo_optical_elements.py
+(SURVEY.md §3 "Primitive mesh factory" [recalled]): parabolic mirror,
+spherical lenses, sphere / hemisphere (detector dome), cube, cylinder,
+planes / discs, prism. Meshing is host-side numpy (cold path, f64); the
+tracer consumes the flattened f32 arrays.
+
+Conventions: right-handed, optical axis = +z, CCW winding = outward normal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lightpycl_tpu.geometry.mesh import GeoObject, merge
+from lightpycl_tpu.materials import Material
+
+_FLAT = None  # sentinel accepted for "infinite radius" lens surfaces
+
+
+def _grid_triangles(nu: int, nv: int, wrap_u: bool = False) -> np.ndarray:
+    """Triangulate an (nu x nv) vertex grid (row-major: index = u * nv + v).
+
+    Quads split into two CCW triangles; `wrap_u` closes the u direction
+    (surfaces of revolution).
+    """
+    tris = []
+    u_max = nu if wrap_u else nu - 1
+    for u in range(u_max):
+        un = (u + 1) % nu
+        for v in range(nv - 1):
+            a = u * nv + v
+            b = un * nv + v
+            c = un * nv + v + 1
+            d = u * nv + v + 1
+            tris.append((a, b, c))
+            tris.append((a, c, d))
+    return np.asarray(tris, dtype=np.int32).reshape(-1, 3)
+
+
+def revolve_profile(profile_rz, n_segments: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Revolve an (M, 2) profile of (r, z) points about the z axis.
+
+    Returns (vertices, triangles). Points with r == 0 become poles (fan
+    triangulation); degenerate triangles are dropped. With the profile
+    ordered so that increasing index runs from "bottom" to "top", the outward
+    normal points away from the axis for a convex profile.
+    """
+    prof = np.asarray(profile_rz, dtype=np.float64)
+    if prof.ndim != 2 or prof.shape[1] != 2:
+        raise ValueError("profile must be (M, 2) of (r, z)")
+    M = len(prof)
+    phi = np.linspace(0.0, 2.0 * np.pi, n_segments, endpoint=False)
+    # ring vertices for every profile row (poles duplicated then welded)
+    verts = np.empty((n_segments, M, 3))
+    verts[:, :, 0] = np.cos(phi)[:, None] * prof[None, :, 0]
+    verts[:, :, 1] = np.sin(phi)[:, None] * prof[None, :, 0]
+    verts[:, :, 2] = prof[None, :, 1]
+    tris = _grid_triangles(n_segments, M, wrap_u=True)
+    V = verts.reshape(-1, 3)
+    # weld pole rings (r == 0) into single vertices and drop degenerate tris
+    V, tris = _weld(V, tris)
+    return V, tris
+
+
+def _weld(V: np.ndarray, T: np.ndarray, tol: float = 1e-12) -> tuple[np.ndarray, np.ndarray]:
+    """Merge coincident vertices and drop zero-area triangles."""
+    key = np.round(V / max(tol, 1e-12)).astype(np.int64)
+    _, first, inverse = np.unique(key, axis=0, return_index=True, return_inverse=True)
+    Vw = V[np.sort(first)]
+    # remap "first occurrence" ordering so vertex order is stable
+    order = np.argsort(first)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    Tw = rank[inverse][T]
+    # drop triangles with repeated vertices or ~zero area
+    ok = (Tw[:, 0] != Tw[:, 1]) & (Tw[:, 1] != Tw[:, 2]) & (Tw[:, 0] != Tw[:, 2])
+    Tw = Tw[ok]
+    tv = Vw[Tw]
+    area2 = np.linalg.norm(np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0]), axis=1)
+    Tw = Tw[area2 > 1e-16]
+    return Vw, np.ascontiguousarray(Tw, dtype=np.int32)
+
+
+def _cap_profile(R: float, aperture_radius: float, z_vertex: float, n_radial: int):
+    """(r, z) profile of a spherical cap: curvature radius R (signed, center
+    of curvature at z_vertex + R), vertex at (0, z_vertex), rim at
+    aperture_radius. R == None/inf -> flat disc profile."""
+    r = np.linspace(0.0, aperture_radius, n_radial + 1)
+    if R is _FLAT or R is None or np.isinf(R):
+        z = np.full_like(r, z_vertex)
+    else:
+        if abs(R) < aperture_radius:
+            raise ValueError("curvature radius smaller than aperture radius")
+        z = z_vertex + R - np.sign(R) * np.sqrt(R * R - r * r)
+    return np.stack([r, z], axis=1)
+
+
+class OpticalElements:
+    """Factory for tessellated optical elements (reference: the
+    `optical_elements` factory class, geo_optical_elements.py [recalled])."""
+
+    def __init__(self, n_segments: int = 64, n_radial: int = 16):
+        self.n_segments = int(n_segments)
+        self.n_radial = int(n_radial)
+
+    # -- basic solids ------------------------------------------------------
+
+    def sphere(self, radius: float = 1.0, center=(0, 0, 0),
+               material=Material.TERMINATOR, ior: float = 1.5, **kw) -> GeoObject:
+        th = np.linspace(0.0, np.pi, self.n_radial + 1)
+        prof = np.stack([radius * np.sin(th), -radius * np.cos(th)], axis=1)
+        V, T = revolve_profile(prof, self.n_segments)
+        return GeoObject(V, T, material, ior, **kw).translate(center)
+
+    def hemisphere(self, radius: float = 1.0, center=(0, 0, 0),
+                   material=Material.MEASURE, ior: float = 1.0, **kw) -> GeoObject:
+        """Dome over z >= 0 — the reference's detector surface
+        (BASELINE.json configs[0]): a measurement hemisphere capturing
+        everything radiated into the upper half space."""
+        th = np.linspace(np.pi / 2.0, 0.0, self.n_radial + 1)
+        prof = np.stack([radius * np.sin(th), radius * np.cos(th)], axis=1)
+        V, T = revolve_profile(prof, self.n_segments)
+        return GeoObject(V, T, material, ior, **kw).translate(center)
+
+    def cube(self, size=1.0, center=(0, 0, 0),
+             material=Material.TERMINATOR, ior: float = 1.5, **kw) -> GeoObject:
+        s = np.broadcast_to(np.asarray(size, np.float64), (3,)) / 2.0
+        sx, sy, sz = s
+        V = np.array(
+            [[-sx, -sy, -sz], [sx, -sy, -sz], [sx, sy, -sz], [-sx, sy, -sz],
+             [-sx, -sy, sz], [sx, -sy, sz], [sx, sy, sz], [-sx, sy, sz]]
+        )
+        T = np.array(
+            [[0, 2, 1], [0, 3, 2],            # bottom (-z)
+             [4, 5, 6], [4, 6, 7],            # top (+z)
+             [0, 1, 5], [0, 5, 4],            # -y
+             [2, 3, 7], [2, 7, 6],            # +y
+             [1, 2, 6], [1, 6, 5],            # +x
+             [3, 0, 4], [3, 4, 7]],           # -x
+            dtype=np.int32,
+        )
+        return GeoObject(V, T, material, ior, **kw).translate(center)
+
+    def cylinder(self, radius: float = 1.0, height: float = 1.0, center=(0, 0, 0),
+                 capped: bool = True, material=Material.TERMINATOR,
+                 ior: float = 1.5, **kw) -> GeoObject:
+        h = height / 2.0
+        if capped:
+            prof = [(0.0, -h), (radius, -h), (radius, h), (0.0, h)]
+        else:
+            prof = [(radius, -h), (radius, h)]
+        V, T = revolve_profile(np.asarray(prof), self.n_segments)
+        return GeoObject(V, T, material, ior, **kw).translate(center)
+
+    def disc(self, radius: float = 1.0, center=(0, 0, 0),
+             material=Material.TERMINATOR, ior: float = 1.0, **kw) -> GeoObject:
+        """Disc in the z=0 plane, outward normal +z."""
+        prof = np.stack(
+            [np.linspace(0.0, radius, self.n_radial + 1),
+             np.zeros(self.n_radial + 1)], axis=1)
+        V, T = revolve_profile(prof[::-1], self.n_segments)  # reversed: +z normal
+        return GeoObject(V, T, material, ior, **kw).translate(center)
+
+    def rectangle(self, width: float = 1.0, depth: float = 1.0, center=(0, 0, 0),
+                  material=Material.TERMINATOR, ior: float = 1.0, **kw) -> GeoObject:
+        """Rectangular plane in z=0, outward normal +z."""
+        w, d = width / 2.0, depth / 2.0
+        V = np.array([[-w, -d, 0], [w, -d, 0], [w, d, 0], [-w, d, 0]], dtype=np.float64)
+        T = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+        return GeoObject(V, T, material, ior, **kw).translate(center)
+
+    def extrude(self, polygon_xy, length: float, center=(0, 0, 0),
+                material=Material.TERMINATOR, ior: float = 1.5, **kw) -> GeoObject:
+        """Extrude a CCW 2D polygon along +z by `length` (prism generator)."""
+        poly = np.asarray(polygon_xy, dtype=np.float64)
+        n = len(poly)
+        lo = np.concatenate([poly, np.full((n, 1), -length / 2.0)], axis=1)
+        hi = np.concatenate([poly, np.full((n, 1), length / 2.0)], axis=1)
+        V = np.concatenate([lo, hi])
+        tris = []
+        for i in range(n):  # side walls
+            j = (i + 1) % n
+            tris += [(i, j, n + j), (i, n + j, n + i)]
+        for i in range(1, n - 1):  # caps (fan; assumes convex polygon)
+            tris += [(0, i + 1, i), (n, n + i, n + i + 1)]
+        return GeoObject(V, np.asarray(tris, np.int32), material, ior, **kw).translate(center)
+
+    def prism(self, width: float = 1.0, height: float = 1.0, length: float = 1.0,
+              material=Material.REFRACTIVE, ior: float = 1.5, **kw) -> GeoObject:
+        """Triangular (dispersion-style) prism: isoceles cross-section of
+        base `width` and apex `height` in the xy plane, extruded along z."""
+        poly = [(-width / 2.0, 0.0), (width / 2.0, 0.0), (0.0, height)]
+        return self.extrude(poly, length, material=material, ior=ior, **kw)
+
+    # -- optical surfaces ----------------------------------------------------
+
+    def parabolic_mirror(self, focus: float = 1.0, diameter: float = 2.0,
+                         reflectivity: float = 0.98, center=(0, 0, 0),
+                         **kw) -> GeoObject:
+        """Paraboloid z = r^2 / (4 f), dish opening toward +z, focal point at
+        (0, 0, f). A point source at the focus collimates into +z — the
+        reference's headline example (BASELINE.json configs[0])."""
+        r = np.linspace(diameter / 2.0, 0.0, self.n_radial + 1)
+        prof = np.stack([r, r * r / (4.0 * focus)], axis=1)
+        V, T = revolve_profile(prof, self.n_segments)
+        return GeoObject(
+            V, T, Material.MIRROR, 1.0, reflectivity=reflectivity, **kw
+        ).translate(center)
+
+    def spherical_lens(self, r1, r2, aperture: float, thickness: float,
+                       ior: float = 1.5, center=(0, 0, 0), **kw) -> GeoObject:
+        """Spherical lens on the z axis: front vertex at z=0, back vertex at
+        z=thickness, aperture diameter `aperture`.
+
+        Sign convention (lensmaker): r1 / r2 are the curvature radii of the
+        front / back surface; the center of curvature sits at vertex + r.
+        r = None or +/-inf means flat. Biconvex example: r1 > 0, r2 < 0.
+        Thin-lens focal length: 1/f = (n-1) (1/r1 - 1/r2).
+        """
+        a = aperture / 2.0
+        front = _cap_profile(r1, a, 0.0, self.n_radial)
+        back = _cap_profile(r2, a, thickness, self.n_radial)
+        z1, z2 = front[-1, 1], back[-1, 1]
+        if z2 < z1 - 1e-12:
+            raise ValueError("lens surfaces intersect: increase thickness")
+        # z2 == z1 is a knife edge: rims coincide and weld shut
+        # profile runs front vertex -> front rim -> (edge wall) -> back rim
+        # -> back vertex; revolved CCW this makes normals point outward.
+        prof = np.concatenate([front, back[::-1]], axis=0)
+        V, T = revolve_profile(prof, self.n_segments)
+        return GeoObject(V, T, Material.REFRACTIVE, ior, **kw).translate(center)
+
+    def plano_convex_lens(self, r: float, aperture: float, thickness: float,
+                          ior: float = 1.5, **kw) -> GeoObject:
+        """Flat front, convex back (r2 = -r): BASELINE.json configs[1]."""
+        return self.spherical_lens(_FLAT, -abs(r), aperture, thickness, ior, **kw)
+
+    def biconvex_lens(self, r: float, aperture: float, thickness: float,
+                      ior: float = 1.5, **kw) -> GeoObject:
+        return self.spherical_lens(abs(r), -abs(r), aperture, thickness, ior, **kw)
+
+
+def optical_elements(n_segments: int = 64, n_radial: int = 16) -> OpticalElements:
+    """Reference-shaped constructor (geo_optical_elements.optical_elements)."""
+    return OpticalElements(n_segments=n_segments, n_radial=n_radial)
+
+
+__all__ = ["OpticalElements", "optical_elements", "revolve_profile", "merge"]

@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: ray x triangle nearest-hit (the hot loop).
+
+Reference equivalent: the `intersect` OpenCL kernel — one work-item per ray,
+serial brute-force Möller–Trumbore over all triangles with a min-t argmin
+(SURVEY.md §3 'Intersect kernel'; kernel_reflect_refract_intersect.cl
+[recalled]). That design is idiomatic for GPU work-items and hopeless on
+TPU, so this is NOT a translation:
+
+TPU-first formulation. Each triangle carries a precomputed world->unit
+affine transform (rows wu/wv/ww, built in tracer/scene.py). For a block of
+R rays against a tile of K triangles the barycentric/plane coordinates of
+ALL pairs are two matmuls on the MXU:
+
+    O4 = [o | 1]  (R, 4)      D4 = [d | 0]  (R, 4)
+    [OU | OV | OW] = O4 @ W4_tile   (R, 3K)
+    [DU | DV | DW] = D4 @ W4_tile   (R, 3K)
+
+with W4_tile (4, 3K) streamed tile-by-tile from HBM by the Pallas pipeline
+(double-buffered automatically — BASELINE configs[3] 'HBM double-buffered
+tiles'). The VPU epilogue is ~15 ops/pair:
+
+    t = -OW / DW;  u = OU + t DU;  v = OV + t DV
+    hit = (DW != 0) & (eps < t < t_max) & (u, v >= -eps_b) & (u+v <= 1+eps_b)
+
+followed by an in-VMEM running min-t/argmin across triangle tiles. The
+grid is (ray_blocks, tri_tiles) with the output best-t/best-index blocks
+revisited across the tri dimension (accumulator pattern).
+
+The reflect/refract stage (reference kernel #2) is deliberately NOT a
+custom kernel: it is O(C) elementwise work that XLA already fuses onto the
+VPU optimally (SURVEY.md §3 'fused epilogue' option).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.scene import Scene
+
+# Block sizes (tunable; see bench.py sweep). R rays x K triangles per tile.
+RAY_BLOCK = int(os.environ.get("LPCL_RAY_BLOCK", 256))
+TRI_TILE = int(os.environ.get("LPCL_TRI_TILE", 512))
+
+_INF = float(np.inf)
+
+
+def pallas_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, eps, eps_b, t_max):
+    """One (ray-block, tri-tile) cell. o4/d4 (R,4); w (4,3K);
+    bt/bi (R,1) running best-t / best-index (revisited across tri tiles)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        bt_ref[:] = jnp.full(bt_ref.shape, _INF)
+        bi_ref[:] = jnp.full(bi_ref.shape, -1, jnp.int32)
+
+    # precision=HIGHEST: full-f32 MXU passes. The default bf16 truncation
+    # corrupts the ill-conditioned unit transforms of skinny triangles
+    # (measured: 28% power leakage through a detector dome's pole fan).
+    w = w_ref[:]
+    hi = jax.lax.Precision.HIGHEST
+    ores = jnp.dot(o4_ref[:], w, preferred_element_type=jnp.float32,
+                   precision=hi)  # (R,3K)
+    dres = jnp.dot(d4_ref[:], w, preferred_element_type=jnp.float32,
+                   precision=hi)
+
+    OU, OV, OW = ores[:, :K], ores[:, K:2 * K], ores[:, 2 * K:]
+    DU, DV, DW = dres[:, :K], dres[:, K:2 * K], dres[:, 2 * K:]
+
+    denom_ok = jnp.abs(DW) > 1e-30
+    t = -OW / jnp.where(denom_ok, DW, 1.0)
+    u = OU + t * DU
+    v = OV + t * DV
+    hit = (
+        denom_ok
+        & (t > eps) & (t < t_max)
+        & (u >= -eps_b) & (v >= -eps_b) & (u + v <= 1.0 + eps_b)
+    )
+    tt = jnp.where(hit, t, _INF)
+
+    # per-tile min + first-argmin, kept as (R,1) column vectors so no
+    # lane<->sublane relayout is needed for the accumulator update
+    t_tile = jnp.min(tt, axis=1, keepdims=True)                 # (R,1)
+    col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
+    i_tile = jnp.min(
+        jnp.where(tt == t_tile, col, jnp.int32(2**30)), axis=1, keepdims=True
+    )
+
+    best = bt_ref[:]
+    better = t_tile < best
+    bt_ref[:] = jnp.where(better, t_tile, best)
+    bi_ref[:] = jnp.where(better, i_tile + j * K, bi_ref[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "eps_b", "t_max", "ray_block", "tri_tile", "interpret"),
+)
+def _intersect_pallas_impl(o, d, w4, *, eps, eps_b, t_max,
+                           ray_block, tri_tile, interpret):
+    C = o.shape[0]
+    K = tri_tile
+    R = ray_block
+    Cp = _round_up(C, R)
+    if Cp != C:
+        o = jnp.pad(o, ((0, Cp - C), (0, 0)))
+        d = jnp.pad(d, ((0, Cp - C), (0, 0)), constant_values=1.0)
+    o4 = jnp.concatenate([o, jnp.ones((Cp, 1), jnp.float32)], axis=1)
+    d4 = jnp.concatenate([d, jnp.zeros((Cp, 1), jnp.float32)], axis=1)
+
+    n_rb = Cp // R
+    n_tt = w4.shape[1] // (3 * K)
+
+    grid = (n_rb, n_tt)
+    # eps/t_max are static python floats -> compile-time literals in the kernel
+    kernel = functools.partial(
+        _kernel, K=K, eps=float(eps), eps_b=float(eps_b), t_max=float(t_max),
+    )
+    bt, bi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 3 * K), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Cp, 1), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * 3 * K * n_tt * Cp * 2 + 15 * K * n_tt * Cp,
+            bytes_accessed=(w4.size + Cp * 8 * 2) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(o4, d4, w4)
+    return bt.reshape(-1)[:C], bi.reshape(-1)[:C]
+
+
+def pack_w4(scene: Scene, tri_tile: int = TRI_TILE) -> jnp.ndarray:
+    """Pack per-triangle transform rows into the kernel's streaming layout:
+    (4, n_tiles * 3K), each tile holding [u-cols | v-cols | w-cols].
+    Padding triangles have all-zero rows -> DW == 0 -> never hit."""
+    Tp = scene.wu.shape[0]
+    K = tri_tile
+    Tt = _round_up(Tp, K)
+
+    def _prep(a):
+        a = a.T  # (4, Tp)
+        if Tt != Tp:
+            a = jnp.pad(a, ((0, 0), (0, Tt - Tp)))
+        return a.reshape(4, Tt // K, K)
+
+    stacked = jnp.stack([_prep(scene.wu), _prep(scene.wv), _prep(scene.ww)], axis=2)
+    return stacked.reshape(4, (Tt // K) * 3 * K)
+
+
+def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
+                     ray_block: int | None = None, tri_tile: int | None = None,
+                     interpret: bool | None = None):
+    """Nearest-hit over the scene. Returns (t (C,), tri (C,); tri == -1,
+    t == +inf on miss). Drop-in for step.intersect_jnp."""
+    R = int(ray_block or RAY_BLOCK)
+    K = int(tri_tile or TRI_TILE)
+    if interpret is None:
+        interpret = not pallas_available()
+    w4 = pack_w4(scene, K)
+    t, i = _intersect_pallas_impl(
+        o, d, w4, eps=float(cfg.eps), eps_b=float(cfg.eps_bary),
+        t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K,
+        interpret=bool(interpret),
+    )
+    # indices beyond the real (padded) triangle count cannot occur: padding
+    # rows are all-zero -> DW == 0 -> masked out. Miss -> -1 from init.
+    valid = jnp.isfinite(t)
+    return jnp.where(valid, t, _INF), jnp.where(valid, i, -1)

@@ -1,0 +1,85 @@
+"""Multi-chip scale-out: rays sharded over a device mesh, mesh replicated.
+
+Reference parity: the reference is single-process single-device (SURVEY.md
+§3 'Distributed comm backend: none'); the TPU-native scale-out axis required
+by BASELINE configs[4] is RAY data parallelism: the ray batch shards over a
+1-D `"rays"` mesh axis with `shard_map`, the triangle mesh and materials
+replicate to every chip, and the detector histogram + power-conservation
+ledger reduce with `psum` over ICI. Rays never migrate between chips
+(Fresnel-split children stay on their parent's chip), so there is zero
+point-to-point traffic — scaling is linear by construction up to compaction
+imbalance.
+
+Multi-host: initialize `jax.distributed` before calling; everything here is
+plain SPMD over whatever mesh it is handed (DCN only enters via the mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
+from lightpycl_tpu.tracer.scene import Scene
+from lightpycl_tpu.tracer.step import trace_step
+
+RAY_AXIS = "rays"
+
+
+def make_ray_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (RAY_AXIS,))
+
+
+def shard_rays(rays: RayBatch, mesh: Mesh) -> RayBatch:
+    """Place a RayBatch sharded along capacity over the mesh's ray axis."""
+    sh = NamedSharding(mesh, P(RAY_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), rays)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "iterations", "mesh")
+)
+def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
+                    iterations: int, mesh: Mesh):
+    """Fixed-depth multi-bounce trace, SPMD over the ray axis.
+
+    Returns (rays_out sharded, DetectorState replicated/global,
+    Ledger replicated/global). Per-shard compaction keeps each chip's
+    capacity fixed; detector bins and the ledger are `psum`ed over ICI at
+    the end (BASELINE.json north_star: "psum of detector bins over ICI").
+    """
+
+    def local(scene, rays):
+        led = Ledger.start(jnp.sum(jnp.where(rays.alive, rays.power, 0.0)))
+        det = DetectorState.zeros(
+            cfg.hist_azimuth_bins, cfg.hist_polar_bins, 8
+        )
+
+        def body(_, st):
+            rays, det, led = st
+            rays, det, led, _ = trace_step(scene, rays, det, led, cfg)
+            return rays, det, led
+
+        rays, det, led = jax.lax.fori_loop(0, iterations, body, (rays, det, led))
+        det = DetectorState(
+            jax.lax.psum(det.hist, RAY_AXIS),
+            jax.lax.psum(det.per_detector, RAY_AXIS),
+        )
+        led = Ledger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
+        return rays, det, led
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS), P(), P()),
+        check_vma=False,
+    )(scene, rays)

@@ -1,0 +1,203 @@
+"""Light sources: ray-batch generators.
+
+Reference parity: light_source.py (SURVEY.md §3 "light_source" [recalled]) —
+a point source at `center` emitting `ray_count` rays with arbitrary angular
+intensity `directivity(azimuth, polar)` (per-ray power proportional to the
+directivity, total power normalized to `power`), plus a collimated / disc
+aperture bundle variant.
+
+TPU-first notes: host-side sampling uses numpy (cold path), but each source
+also provides `rays_on_device(key, n)` so mega-batches (BASELINE configs[3],
+100M rays) are generated directly in HBM with `jax.random` instead of being
+staged through the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _frame(direction) -> np.ndarray:
+    """Orthonormal frame (3, 3) whose third row is `direction`."""
+    w = np.asarray(direction, dtype=np.float64)
+    w = w / np.linalg.norm(w)
+    a = np.array([1.0, 0.0, 0.0]) if abs(w[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    u = np.cross(a, w)
+    u /= np.linalg.norm(u)
+    v = np.cross(w, u)
+    return np.stack([u, v, w])
+
+
+def _cap_directions_np(rng, n, polar_max):
+    """Uniform directions on the spherical cap polar <= polar_max about +z,
+    returned with their (azimuth, polar) angles."""
+    cos_min = np.cos(polar_max)
+    z = rng.uniform(cos_min, 1.0, size=n)
+    phi = rng.uniform(0.0, 2.0 * np.pi, size=n)
+    s = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    d = np.stack([s * np.cos(phi), s * np.sin(phi), z], axis=1)
+    return d, phi, np.arccos(np.clip(z, -1.0, 1.0))
+
+
+@dataclasses.dataclass
+class LightSource:
+    """Point source with an angular directivity distribution.
+
+    Args:
+      center:       (3,) emission point
+      direction:    (3,) principal emission axis (polar angle measured from it)
+      directivity:  callable (azimuth, polar) -> relative intensity (>= 0),
+                    vectorized over numpy arrays. None = isotropic.
+      power:        total emitted power (sum of ray powers after normalization)
+      ray_count:    number of rays to generate
+      polar_max:    emission cone half-angle (default pi/2: hemisphere)
+      mode:         'weighted' — uniform directions, power ∝ directivity
+                    (the reference's scheme per SURVEY.md §3);
+                    'sampled'  — rejection-sample directions from the
+                    directivity, equal power per ray.
+      seed:         RNG seed for reproducibility
+    """
+
+    center: tuple = (0.0, 0.0, 0.0)
+    direction: tuple = (0.0, 0.0, 1.0)
+    directivity: Optional[Callable] = None
+    power: float = 1.0
+    ray_count: int = 1000
+    polar_max: float = np.pi / 2.0
+    mode: str = "weighted"
+    seed: int = 0
+
+    def sample(self, rng: Optional[np.random.Generator] = None):
+        """Generate the ray batch host-side.
+
+        Returns (origins (N,3) f64, directions (N,3) f64 unit, powers (N,) f64).
+        """
+        rng = rng or np.random.default_rng(self.seed)
+        n = self.ray_count
+        if self.mode == "weighted" or self.directivity is None:
+            d, az, pol = _cap_directions_np(rng, n, self.polar_max)
+            w = (
+                np.ones(n)
+                if self.directivity is None
+                else np.maximum(0.0, np.asarray(self.directivity(az, pol), dtype=np.float64))
+            )
+        elif self.mode == "sampled":
+            d, w = self._rejection_sample(rng, n)
+        else:
+            raise ValueError(f"unknown mode {self.mode!r}")
+        total = w.sum()
+        if total <= 0:
+            raise ValueError("directivity integrates to zero over the emission cone")
+        powers = w * (self.power / total)
+        F = _frame(self.direction)  # rows u, v, w
+        dirs = d @ F  # map local (+z = principal axis) into world
+        origins = np.broadcast_to(np.asarray(self.center, np.float64), (n, 3)).copy()
+        return origins, dirs, powers
+
+    def _rejection_sample(self, rng, n):
+        out = np.empty((0, 3))
+        # probe the directivity maximum on a grid for the envelope
+        az_g, pol_g = np.meshgrid(
+            np.linspace(0, 2 * np.pi, 64), np.linspace(0, self.polar_max, 64)
+        )
+        m = float(np.max(self.directivity(az_g.ravel(), pol_g.ravel()))) * 1.1 + 1e-12
+        while len(out) < n:
+            k = max(n - len(out), 1) * 2
+            d, az, pol = _cap_directions_np(rng, k, self.polar_max)
+            acc = rng.uniform(0.0, m, size=k) < np.maximum(
+                0.0, np.asarray(self.directivity(az, pol))
+            )
+            out = np.concatenate([out, d[acc]])
+        d = out[:n]
+        return d, np.ones(n)
+
+    def rays_on_device(self, key: jax.Array, n: Optional[int] = None):
+        """Device-side generation (isotropic-in-cone directions, uniform
+        weights; directivity callables that accept jnp arrays are applied).
+
+        Returns (origins, dirs, powers) as f32 jnp arrays of length n.
+        """
+        n = int(n or self.ray_count)
+        k1, k2 = jax.random.split(key)
+        cos_min = jnp.cos(self.polar_max)
+        z = jax.random.uniform(k1, (n,), minval=cos_min, maxval=1.0)
+        phi = jax.random.uniform(k2, (n,), minval=0.0, maxval=2.0 * jnp.pi)
+        s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        d = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=1)
+        if self.directivity is not None:
+            w = jnp.maximum(0.0, self.directivity(phi, jnp.arccos(jnp.clip(z, -1, 1))))
+        else:
+            w = jnp.ones((n,))
+        powers = w * (self.power / jnp.maximum(jnp.sum(w), 1e-30))
+        F = jnp.asarray(_frame(self.direction), dtype=jnp.float32)
+        dirs = d @ F
+        origins = jnp.broadcast_to(
+            jnp.asarray(self.center, dtype=jnp.float32), (n, 3)
+        )
+        return origins.astype(jnp.float32), dirs.astype(jnp.float32), powers.astype(jnp.float32)
+
+
+@dataclasses.dataclass
+class CollimatedSource:
+    """Collimated bundle through a disc aperture (reference: the collimated
+    variant in light_source.py [recalled]; also BASELINE configs[3]
+    'directional source')."""
+
+    center: tuple = (0.0, 0.0, 0.0)
+    direction: tuple = (0.0, 0.0, 1.0)
+    diameter: float = 1.0
+    power: float = 1.0
+    ray_count: int = 1000
+    seed: int = 0
+
+    def sample(self, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(self.seed)
+        n = self.ray_count
+        r = (self.diameter / 2.0) * np.sqrt(rng.uniform(0.0, 1.0, n))
+        phi = rng.uniform(0.0, 2.0 * np.pi, n)
+        F = _frame(self.direction)
+        u, v, w = F
+        origins = (
+            np.asarray(self.center, np.float64)
+            + r[:, None] * np.cos(phi)[:, None] * u
+            + r[:, None] * np.sin(phi)[:, None] * v
+        )
+        dirs = np.broadcast_to(w, (n, 3)).copy()
+        powers = np.full(n, self.power / n)
+        return origins, dirs, powers
+
+    def rays_on_device(self, key: jax.Array, n: Optional[int] = None):
+        n = int(n or self.ray_count)
+        k1, k2 = jax.random.split(key)
+        r = (self.diameter / 2.0) * jnp.sqrt(jax.random.uniform(k1, (n,)))
+        phi = jax.random.uniform(k2, (n,), minval=0.0, maxval=2.0 * jnp.pi)
+        F = jnp.asarray(_frame(self.direction), dtype=jnp.float32)
+        u, v, w = F[0], F[1], F[2]
+        origins = (
+            jnp.asarray(self.center, jnp.float32)
+            + r[:, None] * jnp.cos(phi)[:, None] * u
+            + r[:, None] * jnp.sin(phi)[:, None] * v
+        )
+        dirs = jnp.broadcast_to(w, (n, 3))
+        powers = jnp.full((n,), self.power / n, jnp.float32)
+        return origins.astype(jnp.float32), dirs, powers
+
+
+def light_source(center=(0, 0, 0), direction=(0, 0, 1), directivity=None,
+                 power: float = 1.0, ray_count: int = 1000, **kw) -> LightSource:
+    """Reference-shaped constructor (light_source.light_source, SURVEY.md §3)."""
+    return LightSource(
+        center=tuple(center), direction=tuple(direction),
+        directivity=directivity, power=power, ray_count=ray_count, **kw
+    )
+
+
+def lambertian(azimuth, polar):
+    """cos(polar) directivity — a common reference directivity choice."""
+    np_mod = jnp if isinstance(polar, jnp.ndarray) else np
+    return np_mod.maximum(0.0, np_mod.cos(polar))

@@ -1,0 +1,56 @@
+"""Trace configuration.
+
+Reference parity: the kwargs of CL_Tracer.iterative_tracer(...) —
+trace_iterations, max_ray_len, ior_env, power-dissipation cutoff
+(SURVEY.md §3 "CL_Tracer"). Kept as a frozen (hashable) dataclass so it can
+be a static argument to jitted trace steps; no CLI/flag framework, matching
+the reference's library-not-app character (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    """Static trace parameters.
+
+    Attributes:
+      trace_iterations: fixed trace depth (bounces) per run
+      max_ray_len:      rays miss beyond this distance (drawn to this length
+                        and terminated, like the reference)
+      ior_env:          ambient index of refraction
+      eps:              self-intersection guard: hits require t > eps
+                        (world units; the reference's kernel epsilon)
+      eps_bary:         barycentric-coordinate edge tolerance
+      power_cutoff:     rays with power below this are culled at compaction
+                        (their power is accounted as 'culled' so energy
+                        conservation stays exact)
+      dissipation_target: host-loop early exit once
+                        (measured+absorbed+escaped+culled) / emitted exceeds
+                        this fraction (reference: power-dissipation cutoff)
+      hist_azimuth_bins / hist_polar_bins: detector histogram shape
+      hist_mode:        'position'  — bin spherical angles of the hit point
+                        relative to the scene origin (hemisphere detector
+                        directivity, the reference's analysis);
+                        'direction' — bin the arriving ray direction
+      tri_chunk:        triangle tile size for the jnp intersect scan
+      backend:          'auto' | 'pallas' | 'jnp' intersect implementation
+    """
+
+    trace_iterations: int = 8
+    max_ray_len: float = 1e3
+    ior_env: float = 1.0
+    eps: float = 1e-4
+    eps_bary: float = 1e-6
+    power_cutoff: float = 0.0
+    dissipation_target: float = 0.999
+    hist_azimuth_bins: int = 36
+    hist_polar_bins: int = 18
+    hist_mode: str = "position"
+    tri_chunk: int = 512
+    backend: str = "auto"
+
+    def replace(self, **kw) -> "TraceConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,259 @@
+"""Host-side trace driver.
+
+Reference parity: CL_Tracer of iterative_tracer.py (SURVEY.md §3
+"CL_Tracer (host runtime)"): owns the device session, flattens the scene,
+runs the fixed-depth iterative trace, harvests measured rays, reports
+wall-clock throughput.
+
+Two execution modes:
+  * 'device' (default for perf): the whole multi-bounce loop is one XLA
+    computation (`trace_loop_jit`) — detector histogram + power ledger come
+    back, individual measured rays do not. One host sync per trace.
+  * 'host': python loop over jitted steps, harvesting measured rays (and
+    optionally full ray-path segments for plotting / DXF) after every bounce
+    — semantically the reference's loop (SURVEY.md §4.3), used by the compat
+    API where `get_measured_rays()` must return actual rays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightpycl_tpu.geometry.mesh import GeoObject
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
+from lightpycl_tpu.tracer.scene import Scene, build_scene
+from lightpycl_tpu.tracer import step as step_mod
+
+log = logging.getLogger("lightpycl_tpu")
+
+
+@dataclasses.dataclass
+class TraceResult:
+    """Everything a reference user gets after iterative_tracer(...)."""
+
+    measured_pos: np.ndarray      # (M, 3) hit points on measure surfaces
+    measured_dir: np.ndarray      # (M, 3) arrival directions
+    measured_power: np.ndarray    # (M,)
+    measured_det: np.ndarray      # (M,) detector ids
+    hist: np.ndarray              # (n_az, n_pol) power histogram
+    per_detector: np.ndarray      # (D,)
+    detector_names: list
+    ledger: dict                  # emitted/measured/absorbed/escaped/culled
+    iterations_run: int
+    rays_traced: int              # capacity x iterations actually traced
+    intersection_tests: int       # rays_traced x real triangle count
+    wall_time: float
+    segments: list                # [(starts, ends, alive)] if record_paths
+    final_live_power: float
+
+    @property
+    def tests_per_second(self) -> float:
+        return self.intersection_tests / max(self.wall_time, 1e-12)
+
+    @property
+    def rays_per_second(self) -> float:
+        return self.rays_traced / max(self.wall_time, 1e-12)
+
+    def power_conservation_error(self) -> float:
+        l = self.ledger
+        acc = l["measured"] + l["absorbed"] + l["escaped"] + l["culled"]
+        return abs(l["emitted"] - acc - self.final_live_power) / max(l["emitted"], 1e-30)
+
+
+class Tracer:
+    """TPU trace session (reference: CL_Tracer(platform_name, device_type) —
+    platform/device selection is jax's job here; kwargs kept for compat)."""
+
+    def __init__(self, cfg: Optional[TraceConfig] = None):
+        self.cfg = cfg or TraceConfig()
+        self.scene: Optional[Scene] = None
+        self.detector_names: list = []
+        self.elements: list = []
+        self.last_result: Optional[TraceResult] = None
+
+    # -- scene -------------------------------------------------------------
+
+    def set_elements(self, elements: Sequence[GeoObject]):
+        self.elements = list(elements)
+        self.scene, self.detector_names = build_scene(self.elements)
+        return self
+
+    @property
+    def num_triangles(self) -> int:
+        return sum(e.num_triangles for e in self.elements)
+
+    # -- tracing -------------------------------------------------------------
+
+    def trace(
+        self,
+        source,
+        elements: Optional[Sequence[GeoObject]] = None,
+        trace_iterations: Optional[int] = None,
+        capacity: Optional[int] = None,
+        mode: str = "host",
+        record_paths: bool = False,
+        rays: Optional[RayBatch] = None,
+        **cfg_overrides,
+    ) -> TraceResult:
+        """Run the iterative trace.
+
+        `source` is a LightSource / CollimatedSource (or None if `rays` is
+        given). Remaining kwargs override TraceConfig fields, mirroring the
+        reference's iterative_tracer(...) signature.
+        """
+        cfg = self.cfg
+        if trace_iterations is not None:
+            cfg_overrides["trace_iterations"] = int(trace_iterations)
+        if cfg_overrides:
+            cfg = cfg.replace(**cfg_overrides)
+        if elements is not None:
+            self.set_elements(elements)
+        if self.scene is None:
+            raise ValueError("no scene: pass `elements` or call set_elements()")
+
+        if rays is None:
+            origins, dirs, powers = source.sample()
+            rays = RayBatch.from_arrays(origins, dirs, powers,
+                                        ior_env=cfg.ior_env, capacity=capacity)
+        C = rays.capacity
+        emitted = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
+        det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
+                                  max(len(self.detector_names), 1))
+        led = Ledger.start(emitted)
+
+        log.info(
+            "trace start: %d rays (capacity %d), %d triangles, %d iterations, mode=%s",
+            int(np.asarray(jnp.sum(rays.alive.astype(jnp.int32)))), C,
+            self.num_triangles, cfg.trace_iterations, mode,
+        )
+
+        t0 = time.perf_counter()
+        if mode == "device":
+            rays_out, det, led = step_mod.trace_loop_jit(
+                self.scene, rays, det, led, cfg, cfg.trace_iterations
+            )
+            jax.block_until_ready(led)
+            wall = time.perf_counter() - t0
+            iters = cfg.trace_iterations  # upper bound (early exit is on-device)
+            result = self._package(
+                rays_out, det, led, [], [], iters, C, wall, record_paths=False
+            )
+        elif mode == "host":
+            harvested = []
+            segments = []
+            iters = 0
+            for it in range(cfg.trace_iterations):
+                # pull starts BEFORE the step: the step donates the ray buffers
+                starts = np.asarray(rays.o) if record_paths else None
+                rays, det, led, aux = step_mod.trace_step_jit(
+                    self.scene, rays, det, led, cfg
+                )
+                iters += 1
+                measured = np.asarray(aux.measured)
+                if measured.any():
+                    harvested.append(
+                        (
+                            np.asarray(aux.hit_point)[measured],
+                            np.asarray(aux.measured_dir)[measured],
+                            np.asarray(aux.measured_power)[measured],
+                            np.asarray(aux.det_id)[measured],
+                        )
+                    )
+                if record_paths:
+                    segments.append(
+                        (
+                            starts,
+                            np.asarray(aux.hit_point),
+                            np.asarray(aux.parent_alive),
+                        )
+                    )
+                live = int(np.asarray(aux.live_count))
+                led_now = jax.tree_util.tree_map(lambda x: float(np.asarray(x)), led)
+                accounted = (
+                    led_now.measured + led_now.absorbed + led_now.escaped + led_now.culled
+                )
+                log.info(
+                    "iter %d: live=%d accounted=%.4f/%.4f", it, live, accounted, emitted
+                )
+                if live == 0 or accounted >= cfg.dissipation_target * emitted:
+                    break
+            jax.block_until_ready(led)
+            wall = time.perf_counter() - t0
+            result = self._package(
+                rays, det, led, harvested, segments, iters, C, wall, record_paths
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        self.last_result = result
+        log.info(
+            "trace done: %.3fs, %.3g intersection tests/s, %.3g rays/s",
+            result.wall_time, result.tests_per_second, result.rays_per_second,
+        )
+        return result
+
+    # reference-shaped alias (SURVEY.md §3: CL_Tracer.iterative_tracer)
+    def iterative_tracer(self, light_source, meshes, trace_iterations=16,
+                         max_ray_len=1e3, ior_env=1.0, **kw) -> TraceResult:
+        return self.trace(
+            light_source, elements=meshes, trace_iterations=trace_iterations,
+            max_ray_len=float(max_ray_len), ior_env=float(ior_env), **kw
+        )
+
+    def _package(self, rays, det, led, harvested, segments, iters, C, wall,
+                 record_paths) -> TraceResult:
+        if harvested:
+            pos = np.concatenate([h[0] for h in harvested])
+            dirs = np.concatenate([h[1] for h in harvested])
+            pw = np.concatenate([h[2] for h in harvested])
+            dd = np.concatenate([h[3] for h in harvested])
+        else:
+            pos = np.zeros((0, 3), np.float32)
+            dirs = np.zeros((0, 3), np.float32)
+            pw = np.zeros((0,), np.float32)
+            dd = np.zeros((0,), np.int32)
+        live_power = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
+        real_tris = self.num_triangles
+        return TraceResult(
+            measured_pos=pos,
+            measured_dir=dirs,
+            measured_power=pw,
+            measured_det=dd,
+            hist=np.asarray(det.hist),
+            per_detector=np.asarray(det.per_detector),
+            detector_names=list(self.detector_names),
+            ledger=led.as_dict() if isinstance(led, Ledger) else dict(led),
+            iterations_run=iters,
+            rays_traced=C * iters,
+            intersection_tests=C * iters * real_tris,
+            wall_time=wall,
+            segments=segments,
+            final_live_power=live_power,
+        )
+
+    # -- reference-shaped getters -------------------------------------------
+
+    def get_measured_rays(self):
+        """(positions, directions, powers) of all rays collected on measure
+        surfaces (reference: SURVEY.md §4.4)."""
+        r = self._require_result()
+        return r.measured_pos, r.measured_dir, r.measured_power
+
+    def get_detector_histogram(self):
+        return self._require_result().hist
+
+    def get_power_ledger(self):
+        return dict(self._require_result().ledger)
+
+    def _require_result(self) -> TraceResult:
+        if self.last_result is None:
+            raise RuntimeError("run trace()/iterative_tracer() first")
+        return self.last_result

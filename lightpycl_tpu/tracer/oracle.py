@@ -1,0 +1,182 @@
+"""Float64 numpy golden tracer — the parity oracle.
+
+BASELINE.md: detected-power parity vs the PyOpenCL reference must be <=0.1%;
+since no OpenCL runtime exists on this machine, parity is checked against
+this independent float64 implementation of the same physics (classic
+Möller–Trumbore, per-ray python-free numpy loops, host-side compaction —
+structurally the reference's algorithm, SURVEY.md §6 "parity oracle").
+
+Deliberately implemented with DIFFERENT math from the device path (direct
+Möller–Trumbore vs unit-triangle transforms) so agreement is evidence of
+correctness, not of shared bugs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lightpycl_tpu.materials import Material
+
+
+def _mt_nearest_hit(o, d, v0, e1, e2, eps, eps_b, t_max):
+    """Möller–Trumbore nearest hit: o,d (N,3); v0,e1,e2 (T,3).
+    Returns (t (N,), tri (N,)) with tri == -1 on miss. f64 throughout."""
+    N = len(o)
+    best_t = np.full(N, np.inf)
+    best_i = np.full(N, -1, np.int64)
+    # chunk triangles to bound the (N, chunk) intermediates
+    chunk = max(1, min(len(v0), max(1, int(4e7 // max(N, 1)))))
+    for s in range(0, len(v0), chunk):
+        V0, E1, E2 = v0[s:s + chunk], e1[s:s + chunk], e2[s:s + chunk]
+        h = np.cross(d[:, None, :], E2[None, :, :])          # (N, K, 3)
+        a = np.einsum("kj,nkj->nk", E1, h)                    # (N, K)
+        ok = np.abs(a) > 1e-300
+        f = np.where(ok, 1.0 / np.where(ok, a, 1.0), 0.0)
+        sv = o[:, None, :] - V0[None, :, :]
+        u = f * np.einsum("nkj,nkj->nk", sv, h)
+        q = np.cross(sv, E1[None, :, :])
+        v = f * np.einsum("nj,nkj->nk", d, q)
+        t = f * np.einsum("kj,nkj->nk", E2, q)
+        hit = (
+            ok
+            & (u >= -eps_b) & (v >= -eps_b) & (u + v <= 1.0 + eps_b)
+            & (t > eps) & (t < t_max)
+        )
+        tt = np.where(hit, t, np.inf)
+        i = np.argmin(tt, axis=1)
+        tmin = tt[np.arange(N), i]
+        better = tmin < best_t
+        best_t = np.where(better, tmin, best_t)
+        best_i = np.where(better, i + s, best_i)
+    return best_t, best_i
+
+
+def _reflect(d, n):
+    return d - 2.0 * np.sum(d * n, axis=1, keepdims=True) * n
+
+
+def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
+                 max_ray_len=1e3, ior_env=1.0, eps=1e-4, eps_bary=1e-6,
+                 power_cutoff=0.0):
+    """Trace with dynamic host-side ray lists (rays genuinely split 2x).
+
+    Returns dict with measured ray arrays, the power ledger, and per-detector
+    totals — the quantities the parity tests compare.
+    """
+    v0s, e1s, e2s, mats, iors, refls, dets = [], [], [], [], [], [], []
+    det_names = []
+    for el in elements:
+        tv = el.triangle_vertices()
+        t = len(tv)
+        if t == 0:
+            continue
+        v0s.append(tv[:, 0]); e1s.append(tv[:, 1] - tv[:, 0]); e2s.append(tv[:, 2] - tv[:, 0])
+        mats.append(np.full(t, int(el.material)))
+        iors.append(np.full(t, el.ior))
+        refls.append(np.full(t, el.reflectivity))
+        if el.material == Material.MEASURE:
+            dets.append(np.full(t, len(det_names)))
+            det_names.append(el.name or f"detector_{len(det_names)}")
+        else:
+            dets.append(np.full(t, -1))
+    v0 = np.concatenate(v0s); e1 = np.concatenate(e1s); e2 = np.concatenate(e2s)
+    mat = np.concatenate(mats); ior_in = np.concatenate(iors)
+    refl = np.concatenate(refls); det_id = np.concatenate(dets)
+    n_geom = np.cross(e1, e2)
+    n_geom /= np.maximum(np.linalg.norm(n_geom, axis=1, keepdims=True), 1e-300)
+
+    o = np.asarray(origins, np.float64)
+    d = np.asarray(dirs, np.float64)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    p = np.asarray(powers, np.float64)
+    ior = np.full(len(o), float(ior_env))
+
+    emitted = p.sum()
+    measured_pos, measured_dir, measured_pow, measured_det = [], [], [], []
+    absorbed = escaped = culled = 0.0
+
+    for _ in range(trace_iterations):
+        if len(o) == 0:
+            break
+        t, ti = _mt_nearest_hit(o, d, v0, e1, e2, eps, eps_bary, max_ray_len)
+        hit = ti >= 0
+        hp = o + np.where(hit, t, max_ray_len)[:, None] * d
+
+        escaped += p[~hit].sum()
+
+        m = np.where(hit, mat[np.maximum(ti, 0)], -1)
+        is_mirror = m == int(Material.MIRROR)
+        is_refr = m == int(Material.REFRACTIVE)
+        is_term = m == int(Material.TERMINATOR)
+        is_meas = m == int(Material.MEASURE)
+
+        absorbed += p[is_term].sum()
+        if is_meas.any():
+            measured_pos.append(hp[is_meas])
+            measured_dir.append(d[is_meas])
+            measured_pow.append(p[is_meas])
+            measured_det.append(det_id[ti[is_meas]])
+
+        new_o, new_d, new_p, new_ior = [], [], [], []
+
+        # mirrors: one reflected child
+        if is_mirror.any():
+            i = is_mirror
+            ng = n_geom[ti[i]]
+            cos = np.sum(d[i] * ng, axis=1)
+            n = np.where(cos[:, None] < 0, ng, -ng)
+            r = refl[ti[i]]
+            absorbed += (p[i] * (1.0 - r)).sum()
+            new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
+            new_p.append(p[i] * r); new_ior.append(ior[i])
+
+        # dielectrics: Fresnel split into reflected + refracted children
+        if is_refr.any():
+            i = is_refr
+            ng = n_geom[ti[i]]
+            cos_raw = np.sum(d[i] * ng, axis=1)
+            entering = cos_raw < 0
+            n = np.where(entering[:, None], ng, -ng)
+            n1 = ior[i]
+            n2 = np.where(entering, ior_in[ti[i]], ior_env)
+            eta = n1 / n2
+            cos_i = -np.sum(d[i] * n, axis=1)
+            sin2_t = eta**2 * np.maximum(0.0, 1.0 - cos_i**2)
+            tir = sin2_t > 1.0
+            cos_t = np.sqrt(np.maximum(0.0, 1.0 - sin2_t))
+            rs = ((n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)) ** 2
+            rp = ((n1 * cos_t - n2 * cos_i) / (n1 * cos_t + n2 * cos_i)) ** 2
+            R = np.where(tir, 1.0, 0.5 * (rs + rp))
+            # reflected child
+            new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
+            new_p.append(p[i] * R); new_ior.append(n1)
+            # refracted child (zero power under TIR)
+            tdir = eta[:, None] * d[i] + (eta * cos_i - cos_t)[:, None] * n
+            tlen = np.maximum(np.linalg.norm(tdir, axis=1, keepdims=True), 1e-300)
+            new_o.append(hp[i]); new_d.append(tdir / tlen)
+            new_p.append(p[i] * (1.0 - R)); new_ior.append(np.where(tir, n1, n2))
+
+        if not new_o:
+            o = np.zeros((0, 3)); d = np.zeros((0, 3))
+            p = np.zeros(0); ior = np.zeros(0)
+            continue
+        o = np.concatenate(new_o); d = np.concatenate(new_d)
+        p = np.concatenate(new_p); ior = np.concatenate(new_ior)
+        keep = p > power_cutoff
+        culled += p[~keep].sum()
+        o, d, p, ior = o[keep], d[keep], p[keep], ior[keep]
+
+    live = p.sum() if len(p) else 0.0
+    return {
+        "measured_pos": np.concatenate(measured_pos) if measured_pos else np.zeros((0, 3)),
+        "measured_dir": np.concatenate(measured_dir) if measured_dir else np.zeros((0, 3)),
+        "measured_power": np.concatenate(measured_pow) if measured_pow else np.zeros(0),
+        "measured_det": np.concatenate(measured_det) if measured_det else np.zeros(0, np.int64),
+        "detector_names": det_names,
+        "emitted": emitted,
+        "measured": float(sum(x.sum() for x in measured_pow)) if measured_pow else 0.0,
+        "absorbed": float(absorbed),
+        "escaped": float(escaped),
+        "culled": float(culled),
+        "live": float(live),
+    }

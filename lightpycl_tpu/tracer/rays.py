@@ -1,0 +1,90 @@
+"""Ray-state SoA, detector state, and the power-conservation ledger.
+
+Reference parity: the ray SoA device buffers of iterative_tracer.py —
+origin, direction, power, current medium IOR, alive flags (SURVEY.md §3
+"Ray-state layout"; BASELINE.json north_star: "Ray state (origin, direction,
+power, current IOR) lives as SoA arrays in HBM").
+
+All containers are NamedTuples → automatically JAX pytrees with static
+(padded) shapes; "how many rays are real" is carried by the `alive` mask,
+never by array length, so every step compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class RayBatch(NamedTuple):
+    """SoA ray state, capacity C (static)."""
+
+    o: jnp.ndarray      # (C, 3) f32 origins
+    d: jnp.ndarray      # (C, 3) f32 unit directions
+    power: jnp.ndarray  # (C,)  f32
+    ior: jnp.ndarray    # (C,)  f32 current-medium IOR
+    alive: jnp.ndarray  # (C,)  bool
+
+    @property
+    def capacity(self) -> int:
+        return self.o.shape[0]
+
+    @staticmethod
+    def from_arrays(origins, dirs, powers, ior_env: float = 1.0,
+                    capacity: int | None = None) -> "RayBatch":
+        """Build a padded batch from host or device arrays."""
+        o = jnp.asarray(origins, jnp.float32)
+        d = jnp.asarray(dirs, jnp.float32)
+        p = jnp.asarray(powers, jnp.float32)
+        n = o.shape[0]
+        c = int(capacity or n)
+        if c < n:
+            raise ValueError(f"capacity {c} < ray count {n}")
+        pad = c - n
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
+            d = jnp.concatenate([d, jnp.tile(jnp.asarray([[0, 0, 1]], jnp.float32), (pad, 1))])
+            p = jnp.concatenate([p, jnp.zeros((pad,), jnp.float32)])
+        alive = (jnp.arange(c) < n) & (p > 0)
+        return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive)
+
+
+class DetectorState(NamedTuple):
+    """On-device measurement accumulators (reference: measurement surfaces
+    accumulate power — BASELINE.json north_star 'on-chip scatter-add
+    histograms')."""
+
+    hist: jnp.ndarray          # (n_azimuth, n_polar) f32 power histogram
+    per_detector: jnp.ndarray  # (D,) f32 total power per measure surface
+
+    @staticmethod
+    def zeros(n_az: int, n_pol: int, n_detectors: int) -> "DetectorState":
+        return DetectorState(
+            jnp.zeros((n_az, n_pol), jnp.float32),
+            jnp.zeros((max(n_detectors, 1),), jnp.float32),
+        )
+
+
+class Ledger(NamedTuple):
+    """Power-conservation ledger: emitted == measured + absorbed + escaped +
+    culled + live at every step (the parity-test oracle invariant,
+    SURVEY.md §5.5)."""
+
+    emitted: jnp.ndarray   # ()
+    measured: jnp.ndarray  # ()
+    absorbed: jnp.ndarray  # ()
+    escaped: jnp.ndarray   # ()
+    culled: jnp.ndarray    # ()
+
+    @staticmethod
+    def start(emitted) -> "Ledger":
+        z = jnp.zeros((), jnp.float32)
+        return Ledger(jnp.asarray(emitted, jnp.float32), z, z, z, z)
+
+    def accounted(self):
+        return self.measured + self.absorbed + self.escaped + self.culled
+
+    def as_dict(self) -> dict:
+        return {k: float(np.asarray(v)) for k, v in self._asdict().items()}

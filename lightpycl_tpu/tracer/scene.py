@@ -1,0 +1,129 @@
+"""Scene flattening: GeoObjects -> device triangle-soup arrays.
+
+Reference parity: the scene-flatten step of CL_Tracer.iterative_tracer
+(SURVEY.md §4.3): concatenate mesh vertices with index offsets and build
+per-triangle material / IOR arrays.
+
+TPU-first design: alongside the raw (v0, e1, e2) soup we precompute, in host
+float64, the per-triangle WORLD -> UNIT-TRIANGLE affine transform
+
+    [u, v, w]^T = A_inv @ (p - v0),   A = [e1 | e2 | e1 x e2]
+
+stored as three (T, 4) row matrices (rows of A_inv with the translation
+folded in). With homogeneous ray origin O4 = [o, 1] and direction D4 =
+[d, 0], the per-(ray, triangle) quantities OU/OV/OW and DU/DV/DW are plain
+matmuls (R,4) @ (4,T) — this is what lets the Pallas intersect kernel put
+the dominant FLOPs of Möller–Trumbore-equivalent testing on the MXU instead
+of scalar VPU code (the reference's work-item-per-ray OpenCL loop,
+kernel_reflect_refract_intersect.cl, has no such opportunity on GPU).
+
+The hit test then reduces to:  t = -OW / DW;  u = OU + t DU;  v = OV + t DV;
+hit iff DW != 0, eps < t < t_max, u >= -eps_b, v >= -eps_b, u + v <= 1+eps_b
+— mathematically the same predicate Möller–Trumbore evaluates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from lightpycl_tpu.geometry.mesh import GeoObject
+from lightpycl_tpu.materials import Material
+
+
+class Scene(NamedTuple):
+    """Flattened device scene (all arrays padded to T_pad triangles)."""
+
+    v0: jnp.ndarray            # (T_pad, 3) f32
+    e1: jnp.ndarray            # (T_pad, 3) f32
+    e2: jnp.ndarray            # (T_pad, 3) f32
+    normal: jnp.ndarray        # (T_pad, 3) f32 unit outward geometric normal
+    wu: jnp.ndarray            # (T_pad, 4) f32 unit-transform row u (+offset)
+    wv: jnp.ndarray            # (T_pad, 4) f32 row v
+    ww: jnp.ndarray            # (T_pad, 4) f32 row w (plane row)
+    mat: jnp.ndarray           # (T_pad,) i32 Material code
+    ior: jnp.ndarray           # (T_pad,) f32 IOR inside the element
+    reflectivity: jnp.ndarray  # (T_pad,) f32 mirror reflectivity
+    detector_id: jnp.ndarray   # (T_pad,) i32 measure-surface index, -1 else
+
+    @property
+    def num_triangles_padded(self) -> int:
+        return self.v0.shape[0]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_scene(objects: Sequence[GeoObject], pad_to: int = 256) -> tuple[Scene, list[str]]:
+    """Flatten optical elements into a Scene pytree.
+
+    Returns (scene, detector_names) where detector_names[i] labels the
+    measure surface with detector_id == i. Padding triangles are degenerate
+    (all-zero transform rows -> DW == 0 -> never hit).
+    """
+    if not objects:
+        raise ValueError("scene needs at least one optical element")
+    tv_list, mat_list, ior_list, refl_list, det_list = [], [], [], [], []
+    detector_names: list[str] = []
+    for obj in objects:
+        t = obj.num_triangles
+        if t == 0:
+            continue
+        tv_list.append(obj.triangle_vertices())  # (t, 3, 3) f64
+        mat_list.append(np.full(t, int(obj.material), np.int32))
+        ior_list.append(np.full(t, float(obj.ior), np.float64))
+        refl_list.append(np.full(t, float(obj.reflectivity), np.float64))
+        if obj.material == Material.MEASURE:
+            det_id = len(detector_names)
+            detector_names.append(obj.name or f"detector_{det_id}")
+            det_list.append(np.full(t, det_id, np.int32))
+        else:
+            det_list.append(np.full(t, -1, np.int32))
+
+    tv = np.concatenate(tv_list)              # (T, 3, 3)
+    T = len(tv)
+    v0 = tv[:, 0]
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    n = np.cross(e1, e2)
+    n_len = np.linalg.norm(n, axis=1, keepdims=True)
+    ok = (n_len[:, 0] > 1e-30)
+    n_unit = n / np.where(n_len > 0, n_len, 1.0)
+
+    # unit-triangle transform rows, f64 for conditioning, then cast f32
+    A = np.stack([e1, e2, n], axis=2)         # (T, 3, 3) columns e1|e2|n
+    rows = np.zeros((T, 3, 4))
+    if ok.any():
+        A_inv = np.linalg.inv(A[ok])
+        b = -np.einsum("tij,tj->ti", A_inv, v0[ok])
+        rows[ok, :, :3] = A_inv
+        rows[ok, :, 3] = b
+
+    T_pad = _round_up(max(T, 1), pad_to)
+    pad = T_pad - T
+
+    def _p(a, fill=0.0):
+        a = np.asarray(a)
+        if pad == 0:
+            return a
+        shape = (pad,) + a.shape[1:]
+        return np.concatenate([a, np.full(shape, fill, a.dtype)])
+
+    scene = Scene(
+        v0=jnp.asarray(_p(v0), jnp.float32),
+        e1=jnp.asarray(_p(e1), jnp.float32),
+        e2=jnp.asarray(_p(e2), jnp.float32),
+        normal=jnp.asarray(_p(n_unit), jnp.float32),
+        wu=jnp.asarray(_p(rows[:, 0]), jnp.float32),
+        wv=jnp.asarray(_p(rows[:, 1]), jnp.float32),
+        ww=jnp.asarray(_p(rows[:, 2]), jnp.float32),
+        mat=jnp.asarray(_p(np.concatenate(mat_list),
+                           fill=int(Material.TERMINATOR)), jnp.int32),
+        ior=jnp.asarray(_p(np.concatenate(ior_list), fill=1.0), jnp.float32),
+        reflectivity=jnp.asarray(_p(np.concatenate(refl_list), fill=0.0), jnp.float32),
+        detector_id=jnp.asarray(_p(np.concatenate(det_list), fill=-1), jnp.int32),
+    )
+    return scene, detector_names

@@ -1,0 +1,345 @@
+"""The jitted trace step: intersect -> shade/split -> compact.
+
+Reference parity: one iteration of CL_Tracer.iterative_tracer's device loop
+(SURVEY.md §4.3): the `intersect` kernel (nearest hit over all triangles),
+the `reflect_refract` kernel (Snell / TIR / Fresnel power split producing up
+to 2 child rays; material dispatch mirror / dielectric / terminator /
+measure), then ray compaction. Unlike the reference — which reads buffers
+back to the host and compacts in numpy every iteration — everything here
+stays on device: compaction is a top-k selection over the 2C child slots and
+the measurement surfaces accumulate into an on-device histogram, so a full
+multi-bounce trace is a single XLA computation (host sync once at the end).
+
+Shapes are static everywhere: C = ray capacity, children land in 2C slots
+(reflected child of ray i at slot i, refracted at C + i), and compaction
+selects the C highest-power live children (dropped overflow is accounted as
+'culled' power so the conservation ledger stays exact — SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightpycl_tpu import physics
+from lightpycl_tpu.materials import Material
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
+from lightpycl_tpu.tracer.scene import Scene
+
+_INF = jnp.float32(jnp.inf)
+
+
+# --------------------------------------------------------------------------
+# Intersection (jnp fallback path; the Pallas kernel in ops/ is the fast one)
+# --------------------------------------------------------------------------
+
+def _intersect_tile(o4, d4, wu, wv, ww, eps, eps_b, t_max):
+    """Nearest hit of C rays against one tile of K triangles.
+
+    o4 (C,4) homogeneous origins, d4 (C,4) directions (w=0); wu/wv/ww (K,4)
+    unit-transform rows. Returns (t (C,), idx (C,) argmin within tile).
+    Same math on MXU-friendly matmuls as the Pallas kernel — see
+    tracer/scene.py for the derivation and its equivalence to
+    Möller–Trumbore (reference kernel: SURVEY.md §3 'Intersect kernel').
+    """
+    # precision=HIGHEST: TPU's default matmul truncates f32 operands to
+    # bf16, which wrecks the ill-conditioned transforms of skinny triangles
+    # (e.g. pole fans) and leaks double-digit percentages of power.
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    OU = jnp.dot(o4, wu.T, preferred_element_type=f32, precision=hi)
+    OV = jnp.dot(o4, wv.T, preferred_element_type=f32, precision=hi)
+    OW = jnp.dot(o4, ww.T, preferred_element_type=f32, precision=hi)
+    DU = jnp.dot(d4, wu.T, preferred_element_type=f32, precision=hi)
+    DV = jnp.dot(d4, wv.T, preferred_element_type=f32, precision=hi)
+    DW = jnp.dot(d4, ww.T, preferred_element_type=f32, precision=hi)
+
+    denom_ok = jnp.abs(DW) > 1e-30
+    t = -OW / jnp.where(denom_ok, DW, 1.0)
+    u = OU + t * DU
+    v = OV + t * DV
+    hit = (
+        denom_ok
+        & (t > eps)
+        & (t < t_max)
+        & (u >= -eps_b)
+        & (v >= -eps_b)
+        & (u + v <= 1.0 + eps_b)
+    )
+    tt = jnp.where(hit, t, _INF)
+    idx = jnp.argmin(tt, axis=1)
+    return jnp.min(tt, axis=1), idx.astype(jnp.int32)
+
+
+def intersect_jnp(scene: Scene, o, d, cfg: TraceConfig, ray_block: int = 4096):
+    """Nearest-hit over the whole scene, tiled (ray_block x tri_chunk) so
+    intermediates stay small. Returns (t (C,), tri (C,) i32; tri == -1 and
+    t == +inf on miss)."""
+    C = o.shape[0]
+    Tp = scene.num_triangles_padded
+    chunk = int(min(cfg.tri_chunk, Tp))
+    n_chunks = -(-Tp // chunk)
+    pad_t = n_chunks * chunk - Tp
+
+    def _padt(a):
+        return jnp.pad(a, ((0, pad_t), (0, 0))) if pad_t else a
+
+    wu = _padt(scene.wu).reshape(n_chunks, chunk, 4)
+    wv = _padt(scene.wv).reshape(n_chunks, chunk, 4)
+    ww = _padt(scene.ww).reshape(n_chunks, chunk, 4)
+
+    rb = int(min(ray_block, C))
+    n_rblocks = -(-C // rb)
+    pad_r = n_rblocks * rb - C
+    o_p = jnp.pad(o, ((0, pad_r), (0, 0))) if pad_r else o
+    d_p = jnp.pad(d, ((0, pad_r), (0, 0))) if pad_r else d
+    o4 = jnp.concatenate([o_p, jnp.ones((o_p.shape[0], 1), jnp.float32)], axis=1)
+    d4 = jnp.concatenate([d_p, jnp.zeros((d_p.shape[0], 1), jnp.float32)], axis=1)
+    o4 = o4.reshape(n_rblocks, rb, 4)
+    d4 = d4.reshape(n_rblocks, rb, 4)
+
+    eps = jnp.float32(cfg.eps)
+    eps_b = jnp.float32(cfg.eps_bary)
+    t_max = jnp.float32(cfg.max_ray_len)
+
+    def per_ray_block(args):
+        o4b, d4b = args
+
+        def tri_scan(carry, tile):
+            best_t, best_i = carry
+            wu_k, wv_k, ww_k, off = tile
+            t, i = _intersect_tile(o4b, d4b, wu_k, wv_k, ww_k, eps, eps_b, t_max)
+            better = t < best_t
+            return (
+                jnp.where(better, t, best_t),
+                jnp.where(better, i + off, best_i),
+            ), None
+
+        offs = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        init = (jnp.full((rb,), _INF), jnp.full((rb,), -1, jnp.int32))
+        (bt, bi), _ = jax.lax.scan(tri_scan, init, (wu, wv, ww, offs))
+        return bt, bi
+
+    bt, bi = jax.lax.map(per_ray_block, (o4, d4))
+    bt = bt.reshape(-1)[:C]
+    bi = bi.reshape(-1)[:C]
+    return bt, jnp.where(jnp.isfinite(bt), bi, -1)
+
+
+def intersect(scene: Scene, o, d, cfg: TraceConfig):
+    """Backend-dispatching nearest-hit."""
+    if cfg.backend in ("pallas", "auto"):
+        try:
+            from lightpycl_tpu.ops.intersect_pallas import intersect_pallas, pallas_available
+
+            if cfg.backend == "pallas" or pallas_available():
+                return intersect_pallas(scene, o, d, cfg)
+        except ImportError:
+            if cfg.backend == "pallas":
+                raise
+    return intersect_jnp(scene, o, d, cfg)
+
+
+# --------------------------------------------------------------------------
+# Shade: material dispatch, Snell/Fresnel split, measurement
+# --------------------------------------------------------------------------
+
+class ShadeOut(NamedTuple):
+    child_o: jnp.ndarray       # (2C, 3)
+    child_d: jnp.ndarray       # (2C, 3)
+    child_power: jnp.ndarray   # (2C,)
+    child_ior: jnp.ndarray     # (2C,)
+    child_alive: jnp.ndarray   # (2C,) bool
+    hit_point: jnp.ndarray     # (C, 3) parent hit / termination point
+    measured: jnp.ndarray      # (C,) bool parent measured this step
+    measured_power: jnp.ndarray  # (C,)
+    det_id: jnp.ndarray        # (C,) i32
+    absorbed: jnp.ndarray      # () power absorbed this step
+    escaped: jnp.ndarray       # () power escaped (miss) this step
+
+
+def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
+    """Apply surface interaction at the nearest hit (reference:
+    `reflect_refract` kernel, SURVEY.md §3). Branchless: every ray computes
+    all material outcomes; masks select."""
+    C = rays.capacity
+    hit_valid = (tri >= 0) & rays.alive
+    safe_tri = jnp.maximum(tri, 0)
+    live_p = jnp.where(rays.alive, rays.power, 0.0)
+
+    t_draw = jnp.where(hit_valid, t, cfg.max_ray_len)
+    hit_point = rays.o + t_draw[:, None] * rays.d
+
+    mat = scene.mat[safe_tri]
+    n_geom = scene.normal[safe_tri]
+    tri_ior = scene.ior[safe_tri]
+    refl = scene.reflectivity[safe_tri]
+    det_id = scene.detector_id[safe_tri]
+
+    sn = physics.snell_interaction(rays.d, n_geom, rays.ior, tri_ior, cfg.ior_env)
+
+    is_mirror = hit_valid & (mat == int(Material.MIRROR))
+    is_refr = hit_valid & (mat == int(Material.REFRACTIVE))
+    is_term = hit_valid & (mat == int(Material.TERMINATOR))
+    is_meas = hit_valid & (mat == int(Material.MEASURE))
+    is_miss = rays.alive & ~hit_valid
+
+    # child A: the reflected branch (mirror or dielectric), at slot i
+    pa = jnp.where(
+        is_mirror, live_p * refl, jnp.where(is_refr, live_p * sn["R"], 0.0)
+    )
+    da = sn["refl_dir"]
+    # child B: the refracted branch (dielectric only), at slot C + i
+    pb = jnp.where(is_refr, live_p * (1.0 - sn["R"]), 0.0)
+    db = sn["refr_dir"]
+
+    child_o = jnp.concatenate([hit_point, hit_point], axis=0)
+    child_d = jnp.concatenate([da, db], axis=0)
+    child_power = jnp.concatenate([pa, pb], axis=0)
+    child_ior = jnp.concatenate([rays.ior, sn["new_ior"]], axis=0)
+    child_alive = child_power > 0.0
+
+    absorbed = jnp.sum(jnp.where(is_term, live_p, 0.0)) + jnp.sum(
+        jnp.where(is_mirror, live_p * (1.0 - refl), 0.0)
+    )
+    escaped = jnp.sum(jnp.where(is_miss, live_p, 0.0))
+    measured_power = jnp.where(is_meas, live_p, 0.0)
+
+    return ShadeOut(
+        child_o, child_d, child_power, child_ior, child_alive,
+        hit_point, is_meas, measured_power, det_id,
+        absorbed, escaped,
+    )
+
+
+# --------------------------------------------------------------------------
+# Detector accumulation
+# --------------------------------------------------------------------------
+
+def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
+                        cfg: TraceConfig) -> DetectorState:
+    """Scatter-add measured power into the (azimuth x polar) histogram and
+    per-detector totals (reference: measurement-surface collection +
+    directivity binning, SURVEY.md §3/§4.4 — moved on-device)."""
+    n_az, n_pol = det.hist.shape
+    if cfg.hist_mode == "direction":
+        v = rays.d
+    else:  # 'position': far-field direction of the hit point
+        v = physics.normalize(sh.hit_point)
+    az = jnp.arctan2(v[:, 1], v[:, 0])  # [-pi, pi)
+    az = jnp.where(az < 0, az + 2.0 * np.pi, az)
+    pol = jnp.arccos(jnp.clip(v[:, 2], -1.0, 1.0))
+    ia = jnp.clip((az / (2.0 * np.pi) * n_az).astype(jnp.int32), 0, n_az - 1)
+    ip = jnp.clip((pol / np.pi * n_pol).astype(jnp.int32), 0, n_pol - 1)
+    flat = ia * n_pol + ip
+    hist = det.hist.reshape(-1).at[flat].add(sh.measured_power).reshape(n_az, n_pol)
+    did = jnp.clip(sh.det_id, 0, det.per_detector.shape[0] - 1)
+    per_det = det.per_detector.at[did].add(sh.measured_power)
+    return DetectorState(hist, per_det)
+
+
+# --------------------------------------------------------------------------
+# Compaction
+# --------------------------------------------------------------------------
+
+def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
+    """Select the `capacity` highest-power live children out of 2C slots
+    (reference: host-side numpy compaction, SURVEY.md §4.3 — here an
+    on-device top-k so the loop never leaves the chip). Returns
+    (RayBatch, culled_power)."""
+    live = sh.child_alive & (sh.child_power > cfg.power_cutoff)
+    key = jnp.where(live, sh.child_power, -1.0)
+    _, idx = jax.lax.top_k(key, capacity)
+    sel_live = live[idx]
+    total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
+    sel_power = jnp.where(sel_live, sh.child_power[idx], 0.0)
+    culled = total_live - jnp.sum(sel_power)
+    # power below the cutoff (but nominally alive) is culled too
+    culled = culled + jnp.sum(
+        jnp.where(sh.child_alive & ~live, sh.child_power, 0.0)
+    )
+    rays = RayBatch(
+        o=sh.child_o[idx],
+        d=sh.child_d[idx],
+        power=sel_power,
+        ior=sh.child_ior[idx],
+        alive=sel_live,
+    )
+    return rays, culled
+
+
+# --------------------------------------------------------------------------
+# Full step + on-device multi-bounce loop
+# --------------------------------------------------------------------------
+
+class StepAux(NamedTuple):
+    """Per-iteration observables for harvest/plot modes (host loop only)."""
+
+    hit_point: jnp.ndarray       # (C, 3) segment endpoints
+    parent_alive: jnp.ndarray    # (C,) bool parents that were traced
+    measured: jnp.ndarray        # (C,) bool
+    measured_power: jnp.ndarray  # (C,)
+    measured_dir: jnp.ndarray    # (C, 3) arrival directions
+    det_id: jnp.ndarray          # (C,) i32
+    live_count: jnp.ndarray      # () i32 live rays AFTER the step
+
+
+def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
+               cfg: TraceConfig):
+    """One bounce: intersect, shade, measure, compact."""
+    t, tri = intersect(scene, rays.o, rays.d, cfg)
+    sh = shade(scene, rays, t, tri, cfg)
+    det = accumulate_detector(det, sh, rays, cfg)
+    new_rays, culled = compact(sh, rays.capacity, cfg)
+    led = Ledger(
+        emitted=led.emitted,
+        measured=led.measured + jnp.sum(sh.measured_power),
+        absorbed=led.absorbed + sh.absorbed,
+        escaped=led.escaped + sh.escaped,
+        culled=led.culled + culled,
+    )
+    aux = StepAux(
+        hit_point=sh.hit_point,
+        parent_alive=rays.alive,
+        measured=sh.measured,
+        measured_power=sh.measured_power,
+        measured_dir=rays.d,
+        det_id=sh.det_id,
+        live_count=jnp.sum(new_rays.alive.astype(jnp.int32)),
+    )
+    return new_rays, det, led, aux
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def trace_step_jit(scene: Scene, rays: RayBatch, det: DetectorState,
+                   led: Ledger, cfg: TraceConfig):
+    return trace_step(scene, rays, det, led, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iterations"),
+                   donate_argnums=(1,))
+def trace_loop_jit(scene: Scene, rays: RayBatch, det: DetectorState,
+                   led: Ledger, cfg: TraceConfig, iterations: int):
+    """Whole fixed-depth trace as ONE on-device computation (the reference's
+    per-iteration host round-trip removed — SURVEY.md §4.3 design note).
+    Early exit when accounted power reaches cfg.dissipation_target via
+    lax.while_loop over bounce index."""
+
+    def cond(state):
+        i, rays, det, led = state
+        return (i < iterations) & (
+            led.accounted() < cfg.dissipation_target * led.emitted
+        )
+
+    def body(state):
+        i, rays, det, led = state
+        rays, det, led, _ = trace_step(scene, rays, det, led, cfg)
+        return (i + 1, rays, det, led)
+
+    _, rays, det, led = jax.lax.while_loop(cond, body, (jnp.int32(0), rays, det, led))
+    return rays, det, led

@@ -1,0 +1,81 @@
+"""Analysis & IO unit tests: directivity binning, beam stats, intensity
+maps, DXF emission (SURVEY.md §3 L5)."""
+
+import numpy as np
+import pytest
+
+from lightpycl_tpu import analysis
+from lightpycl_tpu.geometry.primitives import OpticalElements
+from lightpycl_tpu.io.dxf import DXFWriter, save_traced_scene
+
+
+class TestDirectivity:
+    def test_histogram_conserves_power(self, rng):
+        v = rng.normal(size=(1000, 3))
+        p = rng.uniform(0, 1, 1000)
+        h, _, _ = analysis.directivity_histogram(v, p)
+        assert h.sum() == pytest.approx(p.sum())
+
+    def test_solid_angle_normalization_isotropic(self, rng):
+        # isotropic directions -> constant intensity over all bins
+        n = 400000
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        p = np.full(n, 1.0 / n)
+        h, _, _ = analysis.directivity_histogram(v, p, 18, 9,
+                                                 solid_angle_normalize=True)
+        expected = 1.0 / (4 * np.pi)
+        assert np.allclose(h, expected, rtol=0.15)
+
+    def test_polar_directivity_peak(self):
+        v = np.tile([0, 0, 1.0], (100, 1))
+        inten, centers = analysis.polar_directivity(v, np.ones(100), n_polar=18)
+        assert inten.argmax() == 0
+
+    def test_beam_statistics(self):
+        d = np.tile([0, 0, 1.0], (50, 1))
+        s = analysis.beam_statistics(d, np.ones(50))
+        assert np.allclose(s["mean_direction"], [0, 0, 1])
+        assert s["rms_divergence"] == pytest.approx(0.0, abs=1e-7)
+        assert s["total_power"] == 50
+
+    def test_intensity_map(self, rng):
+        pos = np.zeros((200, 3))
+        pos[:, :2] = rng.normal(scale=0.1, size=(200, 2))
+        img, xe, ye = analysis.intensity_map(pos, np.ones(200), half_extent=1.0, bins=16)
+        assert img.sum() == pytest.approx(200.0)
+        # power concentrated in the center bins
+        assert img[7:9, 7:9].sum() > 0.5 * img.sum()
+
+
+class TestDXF:
+    def test_writer_structure(self, tmp_path):
+        w = DXFWriter()
+        w.add_3dface((0, 0, 0), (1, 0, 0), (0, 1, 0))
+        w.add_line((0, 0, 0), (1, 1, 1))
+        s = w.tostring()
+        assert s.startswith("0\nSECTION")
+        assert s.count("3DFACE") == 1 and s.count("LINE") == 1
+        assert s.rstrip().endswith("EOF")
+        lines = s.split("\n")
+        # 3DFACE corner group codes: corner i at x=10+i, y=20+i, z=30+i
+        fi = lines.index("3DFACE")
+        face_codes = lines[fi + 3:fi + 3 + 24:2]
+        assert face_codes == [str(10 + i + 10 * a) for i in range(4) for a in range(3)]
+        # vertex 1 of the face is (1, 0, 0)
+        v1 = {lines[fi + 3 + 2 * k]: lines[fi + 4 + 2 * k] for k in range(12)}
+        assert (v1["11"], v1["21"], v1["31"]) == ("1", "0", "0")
+        p = tmp_path / "t.dxf"
+        w.save(str(p))
+        assert p.read_text() == s
+
+    def test_save_traced_scene(self, tmp_path):
+        oe = OpticalElements(8, 3)
+        els = [oe.cube(1.0), oe.disc(1.0)]
+        segs = [(np.zeros((5, 3)), np.ones((5, 3)), np.array([1, 1, 0, 1, 0], bool))]
+        p = str(tmp_path / "scene.dxf")
+        save_traced_scene(p, els, segs)
+        txt = open(p).read()
+        n_tris = sum(e.num_triangles for e in els)
+        assert txt.count("3DFACE") == n_tris
+        assert txt.count("\nLINE") == 3  # only alive segments

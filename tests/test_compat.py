@@ -1,0 +1,71 @@
+"""Reference-API compatibility: the CL_Tracer script flow of SURVEY.md §4
+must work one-to-one (BASELINE.json: 'example scripts port one-to-one').
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lightpycl_tpu.compat import CL_Tracer, light_source, optical_elements
+
+
+class TestReferenceFlow:
+    def test_full_reference_script(self, tmp_path):
+        # the reference's canonical example, written reference-style
+        oe = optical_elements(n_segments=32, n_radial=12)
+        mirror = oe.parabolic_mirror(focus=0.5, diameter=2.0, reflectivity=0.98)
+        dome = oe.hemisphere(radius=10.0)
+        ls = light_source(center=(0, 0, 0.5), direction=(0, 0, -1),
+                          directivity=lambda az, pol: np.cos(pol),
+                          power=1.0, ray_count=1000)
+        tracer = CL_Tracer(platform_name="NVIDIA", device_type="GPU")
+        res = tracer.iterative_tracer(ls, [mirror, dome], trace_iterations=8,
+                                      max_ray_len=1e3, ior_env=1.0)
+
+        pos, dirs, powers = tracer.get_measured_rays()
+        assert len(powers) > 0
+        assert powers.sum() == pytest.approx(0.98, abs=0.01)
+
+        inten, centers = tracer.get_measured_directivity(n_polar=30)
+        assert inten.argmax() == 0  # collimated: peak at polar ~ 0
+
+        stats = tracer.get_beam_statistics()
+        assert stats["mean_direction"][2] > 0.99
+
+        perf = tracer.get_trace_performance()
+        assert perf["intersection_tests_per_second"] > 0
+
+        # DXF export with ray paths
+        path = str(tmp_path / "scene.dxf")
+        tracer.save_traced_scene(path)
+        txt = open(path).read()
+        assert "3DFACE" in txt and "LINE" in txt and txt.rstrip().endswith("EOF")
+
+    def test_plots(self, tmp_path):
+        pytest.importorskip("matplotlib")
+        import matplotlib
+
+        matplotlib.use("Agg")
+        oe = optical_elements(16, 6)
+        tracer = CL_Tracer()
+        ls = light_source(power=1.0, ray_count=200)
+        tracer.iterative_tracer(ls, [oe.hemisphere(2.0)], trace_iterations=2)
+        p1 = str(tmp_path / "directivity.png")
+        tracer.plot_measured_directivity(path=p1)
+        assert os.path.getsize(p1) > 0
+        p2 = str(tmp_path / "scene.png")
+        tracer.plot_elements_and_rays(path=p2)
+        assert os.path.getsize(p2) > 0
+
+    def test_material_string_compat(self):
+        from lightpycl_tpu.materials import Material
+
+        assert Material.from_any("mirror") == Material.MIRROR
+        assert Material.from_any("refractive") == Material.REFRACTIVE
+        assert Material.from_any("dielectric") == Material.REFRACTIVE
+        assert Material.from_any("terminator") == Material.TERMINATOR
+        assert Material.from_any("measure") == Material.MEASURE
+        assert Material.from_any(2) == Material.TERMINATOR
+        with pytest.raises(ValueError):
+            Material.from_any("unobtainium")

@@ -1,0 +1,137 @@
+"""Geometry layer tests: primitives, winding/normals, transforms.
+
+SURVEY.md §7 Stage 0: mesh normals/winding, transform correctness.
+"""
+
+import numpy as np
+import pytest
+
+from lightpycl_tpu.geometry.mesh import GeoObject, merge, rotation_matrix
+from lightpycl_tpu.geometry.primitives import OpticalElements
+from lightpycl_tpu.materials import Material
+
+oe = OpticalElements(n_segments=48, n_radial=24)
+
+
+def outwardness(obj, center=(0, 0, 0)):
+    """Mean sign of dot(face normal, centroid - center): +1 = all outward."""
+    tv = obj.triangle_vertices()
+    centroids = tv.mean(axis=1) - np.asarray(center, float)
+    n = obj.face_normals()
+    d = np.einsum("ij,ij->i", n, centroids)
+    return np.sign(d[np.abs(d) > 1e-12]).mean()
+
+
+def is_watertight(obj):
+    """Every edge shared by exactly two triangles (opposite orientation)."""
+    t = obj.triangles
+    edges = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+    und = np.sort(edges, axis=1)
+    _, counts = np.unique(und, axis=0, return_counts=True)
+    return bool((counts == 2).all())
+
+
+class TestPrimitives:
+    def test_sphere_area_and_normals(self):
+        s = oe.sphere(radius=2.0)
+        assert s.area() == pytest.approx(4 * np.pi * 4, rel=0.01)
+        assert outwardness(s) == pytest.approx(1.0)
+        assert is_watertight(s)
+
+    def test_cube(self):
+        c = oe.cube(size=2.0, center=(1, 2, 3))
+        assert c.area() == pytest.approx(24.0)
+        assert outwardness(c, center=(1, 2, 3)) == pytest.approx(1.0)
+        assert is_watertight(c)
+
+    def test_cylinder_watertight(self):
+        c = oe.cylinder(radius=1.0, height=2.0)
+        side = 2 * np.pi * 1.0 * 2.0
+        caps = 2 * np.pi
+        assert c.area() == pytest.approx(side + caps, rel=0.01)
+        assert outwardness(c) == pytest.approx(1.0)
+        assert is_watertight(c)
+
+    def test_hemisphere_dome(self):
+        h = oe.hemisphere(radius=3.0)
+        assert h.material == Material.MEASURE
+        assert h.area() == pytest.approx(2 * np.pi * 9, rel=0.01)
+        assert (h.vertices[:, 2] >= -1e-9).all()
+        # dome normals point away from the center
+        assert outwardness(h) == pytest.approx(1.0)
+
+    def test_parabolic_mirror_shape(self):
+        f = 0.7
+        m = oe.parabolic_mirror(focus=f, diameter=2.0)
+        r2 = m.vertices[:, 0] ** 2 + m.vertices[:, 1] ** 2
+        assert np.allclose(m.vertices[:, 2], r2 / (4 * f), atol=1e-9)
+        assert m.material == Material.MIRROR
+
+    def test_biconvex_lens_closed(self):
+        lens = oe.biconvex_lens(r=2.0, aperture=1.0, thickness=0.2, ior=1.7)
+        assert lens.ior == 1.7
+        assert lens.material == Material.REFRACTIVE
+        assert is_watertight(lens)
+        assert outwardness(lens, center=(0, 0, 0.1)) == pytest.approx(1.0)
+        lo, hi = lens.bounds()
+        assert lo[2] == pytest.approx(0.0, abs=1e-9)
+        assert hi[2] == pytest.approx(0.2, abs=1e-9)
+
+    def test_plano_convex_flat_front(self):
+        lens = oe.plano_convex_lens(r=0.5, aperture=0.6, thickness=0.1)
+        assert is_watertight(lens)
+        front = lens.vertices[np.abs(lens.vertices[:, 2]) < 1e-12]
+        assert len(front) > 3  # flat front disc at z=0
+
+    def test_lens_surfaces_intersect_raises(self):
+        with pytest.raises(ValueError):
+            oe.biconvex_lens(r=0.5, aperture=0.9, thickness=0.01)
+
+    def test_prism(self):
+        p = oe.prism(width=1.0, height=1.0, length=2.0)
+        assert is_watertight(p)
+        assert outwardness(p, center=(0, 0.4, 0)) == pytest.approx(1.0)
+
+    def test_disc_normal_up(self):
+        d = oe.disc(radius=1.0)
+        n = d.face_normals()
+        assert (n[:, 2] > 0.99).all()
+        assert d.area() == pytest.approx(np.pi, rel=0.01)
+
+
+class TestTransforms:
+    def test_translate_rotate_scale(self):
+        c = oe.cube(1.0)
+        c.translate((1, 0, 0)).rotate((0, 0, 1), np.pi / 2).scale(2.0)
+        # cube center moved to (0, 2, 0) after rotate about z then scale
+        assert np.allclose(c.vertices.mean(axis=0), (0, 2, 0), atol=1e-9)
+        assert is_watertight(c)
+        assert outwardness(c, center=(0, 2, 0)) == pytest.approx(1.0)
+
+    def test_rotation_matrix_orthonormal(self, rng):
+        for _ in range(5):
+            R = rotation_matrix(rng.normal(size=3), rng.uniform(0, np.pi))
+            assert np.allclose(R @ R.T, np.eye(3), atol=1e-12)
+            assert np.linalg.det(R) == pytest.approx(1.0)
+
+    def test_rotate_about_pivot(self):
+        s = oe.sphere(1.0, center=(2, 0, 0))
+        s.rotate((0, 0, 1), np.pi, pivot=(1, 0, 0))
+        assert np.allclose(s.vertices.mean(axis=0), (0, 0, 0), atol=1e-9)
+
+    def test_mirror_scale_flips_winding(self):
+        c = oe.cube(1.0)
+        c.scale((-1, 1, 1))
+        assert outwardness(c) == pytest.approx(1.0)  # normals still outward
+
+    def test_transformed_pure(self):
+        c = oe.cube(1.0)
+        v0 = c.vertices.copy()
+        c2 = c.transformed(rotation_matrix((0, 0, 1), 0.3), offset=(5, 0, 0))
+        assert np.allclose(c.vertices, v0)  # original untouched
+        assert np.allclose(c2.vertices.mean(axis=0), (5, 0, 0), atol=1e-9)
+
+    def test_merge(self):
+        m = merge([oe.cube(1.0), oe.cube(1.0, center=(3, 0, 0))])
+        assert m.num_triangles == 24
+        assert is_watertight(m)

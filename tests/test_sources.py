@@ -1,0 +1,69 @@
+"""Light-source tests: power normalization, directivity statistics,
+collimated bundles, host vs on-device sampling (SURVEY.md §7 Stage 0).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from lightpycl_tpu.sources import CollimatedSource, LightSource, lambertian, light_source
+
+
+class TestLightSource:
+    def test_power_normalized(self):
+        ls = light_source(power=2.5, ray_count=5000, directivity=lambertian)
+        _, _, p = ls.sample()
+        assert p.sum() == pytest.approx(2.5, rel=1e-12)
+        assert (p >= 0).all()
+
+    def test_directions_unit_and_in_cone(self):
+        ls = LightSource(direction=(0, 1, 0), polar_max=0.5, ray_count=2000)
+        _, d, _ = ls.sample()
+        assert np.allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-12)
+        cos = d @ np.array([0, 1, 0.0])
+        assert (cos >= np.cos(0.5) - 1e-12).all()
+
+    def test_weighted_matches_sampled_distribution(self):
+        # mean polar angle under cos-weighting must agree between modes
+        w = LightSource(directivity=lambertian, ray_count=20000, mode="weighted", seed=3)
+        s = LightSource(directivity=lambertian, ray_count=20000, mode="sampled", seed=4)
+        _, dw, pw = w.sample()
+        _, ds, ps = s.sample()
+        mean_w = (np.arccos(dw[:, 2]) * pw).sum() / pw.sum()
+        mean_s = (np.arccos(ds[:, 2]) * ps).sum() / ps.sum()
+        assert mean_w == pytest.approx(mean_s, abs=0.02)
+        # analytic: E[theta] under cos weighting over hemisphere = pi/4 - ... ≈ 0.5708
+        ana = np.pi / 4
+        assert mean_w == pytest.approx(ana, abs=0.02)
+
+    def test_isotropic_uniform_cap(self):
+        ls = LightSource(ray_count=50000, polar_max=np.pi / 2, seed=7)
+        _, d, _ = ls.sample()
+        # z uniform on [0,1] for uniform hemisphere sampling
+        assert d[:, 2].mean() == pytest.approx(0.5, abs=0.01)
+
+    def test_on_device_matches_host_statistics(self):
+        ls = LightSource(directivity=None, ray_count=30000, power=1.0)
+        o, d, p = ls.rays_on_device(jax.random.key(0))
+        assert float(p.sum()) == pytest.approx(1.0, rel=1e-5)
+        assert np.asarray(d)[:, 2].mean() == pytest.approx(0.5, abs=0.02)
+        assert np.allclose(np.asarray(o), np.zeros(3), atol=1e-7)
+
+
+class TestCollimated:
+    def test_parallel_and_in_aperture(self):
+        cs = CollimatedSource(direction=(0, 0, -1), diameter=2.0,
+                              center=(0, 0, 5), ray_count=4000, power=3.0)
+        o, d, p = cs.sample()
+        assert np.allclose(d, [0, 0, -1])
+        r = np.linalg.norm(o[:, :2], axis=1)
+        assert (r <= 1.0 + 1e-12).all()
+        assert p.sum() == pytest.approx(3.0)
+        # uniform over disc: E[r^2] = R^2/2
+        assert (r ** 2).mean() == pytest.approx(0.5, abs=0.02)
+
+    def test_on_device(self):
+        cs = CollimatedSource(diameter=1.0, ray_count=8192)
+        o, d, p = cs.rays_on_device(jax.random.key(1))
+        assert np.allclose(np.asarray(d), [0, 0, 1])
+        assert float(p.sum()) == pytest.approx(1.0, rel=1e-5)
