@@ -6,8 +6,9 @@ multi-bounce trace, detected-power parity vs the float64 oracle) ride along
 as extra keys.
 
 Scene: BASELINE configs[3] shape — a large mesh (>=100k triangles) with a
-directional source, rays mega-batched through HBM; intersect runs as the
-Pallas MXU kernel (ops/intersect_pallas.py) on TPU, jnp fallback elsewhere.
+directional source, rays mega-batched through HBM; intersect runs as the Pallas kernel
+(ops/intersect_pallas.py, VPU-transform variant) on TPU, jnp fallback
+elsewhere.
 """
 
 import json
@@ -19,8 +20,15 @@ import numpy as np
 
 
 def main():
+    # persistent compile cache: compiles over the axon tunnel run minutes;
+    # cached reruns start in seconds
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lpcl_jax_cache")
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     on_tpu = jax.default_backend() == "tpu"
 
@@ -54,7 +62,7 @@ def main():
 
     cfg = TraceConfig()
     ray_block = int(os.environ.get("LPCL_RAY_BLOCK", 256))
-    tri_tile = int(os.environ.get("LPCL_TRI_TILE", 512))
+    tri_tile = int(os.environ.get("LPCL_TRI_TILE", 2048))
 
     def one_intersect(o_in, d_in):
         if on_tpu:

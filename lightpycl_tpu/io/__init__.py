@@ -1,3 +1,5 @@
-from lightpycl_tpu.io.dxf import DXFWriter, save_traced_scene
+from lightpycl_tpu.io.dxf import DXFWriter, load_dxf_mesh, save_traced_scene
+from lightpycl_tpu.io.checkpoint import load_state, save_state
 
-__all__ = ["DXFWriter", "save_traced_scene"]
+__all__ = ["DXFWriter", "save_traced_scene", "load_dxf_mesh",
+           "save_state", "load_state"]

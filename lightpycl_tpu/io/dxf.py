@@ -50,6 +50,52 @@ class DXFWriter:
             f.write(self.tostring())
 
 
+def load_dxf_mesh(path: str, material="terminator", ior: float = 1.0,
+                  **kw):
+    """Read 3DFACE entities from a DXF file into a GeoObject (triangulating
+    quads). Reference survey flagged DXF import as a possible reference
+    capability (SURVEY.md §8.5); supported here for round-tripping scenes
+    written by `save_traced_scene` and for CAD-sourced optics.
+    """
+    from lightpycl_tpu.geometry.mesh import GeoObject
+
+    verts: list = []
+    tris: list = []
+    with open(path) as f:
+        lines = [ln.strip() for ln in f]
+    i = 0
+    while i < len(lines) - 1:
+        if lines[i] == "0" and lines[i + 1] == "3DFACE":
+            corners = {}
+            i += 2
+            while i < len(lines) - 1 and lines[i] != "0":
+                code = lines[i]
+                try:
+                    corners[int(code)] = float(lines[i + 1])
+                except ValueError:
+                    pass
+                i += 2
+            pts = []
+            for c in range(4):
+                try:
+                    pts.append((corners[10 + c], corners[20 + c], corners[30 + c]))
+                except KeyError:
+                    break
+            if len(pts) >= 3:
+                base = len(verts)
+                verts.extend(pts[:3])
+                tris.append((base, base + 1, base + 2))
+                if len(pts) == 4 and pts[3] != pts[2]:
+                    verts.append(pts[3])
+                    tris.append((base, base + 2, base + 3))
+        else:
+            i += 1
+    if not tris:
+        raise ValueError(f"no 3DFACE entities found in {path}")
+    return GeoObject(np.asarray(verts, np.float64), np.asarray(tris, np.int32),
+                     material, ior, **kw)
+
+
 def save_traced_scene(path: str, elements, segments=(), max_rays_per_iter: int = 1000):
     """Write scene meshes + traced ray segments to a DXF file.
 

@@ -45,9 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 from lightpycl_tpu.tracer.config import TraceConfig
 from lightpycl_tpu.tracer.scene import Scene
 
-# Block sizes (tunable; see bench.py sweep). R rays x K triangles per tile.
+# Block sizes (tuned on TPU v5e: benchmarks/compare_transforms.py sweep —
+# 6.2e10 tests/s plateau at K=2048 across R in 128..512).
 RAY_BLOCK = int(os.environ.get("LPCL_RAY_BLOCK", 256))
-TRI_TILE = int(os.environ.get("LPCL_TRI_TILE", 512))
+TRI_TILE = int(os.environ.get("LPCL_TRI_TILE", 2048))
+# Transform engine: 'mxu' (matmul, HIGHEST-precision passes) or 'vpu'
+# (broadcast FMAs — true f32, no precision passes, and the K=4 contraction
+# is too skinny to use the MXU well anyway).
+TRANSFORM = os.environ.get("LPCL_TRANSFORM", "vpu")
 
 _INF = float(np.inf)
 
@@ -60,7 +65,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, eps, eps_b, t_max):
+def _kernel(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, eps, eps_b, t_max,
+            transform):
     """One (ray-block, tri-tile) cell. o4/d4 (R,4); w (4,3K);
     bt/bi (R,1) running best-t / best-index (revisited across tri tiles)."""
     j = pl.program_id(1)
@@ -70,18 +76,38 @@ def _kernel(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, eps, eps_b, t_max):
         bt_ref[:] = jnp.full(bt_ref.shape, _INF)
         bi_ref[:] = jnp.full(bi_ref.shape, -1, jnp.int32)
 
-    # precision=HIGHEST: full-f32 MXU passes. The default bf16 truncation
-    # corrupts the ill-conditioned unit transforms of skinny triangles
-    # (measured: 28% power leakage through a detector dome's pole fan).
     w = w_ref[:]
-    hi = jax.lax.Precision.HIGHEST
-    ores = jnp.dot(o4_ref[:], w, preferred_element_type=jnp.float32,
-                   precision=hi)  # (R,3K)
-    dres = jnp.dot(d4_ref[:], w, preferred_element_type=jnp.float32,
-                   precision=hi)
+    if transform == "mxu":
+        # precision=HIGHEST: full-f32 MXU passes. The default bf16
+        # truncation corrupts the ill-conditioned unit transforms of skinny
+        # triangles (measured: 28% power leaked through a dome's pole fan).
+        hi = jax.lax.Precision.HIGHEST
+        ores = jnp.dot(o4_ref[:], w, preferred_element_type=jnp.float32,
+                       precision=hi)  # (R,3K)
+        dres = jnp.dot(d4_ref[:], w, preferred_element_type=jnp.float32,
+                       precision=hi)
+        OU, OV, OW = ores[:, :K], ores[:, K:2 * K], ores[:, 2 * K:]
+        DU, DV, DW = dres[:, :K], dres[:, K:2 * K], dres[:, 2 * K:]
+    else:
+        # VPU broadcast-FMA transform: the contraction is only K=4, far too
+        # skinny to feed the 128-deep MXU (<= 6% utilization even before
+        # the 6x f32 precision passes), so ~21 true-f32 FMAs per pair on
+        # the 8x128 VPU beat the matmul formulation outright.
+        ox, oy, oz = (o4_ref[:, k:k + 1] for k in range(3))
+        dx, dy, dz = (d4_ref[:, k:k + 1] for k in range(3))
 
-    OU, OV, OW = ores[:, :K], ores[:, K:2 * K], ores[:, 2 * K:]
-    DU, DV, DW = dres[:, :K], dres[:, K:2 * K], dres[:, 2 * K:]
+        def tr(base):
+            rx = w[0:1, base:base + K]
+            ry = w[1:2, base:base + K]
+            rz = w[2:3, base:base + K]
+            rb = w[3:4, base:base + K]
+            O = ox * rx + oy * ry + oz * rz + rb
+            D = dx * rx + dy * ry + dz * rz
+            return O, D
+
+        OU, DU = tr(0)
+        OV, DV = tr(K)
+        OW, DW = tr(2 * K)
 
     denom_ok = jnp.abs(DW) > 1e-30
     t = -OW / jnp.where(denom_ok, DW, 1.0)
@@ -110,10 +136,12 @@ def _kernel(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, eps, eps_b, t_max):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "eps_b", "t_max", "ray_block", "tri_tile", "interpret"),
+    static_argnames=("eps", "eps_b", "t_max", "ray_block", "tri_tile",
+                     "interpret", "transform"),
 )
 def _intersect_pallas_impl(o, d, w4, *, eps, eps_b, t_max,
-                           ray_block, tri_tile, interpret):
+                           ray_block, tri_tile, interpret,
+                           transform=TRANSFORM):
     C = o.shape[0]
     K = tri_tile
     R = ray_block
@@ -131,6 +159,7 @@ def _intersect_pallas_impl(o, d, w4, *, eps, eps_b, t_max,
     # eps/t_max are static python floats -> compile-time literals in the kernel
     kernel = functools.partial(
         _kernel, K=K, eps=float(eps), eps_b=float(eps_b), t_max=float(t_max),
+        transform=transform,
     )
     bt, bi = pl.pallas_call(
         kernel,
@@ -181,18 +210,21 @@ def pack_w4(scene: Scene, tri_tile: int = TRI_TILE) -> jnp.ndarray:
 
 def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
                      ray_block: int | None = None, tri_tile: int | None = None,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None, transform: str | None = None):
     """Nearest-hit over the scene. Returns (t (C,), tri (C,); tri == -1,
     t == +inf on miss). Drop-in for step.intersect_jnp."""
     R = int(ray_block or RAY_BLOCK)
     K = int(tri_tile or TRI_TILE)
+    # small scenes: don't pad the triangle stream past the scene itself
+    # (build_scene pads T to a multiple of 256, so min() keeps 3K lane-exact)
+    K = min(K, scene.num_triangles_padded)
     if interpret is None:
         interpret = not pallas_available()
     w4 = pack_w4(scene, K)
     t, i = _intersect_pallas_impl(
         o, d, w4, eps=float(cfg.eps), eps_b=float(cfg.eps_bary),
         t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K,
-        interpret=bool(interpret),
+        interpret=bool(interpret), transform=transform or TRANSFORM,
     )
     # indices beyond the real (padded) triangle count cannot occur: padding
     # rows are all-zero -> DW == 0 -> masked out. Miss -> -1 from init.

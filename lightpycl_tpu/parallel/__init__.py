@@ -3,5 +3,19 @@ from lightpycl_tpu.parallel.sharding import (
     shard_rays,
     trace_multichip,
 )
+from lightpycl_tpu.parallel.tri_sharding import (
+    gather_hit_attributes,
+    intersect_tri_sharded,
+    make_tri_mesh,
+    shard_scene,
+)
 
-__all__ = ["make_ray_mesh", "shard_rays", "trace_multichip"]
+__all__ = [
+    "make_ray_mesh",
+    "shard_rays",
+    "trace_multichip",
+    "make_tri_mesh",
+    "shard_scene",
+    "intersect_tri_sharded",
+    "gather_hit_attributes",
+]

@@ -101,6 +101,7 @@ class Tracer:
         mode: str = "host",
         record_paths: bool = False,
         rays: Optional[RayBatch] = None,
+        profile_logdir: Optional[str] = None,
         **cfg_overrides,
     ) -> TraceResult:
         """Run the iterative trace.
@@ -135,6 +136,18 @@ class Tracer:
             self.num_triangles, cfg.trace_iterations, mode,
         )
 
+        from lightpycl_tpu.utils.profiling import trace_profile
+
+        with trace_profile(profile_logdir):
+            result = self._run(mode, rays, det, led, cfg, C, emitted, record_paths)
+        self.last_result = result
+        log.info(
+            "trace done: %.3fs, %.3g intersection tests/s, %.3g rays/s",
+            result.wall_time, result.tests_per_second, result.rays_per_second,
+        )
+        return result
+
+    def _run(self, mode, rays, det, led, cfg, C, emitted, record_paths) -> TraceResult:
         t0 = time.perf_counter()
         if mode == "device":
             rays_out, det, led = step_mod.trace_loop_jit(
@@ -157,14 +170,16 @@ class Tracer:
                     self.scene, rays, det, led, cfg
                 )
                 iters += 1
-                measured = np.asarray(aux.measured)
-                if measured.any():
+                m = int(np.asarray(aux.measured_count))
+                if m > 0:
+                    # device-side slice: only the measured prefix crosses
+                    # the host boundary
                     harvested.append(
                         (
-                            np.asarray(aux.hit_point)[measured],
-                            np.asarray(aux.measured_dir)[measured],
-                            np.asarray(aux.measured_power)[measured],
-                            np.asarray(aux.det_id)[measured],
+                            np.asarray(aux.m_pos[:m]),
+                            np.asarray(aux.m_dir[:m]),
+                            np.asarray(aux.m_power[:m]),
+                            np.asarray(aux.m_det[:m]),
                         )
                     )
                 if record_paths:
@@ -192,12 +207,86 @@ class Tracer:
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
+        return result
 
-        self.last_result = result
-        log.info(
-            "trace done: %.3fs, %.3g intersection tests/s, %.3g rays/s",
-            result.wall_time, result.tests_per_second, result.rays_per_second,
+    def trace_batched(self, source, total_rays: int, batch_size: int,
+                      elements: Optional[Sequence[GeoObject]] = None,
+                      checkpoint_path: Optional[str] = None,
+                      seed: int = 0, max_batches: Optional[int] = None,
+                      **cfg_overrides) -> TraceResult:
+        """Mega-batch driver (BASELINE configs[3]): stream `total_rays`
+        through the device in `batch_size` chunks generated ON DEVICE
+        (jax.random), accumulating detector bins + ledger across batches.
+        With `checkpoint_path`, state snapshots after every batch and an
+        interrupted run resumes at the next batch (SURVEY.md §5.4).
+        """
+        import jax.numpy as jnp
+
+        cfg = self.cfg.replace(**cfg_overrides) if cfg_overrides else self.cfg
+        if elements is not None:
+            self.set_elements(elements)
+        if self.scene is None:
+            raise ValueError("no scene: pass `elements` or call set_elements()")
+        n_batches = max(1, total_rays // batch_size)
+        det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
+                                  max(len(self.detector_names), 1))
+        led = Ledger.start(0.0)
+        start_batch = 0
+        if checkpoint_path is not None:
+            import os
+
+            from lightpycl_tpu.io.checkpoint import load_state
+
+            if os.path.exists(checkpoint_path):
+                st = load_state(checkpoint_path)
+                det = st["detector"] or det
+                led = st["ledger"] or led
+                start_batch = int(st["extra"].get("next_batch", 0))
+                log.info("resuming batched trace at batch %d", start_batch)
+
+        key = jax.random.key(seed)
+        t0 = time.perf_counter()
+        iters_done = 0
+        done = 0
+        for b in range(n_batches):
+            key, k = jax.random.split(key)
+            if b < start_batch:
+                continue  # consumed keys stay aligned with the original run
+            if max_batches is not None and done >= max_batches:
+                break
+            done += 1
+            o, d, p = source.rays_on_device(k, batch_size)
+            rays = RayBatch(
+                o, d, p * (1.0 / n_batches),
+                jnp.full((batch_size,), cfg.ior_env, jnp.float32),
+                p > 0,
+            )
+            led = Ledger(led.emitted + jnp.sum(rays.power * rays.alive),
+                         led.measured, led.absorbed, led.escaped, led.culled)
+            rays, det, led = step_mod.trace_loop_jit(
+                self.scene, rays, det, led, cfg, cfg.trace_iterations
+            )
+            # rays still alive when the batch retires are culled so the
+            # conservation ledger stays exact across batches
+            leftover = jnp.sum(jnp.where(rays.alive, rays.power, 0.0))
+            led = led._replace(culled=led.culled + leftover)
+            iters_done += cfg.trace_iterations
+            if checkpoint_path is not None:
+                from lightpycl_tpu.io.checkpoint import save_state
+
+                jax.block_until_ready(led)
+                save_state(checkpoint_path, None, det, led, next_batch=b + 1)
+            log.info("batch %d/%d done", b + 1, n_batches)
+        jax.block_until_ready(led)
+        wall = time.perf_counter() - t0
+        traced = (n_batches - start_batch) * batch_size
+        result = self._package(
+            RayBatch.from_arrays(np.zeros((1, 3)), np.ones((1, 3)), np.zeros(1)),
+            det, led, [], [], cfg.trace_iterations, traced, wall, False,
         )
+        result.rays_traced = traced * cfg.trace_iterations
+        result.intersection_tests = result.rays_traced * self.num_triangles
+        self.last_result = result
         return result
 
     # reference-shaped alias (SURVEY.md §3: CL_Tracer.iterative_tracer)

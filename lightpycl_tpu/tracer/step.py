@@ -278,14 +278,20 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
 # --------------------------------------------------------------------------
 
 class StepAux(NamedTuple):
-    """Per-iteration observables for harvest/plot modes (host loop only)."""
+    """Per-iteration observables for harvest/plot modes (host loop only).
 
-    hit_point: jnp.ndarray       # (C, 3) segment endpoints
+    Measured rays are compacted on-device into the FRONT of the m_* arrays
+    (first `measured_count` entries) so the host transfers only the
+    measured slice, not full-capacity buffers (the reference reads back
+    everything every iteration — SURVEY.md §4.3)."""
+
+    hit_point: jnp.ndarray       # (C, 3) segment endpoints (for paths/plots)
     parent_alive: jnp.ndarray    # (C,) bool parents that were traced
-    measured: jnp.ndarray        # (C,) bool
-    measured_power: jnp.ndarray  # (C,)
-    measured_dir: jnp.ndarray    # (C, 3) arrival directions
-    det_id: jnp.ndarray          # (C,) i32
+    m_pos: jnp.ndarray           # (C, 3) measured hit points, compacted
+    m_dir: jnp.ndarray           # (C, 3) arrival directions, compacted
+    m_power: jnp.ndarray         # (C,) measured powers, compacted
+    m_det: jnp.ndarray           # (C,) detector ids, compacted
+    measured_count: jnp.ndarray  # () i32
     live_count: jnp.ndarray      # () i32 live rays AFTER the step
 
 
@@ -303,13 +309,24 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         escaped=led.escaped + sh.escaped,
         culled=led.culled + culled,
     )
+    # stream-compact measured rays to the array front (cumsum scatter)
+    C = rays.capacity
+    midx = jnp.cumsum(sh.measured.astype(jnp.int32)) - 1
+    slot = jnp.where(sh.measured, midx, C)  # C = out-of-range -> dropped
+
+    def _compact(a, fill=0.0):
+        pad_shape = (C + 1,) + a.shape[1:]
+        buf = jnp.full(pad_shape, fill, a.dtype)
+        return buf.at[slot].set(a, mode="drop")[:C]
+
     aux = StepAux(
         hit_point=sh.hit_point,
         parent_alive=rays.alive,
-        measured=sh.measured,
-        measured_power=sh.measured_power,
-        measured_dir=rays.d,
-        det_id=sh.det_id,
+        m_pos=_compact(sh.hit_point),
+        m_dir=_compact(rays.d),
+        m_power=_compact(sh.measured_power),
+        m_det=_compact(sh.det_id, fill=-1),
+        measured_count=jnp.sum(sh.measured.astype(jnp.int32)),
         live_count=jnp.sum(new_rays.alive.astype(jnp.int32)),
     )
     return new_rays, det, led, aux

@@ -69,6 +69,20 @@ class TestDXF:
         w.save(str(p))
         assert p.read_text() == s
 
+    def test_dxf_roundtrip(self, tmp_path):
+        from lightpycl_tpu.io.dxf import load_dxf_mesh
+
+        oe = OpticalElements(12, 4)
+        cube = oe.cube(2.0, center=(1, 2, 3))
+        p = str(tmp_path / "rt.dxf")
+        save_traced_scene(p, [cube])
+        back = load_dxf_mesh(p, material="terminator")
+        assert back.num_triangles == cube.num_triangles
+        assert back.area() == pytest.approx(cube.area(), rel=1e-6)
+        lo1, hi1 = cube.bounds()
+        lo2, hi2 = back.bounds()
+        assert np.allclose(lo1, lo2) and np.allclose(hi1, hi2)
+
     def test_save_traced_scene(self, tmp_path):
         oe = OpticalElements(8, 3)
         els = [oe.cube(1.0), oe.disc(1.0)]
