@@ -37,6 +37,16 @@ class TraceConfig:
                         'direction' — bin the arriving ray direction
       tri_chunk:        triangle tile size for the jnp intersect scan
       backend:          'auto' | 'pallas' | 'jnp' intersect implementation
+      allow_splitting:  False skips the refracted-child slots and the 2C
+                        compaction entirely (valid when the scene has no
+                        refractive elements; the engine sets this
+                        automatically from the scene materials)
+      compaction:       'topk'   — keep the C highest-power live children
+                                   (the reference-faithful drop policy);
+                        'stream' — cumsum stream compaction, O(C) instead
+                                   of a sort; identical result unless the
+                                   2C->C selection overflows, where it
+                                   drops by slot order instead of power
     """
 
     trace_iterations: int = 8
@@ -51,6 +61,8 @@ class TraceConfig:
     hist_mode: str = "position"
     tri_chunk: int = 512
     backend: str = "auto"
+    allow_splitting: bool = True
+    compaction: str = "topk"
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

@@ -78,12 +78,18 @@ class Tracer:
         self.detector_names: list = []
         self.elements: list = []
         self.last_result: Optional[TraceResult] = None
+        self._has_refractive = True  # until a scene says otherwise
 
     # -- scene -------------------------------------------------------------
 
     def set_elements(self, elements: Sequence[GeoObject]):
+        from lightpycl_tpu.materials import Material
+
         self.elements = list(elements)
         self.scene, self.detector_names = build_scene(self.elements)
+        self._has_refractive = any(
+            e.material == Material.REFRACTIVE for e in self.elements
+        )
         return self
 
     @property
@@ -119,6 +125,7 @@ class Tracer:
             self.set_elements(elements)
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
+        cfg = self._tune_splitting(cfg)
 
         if rays is None:
             origins, dirs, powers = source.sample()
@@ -146,6 +153,19 @@ class Tracer:
             result.wall_time, result.tests_per_second, result.rays_per_second,
         )
         return result
+
+    def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:
+        """Auto-disable the 2C split buffer + compaction when the scene has
+        no refractive elements (nothing can split); refuse the unsafe
+        opposite direction."""
+        if self._has_refractive and not cfg.allow_splitting:
+            raise ValueError(
+                "allow_splitting=False with refractive elements would drop "
+                "the refracted branch; remove the override"
+            )
+        if not self._has_refractive and cfg.allow_splitting:
+            cfg = cfg.replace(allow_splitting=False)
+        return cfg
 
     def _run(self, mode, rays, det, led, cfg, C, emitted, record_paths) -> TraceResult:
         t0 = time.perf_counter()
@@ -216,7 +236,9 @@ class Tracer:
                       **cfg_overrides) -> TraceResult:
         """Mega-batch driver (BASELINE configs[3]): stream `total_rays`
         through the device in `batch_size` chunks generated ON DEVICE
-        (jax.random), accumulating detector bins + ledger across batches.
+        (jax.random). Device accumulators stay f32 WITHIN a batch; across
+        batches the detector bins and ledger aggregate host-side in float64
+        (16M+ f32 scatter-adds drift by ~1e-3 otherwise — measured on v5e).
         With `checkpoint_path`, state snapshots after every batch and an
         interrupted run resumes at the next batch (SURVEY.md §5.4).
         """
@@ -227,10 +249,12 @@ class Tracer:
             self.set_elements(elements)
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
+        cfg = self._tune_splitting(cfg)
         n_batches = max(1, total_rays // batch_size)
-        det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
-                                  max(len(self.detector_names), 1))
-        led = Ledger.start(0.0)
+        n_det = max(len(self.detector_names), 1)
+        hist64 = np.zeros((cfg.hist_azimuth_bins, cfg.hist_polar_bins))
+        per_det64 = np.zeros(n_det)
+        led64 = np.zeros(5)  # emitted, measured, absorbed, escaped, culled
         start_batch = 0
         if checkpoint_path is not None:
             import os
@@ -239,14 +263,14 @@ class Tracer:
 
             if os.path.exists(checkpoint_path):
                 st = load_state(checkpoint_path)
-                det = st["detector"] or det
-                led = st["ledger"] or led
+                hist64 = np.asarray(st["extra"]["hist64"])
+                per_det64 = np.asarray(st["extra"]["per_det64"])
+                led64 = np.asarray(st["extra"]["led64"])
                 start_batch = int(st["extra"].get("next_batch", 0))
                 log.info("resuming batched trace at batch %d", start_batch)
 
         key = jax.random.key(seed)
         t0 = time.perf_counter()
-        iters_done = 0
         done = 0
         for b in range(n_batches):
             key, k = jax.random.split(key)
@@ -261,31 +285,45 @@ class Tracer:
                 jnp.full((batch_size,), cfg.ior_env, jnp.float32),
                 p > 0,
             )
-            led = Ledger(led.emitted + jnp.sum(rays.power * rays.alive),
-                         led.measured, led.absorbed, led.escaped, led.culled)
-            rays, det, led = step_mod.trace_loop_jit(
-                self.scene, rays, det, led, cfg, cfg.trace_iterations
+            det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
+                                        cfg.hist_polar_bins, n_det)
+            led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
+            rays, det_b, led_b = step_mod.trace_loop_jit(
+                self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations
             )
             # rays still alive when the batch retires are culled so the
             # conservation ledger stays exact across batches
             leftover = jnp.sum(jnp.where(rays.alive, rays.power, 0.0))
-            led = led._replace(culled=led.culled + leftover)
-            iters_done += cfg.trace_iterations
+            led_b = led_b._replace(culled=led_b.culled + leftover)
+            hist64 += np.asarray(det_b.hist, np.float64)
+            per_det64 += np.asarray(det_b.per_detector, np.float64)
+            led64 += np.asarray(jnp.stack(list(led_b)), np.float64)
             if checkpoint_path is not None:
                 from lightpycl_tpu.io.checkpoint import save_state
 
-                jax.block_until_ready(led)
-                save_state(checkpoint_path, None, det, led, next_batch=b + 1)
+                save_state(checkpoint_path, hist64=hist64, per_det64=per_det64,
+                           led64=led64, next_batch=b + 1)
             log.info("batch %d/%d done", b + 1, n_batches)
-        jax.block_until_ready(led)
         wall = time.perf_counter() - t0
-        traced = (n_batches - start_batch) * batch_size
-        result = self._package(
-            RayBatch.from_arrays(np.zeros((1, 3)), np.ones((1, 3)), np.zeros(1)),
-            det, led, [], [], cfg.trace_iterations, traced, wall, False,
+        traced = done * batch_size
+        result = TraceResult(
+            measured_pos=np.zeros((0, 3), np.float32),
+            measured_dir=np.zeros((0, 3), np.float32),
+            measured_power=np.zeros((0,), np.float32),
+            measured_det=np.zeros((0,), np.int32),
+            hist=hist64,
+            per_detector=per_det64,
+            detector_names=list(self.detector_names),
+            ledger=dict(zip(
+                ("emitted", "measured", "absorbed", "escaped", "culled"),
+                led64.tolist())),
+            iterations_run=cfg.trace_iterations,
+            rays_traced=traced * cfg.trace_iterations,
+            intersection_tests=traced * cfg.trace_iterations * self.num_triangles,
+            wall_time=wall,
+            segments=[],
+            final_live_power=0.0,
         )
-        result.rays_traced = traced * cfg.trace_iterations
-        result.intersection_tests = result.rays_traced * self.num_triangles
         self.last_result = result
         return result
 

@@ -194,14 +194,19 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
         is_mirror, live_p * refl, jnp.where(is_refr, live_p * sn["R"], 0.0)
     )
     da = sn["refl_dir"]
-    # child B: the refracted branch (dielectric only), at slot C + i
-    pb = jnp.where(is_refr, live_p * (1.0 - sn["R"]), 0.0)
-    db = sn["refr_dir"]
-
-    child_o = jnp.concatenate([hit_point, hit_point], axis=0)
-    child_d = jnp.concatenate([da, db], axis=0)
-    child_power = jnp.concatenate([pa, pb], axis=0)
-    child_ior = jnp.concatenate([rays.ior, sn["new_ior"]], axis=0)
+    if cfg.allow_splitting:
+        # child B: the refracted branch (dielectric only), at slot C + i
+        pb = jnp.where(is_refr, live_p * (1.0 - sn["R"]), 0.0)
+        db = sn["refr_dir"]
+        child_o = jnp.concatenate([hit_point, hit_point], axis=0)
+        child_d = jnp.concatenate([da, db], axis=0)
+        child_power = jnp.concatenate([pa, pb], axis=0)
+        child_ior = jnp.concatenate([rays.ior, sn["new_ior"]], axis=0)
+    else:
+        # no refractive elements in the scene (engine-verified): only the
+        # reflected branch exists, children stay in their parent slots and
+        # the 2C buffer + compaction gather are skipped entirely
+        child_o, child_d, child_power, child_ior = hit_point, da, pa, rays.ior
     child_alive = child_power > 0.0
 
     absorbed = jnp.sum(jnp.where(is_term, live_p, 0.0)) + jnp.sum(
@@ -248,21 +253,47 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
 # --------------------------------------------------------------------------
 
 def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
-    """Select the `capacity` highest-power live children out of 2C slots
-    (reference: host-side numpy compaction, SURVEY.md §4.3 — here an
-    on-device top-k so the loop never leaves the chip). Returns
-    (RayBatch, culled_power)."""
+    """Fit the live children back into `capacity` slots (reference:
+    host-side numpy compaction, SURVEY.md §4.3 — here fully on-device).
+    Returns (RayBatch, culled_power); dropped/below-cutoff power is
+    accounted so the conservation ledger stays exact.
+
+    Three statically-selected strategies (cfg):
+      * no-split scenes: children sit in their parent slots — no gather
+      * 'topk':   keep the `capacity` highest-power live children (sort)
+      * 'stream': cumsum scatter, O(C); drops by slot order on overflow
+    """
     live = sh.child_alive & (sh.child_power > cfg.power_cutoff)
+    below = jnp.sum(jnp.where(sh.child_alive & ~live, sh.child_power, 0.0))
+
+    if not cfg.allow_splitting:
+        power = jnp.where(live, sh.child_power, 0.0)
+        rays = RayBatch(sh.child_o, sh.child_d, power, sh.child_ior, live)
+        return rays, below
+
+    total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
+    if cfg.compaction == "stream":
+        pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+        slot = jnp.where(live & (pos < capacity), pos, capacity)
+
+        def scat(a, fill=0.0):
+            buf = jnp.full((capacity + 1,) + a.shape[1:], fill, a.dtype)
+            return buf.at[slot].set(a, mode="drop")[:capacity]
+
+        o = scat(sh.child_o)
+        d = scat(sh.child_d, fill=1.0)
+        power = scat(sh.child_power)
+        ior = scat(sh.child_ior, fill=1.0)
+        alive = scat(live, fill=False)
+        rays = RayBatch(o, d, power, ior, alive)
+        culled = total_live - jnp.sum(power) + below
+        return rays, culled
+
     key = jnp.where(live, sh.child_power, -1.0)
     _, idx = jax.lax.top_k(key, capacity)
     sel_live = live[idx]
-    total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
     sel_power = jnp.where(sel_live, sh.child_power[idx], 0.0)
-    culled = total_live - jnp.sum(sel_power)
-    # power below the cutoff (but nominally alive) is culled too
-    culled = culled + jnp.sum(
-        jnp.where(sh.child_alive & ~live, sh.child_power, 0.0)
-    )
+    culled = total_live - jnp.sum(sel_power) + below
     rays = RayBatch(
         o=sh.child_o[idx],
         d=sh.child_d[idx],
