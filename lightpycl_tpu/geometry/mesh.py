@@ -61,6 +61,7 @@ class GeoObject:
     ior: float = 1.0
     reflectivity: float = 1.0
     name: Optional[str] = None
+    dispersion_b: float = 0.0  # Cauchy B [um^2]: n(wl) = ior + B / wl^2
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -118,6 +119,7 @@ class GeoObject:
             self.ior,
             self.reflectivity,
             self.name,
+            self.dispersion_b,
         )
 
     # ---- derived quantities ---------------------------------------------
@@ -164,6 +166,7 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         ior=objs[0].ior,
         reflectivity=objs[0].reflectivity,
         name=objs[0].name,
+        dispersion_b=objs[0].dispersion_b,
     )
     base.update(overrides)
     return GeoObject(np.concatenate(verts), np.concatenate(tris), **base)

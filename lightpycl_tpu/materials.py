@@ -57,3 +57,32 @@ MIRROR = Material.MIRROR
 REFRACTIVE = Material.REFRACTIVE
 TERMINATOR = Material.TERMINATOR
 MEASURE = Material.MEASURE
+
+
+# Wavelengths of the standard Fraunhofer lines used for dispersion specs [um]
+D_LINE = 0.5876   # helium d (yellow) — indices are quoted at this line
+F_LINE = 0.4861   # hydrogen F (blue)
+C_LINE = 0.6563   # hydrogen C (red)
+
+
+def glass(n_d: float, abbe: float) -> tuple:
+    """Cauchy (A, B) coefficients for a glass given its d-line index and
+    Abbe number V_d = (n_d - 1) / (n_F - n_C).
+
+    Returns (ior, dispersion_b) to pass to a refractive GeoObject:
+        n(wl) = ior + dispersion_b / wl^2     (wl in micrometers).
+    Dispersion is an extension over the reference (which has a single
+    constant IOR per element); dispersion_b = 0 reproduces it exactly.
+    """
+    if abbe <= 0:
+        raise ValueError("Abbe number must be positive")
+    spread = 1.0 / F_LINE**2 - 1.0 / C_LINE**2
+    b = (n_d - 1.0) / (abbe * spread)
+    a = n_d - b / D_LINE**2
+    return a, b
+
+
+# a few catalog glasses (n_d, V_d)
+BK7 = glass(1.5168, 64.17)
+SF10 = glass(1.7280, 28.53)
+F2 = glass(1.6200, 36.37)

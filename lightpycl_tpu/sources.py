@@ -21,6 +21,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+D_LINE_UM = 0.5876  # default wavelength [um]
+
+
+def _sample_wavelengths_np(rng, n, wavelength):
+    """wavelength: scalar [um], or (wavelengths, weights) spectrum arrays."""
+    if np.isscalar(wavelength):
+        return np.full(n, float(wavelength))
+    wls, wts = np.asarray(wavelength[0], float), np.asarray(wavelength[1], float)
+    p = wts / wts.sum()
+    return rng.choice(wls, size=n, p=p)
+
+
+def _sample_wavelengths_dev(key, n, wavelength):
+    if np.isscalar(wavelength):
+        return jnp.full((n,), float(wavelength), jnp.float32)
+    wls = jnp.asarray(wavelength[0], jnp.float32)
+    wts = jnp.asarray(wavelength[1], jnp.float32)
+    idx = jax.random.choice(key, wls.shape[0], (n,), p=wts / jnp.sum(wts))
+    return wls[idx]
+
 
 def _frame(direction) -> np.ndarray:
     """Orthonormal frame (3, 3) whose third row is `direction`."""
@@ -71,6 +91,7 @@ class LightSource:
     polar_max: float = np.pi / 2.0
     mode: str = "weighted"
     seed: int = 0
+    wavelength: object = D_LINE_UM  # um, or (wavelengths, weights) spectrum
 
     def sample(self, rng: Optional[np.random.Generator] = None):
         """Generate the ray batch host-side.
@@ -116,6 +137,11 @@ class LightSource:
         d = out[:n]
         return d, np.ones(n)
 
+    def sample_wavelengths(self, rng: Optional[np.random.Generator] = None,
+                           n: Optional[int] = None):
+        rng = rng or np.random.default_rng(self.seed + 1)
+        return _sample_wavelengths_np(rng, int(n or self.ray_count), self.wavelength)
+
     def rays_on_device(self, key: jax.Array, n: Optional[int] = None):
         """Device-side generation (isotropic-in-cone directions, uniform
         weights; directivity callables that accept jnp arrays are applied).
@@ -141,6 +167,9 @@ class LightSource:
         )
         return origins.astype(jnp.float32), dirs.astype(jnp.float32), powers.astype(jnp.float32)
 
+    def wavelengths_on_device(self, key: jax.Array, n: Optional[int] = None):
+        return _sample_wavelengths_dev(key, int(n or self.ray_count), self.wavelength)
+
 
 @dataclasses.dataclass
 class CollimatedSource:
@@ -154,6 +183,7 @@ class CollimatedSource:
     power: float = 1.0
     ray_count: int = 1000
     seed: int = 0
+    wavelength: object = D_LINE_UM  # um, or (wavelengths, weights) spectrum
 
     def sample(self, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng(self.seed)
@@ -170,6 +200,14 @@ class CollimatedSource:
         dirs = np.broadcast_to(w, (n, 3)).copy()
         powers = np.full(n, self.power / n)
         return origins, dirs, powers
+
+    def sample_wavelengths(self, rng: Optional[np.random.Generator] = None,
+                           n: Optional[int] = None):
+        rng = rng or np.random.default_rng(self.seed + 1)
+        return _sample_wavelengths_np(rng, int(n or self.ray_count), self.wavelength)
+
+    def wavelengths_on_device(self, key: jax.Array, n: Optional[int] = None):
+        return _sample_wavelengths_dev(key, int(n or self.ray_count), self.wavelength)
 
     def rays_on_device(self, key: jax.Array, n: Optional[int] = None):
         n = int(n or self.ray_count)

@@ -43,6 +43,7 @@ class TraceResult:
     measured_dir: np.ndarray      # (M, 3) arrival directions
     measured_power: np.ndarray    # (M,)
     measured_det: np.ndarray      # (M,) detector ids
+    measured_wavelength: np.ndarray  # (M,) vacuum wavelengths [um]
     hist: np.ndarray              # (n_az, n_pol) power histogram
     per_detector: np.ndarray      # (D,)
     detector_names: list
@@ -129,8 +130,11 @@ class Tracer:
 
         if rays is None:
             origins, dirs, powers = source.sample()
+            wls = (source.sample_wavelengths()
+                   if hasattr(source, "sample_wavelengths") else None)
             rays = RayBatch.from_arrays(origins, dirs, powers,
-                                        ior_env=cfg.ior_env, capacity=capacity)
+                                        ior_env=cfg.ior_env, capacity=capacity,
+                                        wavelengths=wls)
         C = rays.capacity
         emitted = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
@@ -200,6 +204,7 @@ class Tracer:
                             np.asarray(aux.m_dir[:m]),
                             np.asarray(aux.m_power[:m]),
                             np.asarray(aux.m_det[:m]),
+                            np.asarray(aux.m_wl[:m]),
                         )
                     )
                 if record_paths:
@@ -279,11 +284,19 @@ class Tracer:
             if max_batches is not None and done >= max_batches:
                 break
             done += 1
-            o, d, p = source.rays_on_device(k, batch_size)
+            k_rays, k_wl = jax.random.split(k)
+            o, d, p = source.rays_on_device(k_rays, batch_size)
+            if hasattr(source, "wavelengths_on_device"):
+                wl = source.wavelengths_on_device(k_wl, batch_size)
+            else:
+                from lightpycl_tpu.tracer.rays import D_LINE_UM
+
+                wl = jnp.full((batch_size,), D_LINE_UM, jnp.float32)
             rays = RayBatch(
                 o, d, p * (1.0 / n_batches),
                 jnp.full((batch_size,), cfg.ior_env, jnp.float32),
                 p > 0,
+                wl,
             )
             det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
                                         cfg.hist_polar_bins, n_det)
@@ -311,6 +324,7 @@ class Tracer:
             measured_dir=np.zeros((0, 3), np.float32),
             measured_power=np.zeros((0,), np.float32),
             measured_det=np.zeros((0,), np.int32),
+            measured_wavelength=np.zeros((0,), np.float32),
             hist=hist64,
             per_detector=per_det64,
             detector_names=list(self.detector_names),
@@ -342,11 +356,13 @@ class Tracer:
             dirs = np.concatenate([h[1] for h in harvested])
             pw = np.concatenate([h[2] for h in harvested])
             dd = np.concatenate([h[3] for h in harvested])
+            wls = np.concatenate([h[4] for h in harvested])
         else:
             pos = np.zeros((0, 3), np.float32)
             dirs = np.zeros((0, 3), np.float32)
             pw = np.zeros((0,), np.float32)
             dd = np.zeros((0,), np.int32)
+            wls = np.zeros((0,), np.float32)
         live_power = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         real_tris = self.num_triangles
         return TraceResult(
@@ -354,6 +370,7 @@ class Tracer:
             measured_dir=dirs,
             measured_power=pw,
             measured_det=dd,
+            measured_wavelength=wls,
             hist=np.asarray(det.hist),
             per_detector=np.asarray(det.per_detector),
             detector_names=list(self.detector_names),

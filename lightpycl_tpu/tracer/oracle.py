@@ -69,13 +69,14 @@ def _reflect(d, n):
 
 def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
                  max_ray_len=1e3, ior_env=1.0, eps=1e-4, eps_bary=1e-6,
-                 power_cutoff=0.0):
+                 power_cutoff=0.0, wavelengths=None):
     """Trace with dynamic host-side ray lists (rays genuinely split 2x).
 
     Returns dict with measured ray arrays, the power ledger, and per-detector
     totals — the quantities the parity tests compare.
     """
     v0s, e1s, e2s, mats, iors, refls, dets = [], [], [], [], [], [], []
+    iorbs = []
     det_names = []
     for el in elements:
         tv = el.triangle_vertices()
@@ -85,6 +86,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         v0s.append(tv[:, 0]); e1s.append(tv[:, 1] - tv[:, 0]); e2s.append(tv[:, 2] - tv[:, 0])
         mats.append(np.full(t, int(el.material)))
         iors.append(np.full(t, el.ior))
+        iorbs.append(np.full(t, float(getattr(el, "dispersion_b", 0.0))))
         refls.append(np.full(t, el.reflectivity))
         if el.material == Material.MEASURE:
             dets.append(np.full(t, len(det_names)))
@@ -93,6 +95,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             dets.append(np.full(t, -1))
     v0 = np.concatenate(v0s); e1 = np.concatenate(e1s); e2 = np.concatenate(e2s)
     mat = np.concatenate(mats); ior_in = np.concatenate(iors)
+    ior_b = np.concatenate(iorbs)
     refl = np.concatenate(refls); det_id = np.concatenate(dets)
     n_geom = np.cross(e1, e2)
     n_geom /= np.maximum(np.linalg.norm(n_geom, axis=1, keepdims=True), 1e-300)
@@ -102,6 +105,8 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     d = d / np.linalg.norm(d, axis=1, keepdims=True)
     p = np.asarray(powers, np.float64)
     ior = np.full(len(o), float(ior_env))
+    wl = (np.full(len(o), 0.5876) if wavelengths is None
+          else np.asarray(wavelengths, np.float64))
 
     emitted = p.sum()
     measured_pos, measured_dir, measured_pow, measured_det = [], [], [], []
@@ -129,7 +134,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             measured_pow.append(p[is_meas])
             measured_det.append(det_id[ti[is_meas]])
 
-        new_o, new_d, new_p, new_ior = [], [], [], []
+        new_o, new_d, new_p, new_ior, new_wl = [], [], [], [], []
 
         # mirrors: one reflected child
         if is_mirror.any():
@@ -140,7 +145,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             r = refl[ti[i]]
             absorbed += (p[i] * (1.0 - r)).sum()
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
-            new_p.append(p[i] * r); new_ior.append(ior[i])
+            new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])
 
         # dielectrics: Fresnel split into reflected + refracted children
         if is_refr.any():
@@ -150,7 +155,9 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             entering = cos_raw < 0
             n = np.where(entering[:, None], ng, -ng)
             n1 = ior[i]
-            n2 = np.where(entering, ior_in[ti[i]], ior_env)
+            # Cauchy dispersion: n(wl) = A + B / wl^2 (B = 0 by default)
+            n_tri = ior_in[ti[i]] + ior_b[ti[i]] / wl[i] ** 2
+            n2 = np.where(entering, n_tri, ior_env)
             eta = n1 / n2
             cos_i = -np.sum(d[i] * n, axis=1)
             sin2_t = eta**2 * np.maximum(0.0, 1.0 - cos_i**2)
@@ -161,22 +168,24 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             R = np.where(tir, 1.0, 0.5 * (rs + rp))
             # reflected child
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
-            new_p.append(p[i] * R); new_ior.append(n1)
+            new_p.append(p[i] * R); new_ior.append(n1); new_wl.append(wl[i])
             # refracted child (zero power under TIR)
             tdir = eta[:, None] * d[i] + (eta * cos_i - cos_t)[:, None] * n
             tlen = np.maximum(np.linalg.norm(tdir, axis=1, keepdims=True), 1e-300)
             new_o.append(hp[i]); new_d.append(tdir / tlen)
             new_p.append(p[i] * (1.0 - R)); new_ior.append(np.where(tir, n1, n2))
+            new_wl.append(wl[i])
 
         if not new_o:
             o = np.zeros((0, 3)); d = np.zeros((0, 3))
-            p = np.zeros(0); ior = np.zeros(0)
+            p = np.zeros(0); ior = np.zeros(0); wl = np.zeros(0)
             continue
         o = np.concatenate(new_o); d = np.concatenate(new_d)
         p = np.concatenate(new_p); ior = np.concatenate(new_ior)
+        wl = np.concatenate(new_wl)
         keep = p > power_cutoff
         culled += p[~keep].sum()
-        o, d, p, ior = o[keep], d[keep], p[keep], ior[keep]
+        o, d, p, ior, wl = o[keep], d[keep], p[keep], ior[keep], wl[keep]
 
     live = p.sum() if len(p) else 0.0
     return {

@@ -18,14 +18,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-class RayBatch(NamedTuple):
-    """SoA ray state, capacity C (static)."""
+# default vacuum wavelength in micrometers: the sodium d-line, the standard
+# line refractive indices are quoted at
+D_LINE_UM = 0.5876
 
-    o: jnp.ndarray      # (C, 3) f32 origins
-    d: jnp.ndarray      # (C, 3) f32 unit directions
-    power: jnp.ndarray  # (C,)  f32
-    ior: jnp.ndarray    # (C,)  f32 current-medium IOR
-    alive: jnp.ndarray  # (C,)  bool
+
+class RayBatch(NamedTuple):
+    """SoA ray state, capacity C (static). `wavelength` (micrometers)
+    drives dispersive materials; with the default constant wavelength and
+    non-dispersive glass it has no effect on the physics."""
+
+    o: jnp.ndarray           # (C, 3) f32 origins
+    d: jnp.ndarray           # (C, 3) f32 unit directions
+    power: jnp.ndarray       # (C,)  f32
+    ior: jnp.ndarray         # (C,)  f32 current-medium IOR
+    alive: jnp.ndarray       # (C,)  bool
+    wavelength: jnp.ndarray  # (C,)  f32 vacuum wavelength [um]
 
     @property
     def capacity(self) -> int:
@@ -33,7 +41,8 @@ class RayBatch(NamedTuple):
 
     @staticmethod
     def from_arrays(origins, dirs, powers, ior_env: float = 1.0,
-                    capacity: int | None = None) -> "RayBatch":
+                    capacity: int | None = None,
+                    wavelengths=None) -> "RayBatch":
         """Build a padded batch from host or device arrays."""
         o = jnp.asarray(origins, jnp.float32)
         d = jnp.asarray(dirs, jnp.float32)
@@ -42,13 +51,19 @@ class RayBatch(NamedTuple):
         c = int(capacity or n)
         if c < n:
             raise ValueError(f"capacity {c} < ray count {n}")
+        if wavelengths is None:
+            w = jnp.full((n,), D_LINE_UM, jnp.float32)
+        else:
+            w = jnp.broadcast_to(
+                jnp.asarray(wavelengths, jnp.float32), (n,))
         pad = c - n
         if pad:
             o = jnp.concatenate([o, jnp.zeros((pad, 3), jnp.float32)])
             d = jnp.concatenate([d, jnp.tile(jnp.asarray([[0, 0, 1]], jnp.float32), (pad, 1))])
             p = jnp.concatenate([p, jnp.zeros((pad,), jnp.float32)])
+            w = jnp.concatenate([w, jnp.full((pad,), D_LINE_UM, jnp.float32)])
         alive = (jnp.arange(c) < n) & (p > 0)
-        return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive)
+        return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive, w)
 
 
 class DetectorState(NamedTuple):

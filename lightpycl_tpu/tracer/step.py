@@ -154,6 +154,7 @@ class ShadeOut(NamedTuple):
     child_d: jnp.ndarray       # (2C, 3)
     child_power: jnp.ndarray   # (2C,)
     child_ior: jnp.ndarray     # (2C,)
+    child_wavelength: jnp.ndarray  # (2C,)
     child_alive: jnp.ndarray   # (2C,) bool
     hit_point: jnp.ndarray     # (C, 3) parent hit / termination point
     measured: jnp.ndarray      # (C,) bool parent measured this step
@@ -177,7 +178,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
 
     mat = scene.mat[safe_tri]
     n_geom = scene.normal[safe_tri]
-    tri_ior = scene.ior[safe_tri]
+    # dispersive glass: Cauchy n(lambda) = A + B / lambda^2 (lambda in um);
+    # B == 0 (the default) reduces to the reference's constant IOR
+    tri_ior = scene.ior[safe_tri] + scene.ior_b[safe_tri] / jnp.square(rays.wavelength)
     refl = scene.reflectivity[safe_tri]
     det_id = scene.detector_id[safe_tri]
 
@@ -202,11 +205,13 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
         child_d = jnp.concatenate([da, db], axis=0)
         child_power = jnp.concatenate([pa, pb], axis=0)
         child_ior = jnp.concatenate([rays.ior, sn["new_ior"]], axis=0)
+        child_wl = jnp.concatenate([rays.wavelength, rays.wavelength], axis=0)
     else:
         # no refractive elements in the scene (engine-verified): only the
         # reflected branch exists, children stay in their parent slots and
         # the 2C buffer + compaction gather are skipped entirely
         child_o, child_d, child_power, child_ior = hit_point, da, pa, rays.ior
+        child_wl = rays.wavelength
     child_alive = child_power > 0.0
 
     absorbed = jnp.sum(jnp.where(is_term, live_p, 0.0)) + jnp.sum(
@@ -216,7 +221,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
     measured_power = jnp.where(is_meas, live_p, 0.0)
 
     return ShadeOut(
-        child_o, child_d, child_power, child_ior, child_alive,
+        child_o, child_d, child_power, child_ior, child_wl, child_alive,
         hit_point, is_meas, measured_power, det_id,
         absorbed, escaped,
     )
@@ -268,7 +273,8 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
 
     if not cfg.allow_splitting:
         power = jnp.where(live, sh.child_power, 0.0)
-        rays = RayBatch(sh.child_o, sh.child_d, power, sh.child_ior, live)
+        rays = RayBatch(sh.child_o, sh.child_d, power, sh.child_ior, live,
+                        sh.child_wavelength)
         return rays, below
 
     total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
@@ -284,8 +290,9 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         d = scat(sh.child_d, fill=1.0)
         power = scat(sh.child_power)
         ior = scat(sh.child_ior, fill=1.0)
+        wl = scat(sh.child_wavelength, fill=1.0)
         alive = scat(live, fill=False)
-        rays = RayBatch(o, d, power, ior, alive)
+        rays = RayBatch(o, d, power, ior, alive, wl)
         culled = total_live - jnp.sum(power) + below
         return rays, culled
 
@@ -300,6 +307,7 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         power=sel_power,
         ior=sh.child_ior[idx],
         alive=sel_live,
+        wavelength=sh.child_wavelength[idx],
     )
     return rays, culled
 
@@ -322,6 +330,7 @@ class StepAux(NamedTuple):
     m_dir: jnp.ndarray           # (C, 3) arrival directions, compacted
     m_power: jnp.ndarray         # (C,) measured powers, compacted
     m_det: jnp.ndarray           # (C,) detector ids, compacted
+    m_wl: jnp.ndarray            # (C,) wavelengths [um], compacted
     measured_count: jnp.ndarray  # () i32
     live_count: jnp.ndarray      # () i32 live rays AFTER the step
 
@@ -357,6 +366,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         m_dir=_compact(rays.d),
         m_power=_compact(sh.measured_power),
         m_det=_compact(sh.det_id, fill=-1),
+        m_wl=_compact(rays.wavelength),
         measured_count=jnp.sum(sh.measured.astype(jnp.int32)),
         live_count=jnp.sum(new_rays.alive.astype(jnp.int32)),
     )

@@ -1,0 +1,124 @@
+"""Chromatic dispersion tests (extension over the reference; default-off:
+dispersion_b = 0 reproduces the reference's constant-IOR physics exactly).
+"""
+
+import numpy as np
+import pytest
+
+import lightpycl_tpu as L
+from lightpycl_tpu.materials import C_LINE, D_LINE, F_LINE, glass
+from lightpycl_tpu.sources import CollimatedSource
+from lightpycl_tpu.tracer.engine import Tracer
+from lightpycl_tpu.tracer.oracle import trace_oracle
+from lightpycl_tpu.tracer.rays import RayBatch
+
+oe = L.optical_elements(n_segments=32, n_radial=12)
+
+
+class TestGlassModel:
+    def test_abbe_identity(self):
+        n_d, V = 1.5168, 64.17
+        a, b = glass(n_d, V)
+        n = lambda wl: a + b / wl**2
+        assert n(D_LINE) == pytest.approx(n_d, abs=1e-12)
+        assert (n_d - 1) / (n(F_LINE) - n(C_LINE)) == pytest.approx(V, rel=1e-9)
+        assert n(0.45) > n(0.65)  # normal dispersion: blue slower
+
+
+def _trace_prism(wavelength, backend="jnp"):
+    """Narrow beam entering the prism base at normal incidence, exiting
+    through the inclined face; returns the power-weighted mean direction of
+    rays reaching the enclosure."""
+    a, b = glass(1.52, 45.0)
+    prism = oe.prism(width=1.04, height=0.3, length=1.0, ior=a)
+    prism.dispersion_b = b
+    dome = L.optical_elements(24, 8).sphere(10.0, material="measure")
+    src = CollimatedSource(center=(0.3, -0.5, 0), direction=(0, 1, 0),
+                           diameter=0.05, ray_count=128, power=1.0, seed=7,
+                           wavelength=wavelength)
+    tr = Tracer()
+    res = tr.trace(src, [prism, dome], trace_iterations=6, capacity=2048)
+    from lightpycl_tpu import analysis
+
+    # only the straight-through (refracted-refracted) bundle: dominant power
+    stats = analysis.beam_statistics(res.measured_dir, res.measured_power)
+    return res, stats["mean_direction"]
+
+
+class TestPrismDispersion:
+    def test_blue_deviates_more_than_red(self):
+        _, d_blue = _trace_prism(0.45)
+        _, d_red = _trace_prism(0.65)
+        # deviation from the original +y direction
+        dev_blue = np.arccos(np.clip(d_blue[1], -1, 1))
+        dev_red = np.arccos(np.clip(d_red[1], -1, 1))
+        assert dev_blue > dev_red + 0.005  # clearly separated
+
+    def test_matches_snell_prediction(self):
+        a, b = glass(1.52, 45.0)
+        for wl in (0.45, 0.5876, 0.65):
+            res, d_mean = _trace_prism(wl)
+            n = a + b / wl**2
+            # geometry: inclined face from (w/2,0) to (0,h); incidence angle
+            # of the +y internal ray on that face:
+            w_, h_ = 1.04, 0.3
+            nf = np.array([h_, w_ / 2.0, 0.0])
+            nf /= np.linalg.norm(nf)
+            cos_i = nf @ [0, 1, 0]
+            th_i = np.arccos(cos_i)
+            th_t = np.arcsin(np.clip(n * np.sin(th_i), -1, 1))
+            # exit direction: rotate the outward face normal by th_t in the
+            # plane spanned by (normal, internal direction)
+            tang = np.array([0, 1, 0]) - cos_i * nf
+            tang /= np.linalg.norm(tang)
+            d_pred = np.cos(th_t) * nf + np.sin(th_t) * tang
+            # the highest-power measured ray is from the transmitted bundle
+            # (Fresnel ghosts carry ~25x less power)
+            top = res.measured_dir[res.measured_power.argmax()]
+            assert top @ d_pred > 0.9999
+
+    def test_parity_with_oracle_under_dispersion(self):
+        a, b = glass(1.6, 30.0)
+        prism = oe.prism(width=1.04, height=0.3, length=1.0, ior=a)
+        prism.dispersion_b = b
+        dome = L.optical_elements(24, 8).sphere(8.0, material="measure")
+        src = CollimatedSource(center=(0.3, -0.5, 0), direction=(0, 1, 0),
+                               diameter=0.05, ray_count=256, power=1.0, seed=8,
+                               wavelength=([0.45, 0.55, 0.65], [1, 2, 1]))
+        o, d, p = src.sample()
+        wl = src.sample_wavelengths()
+        res = Tracer().trace(src, [prism, dome], trace_iterations=6,
+                             rays=RayBatch.from_arrays(o, d, p, wavelengths=wl,
+                                                       capacity=4096))
+        ora = trace_oracle([prism, dome], o, d, p, trace_iterations=6,
+                           wavelengths=wl)
+        assert res.ledger["measured"] == pytest.approx(ora["measured"], rel=1e-3)
+
+    def test_measured_wavelengths_harvested(self):
+        res, _ = _trace_prism(([0.45, 0.65], [1, 1]))
+        wls = np.unique(np.round(res.measured_wavelength.astype(np.float64), 4))
+        assert set(wls.tolist()) == {0.45, 0.65}
+
+
+class TestChromaticAberration:
+    def test_blue_focuses_shorter(self):
+        a, b = glass(1.5168, 64.17)  # BK7
+        lens = oe.plano_convex_lens(r=0.5, aperture=0.6, thickness=0.1, ior=a)
+        lens.dispersion_b = b
+
+        def waist_z(wl):
+            src = CollimatedSource(center=(0, 0, -0.5), direction=(0, 0, 1),
+                                   diameter=0.2, ray_count=400, seed=3,
+                                   wavelength=wl)
+            best = None
+            for z in np.linspace(0.8, 1.2, 9):
+                det = oe.disc(radius=0.5, center=(0, 0, 0.1 + z), material="measure")
+                res = Tracer().trace(src, [lens, det], trace_iterations=4)
+                rr = np.linalg.norm(res.measured_pos[:, :2], axis=1)
+                rms = np.sqrt((res.measured_power * rr**2).sum()
+                              / res.measured_power.sum())
+                if best is None or rms < best[1]:
+                    best = (z, rms)
+            return best[0]
+
+        assert waist_z(0.45) < waist_z(0.65)
