@@ -124,6 +124,34 @@ def plot_measured_directivity(vectors, powers, n_polar: int = 45, ax=None,
     return ax
 
 
+def plot_directivity_3d(vectors, powers, n_azimuth: int = 36, n_polar: int = 18,
+                        ax=None, show: bool = False, path: str | None = None):
+    """3-D surface plot of the directivity distribution: radius proportional
+    to intensity per direction (the reference's 3-D directivity figure,
+    SURVEY.md §3 'Measurement & directivity analysis')."""
+    plt = _plt()
+    hist, az_edges, pol_edges = directivity_histogram(
+        vectors, powers, n_azimuth, n_polar, solid_angle_normalize=True
+    )
+    az_c = 0.5 * (az_edges[:-1] + az_edges[1:])
+    pol_c = 0.5 * (pol_edges[:-1] + pol_edges[1:])
+    AZ, POL = np.meshgrid(az_c, pol_c, indexing="ij")
+    R = hist / max(hist.max(), 1e-30)
+    X = R * np.sin(POL) * np.cos(AZ)
+    Y = R * np.sin(POL) * np.sin(AZ)
+    Z = R * np.cos(POL)
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(projection="3d")
+    ax.plot_surface(X, Y, Z, cmap="viridis", linewidth=0)
+    ax.set_title("directivity (normalized intensity surface)")
+    if path:
+        ax.figure.savefig(path, dpi=120)
+    if show:
+        plt.show()
+    return ax
+
+
 def plot_elements_and_rays(elements, segments, max_rays: int = 200, ax=None,
                            show: bool = False, path: str | None = None):
     """3-D wireframe of scene elements + traced ray segments.

@@ -94,6 +94,10 @@ class CL_Tracer(Tracer):
             r.measured_pos, r.measured_power, n_polar, **kw
         )
 
+    def plot_measured_directivity_3d(self, **kw):
+        r = self._require_result()
+        return analysis.plot_directivity_3d(r.measured_pos, r.measured_power, **kw)
+
     def plot_elements_and_rays(self, **kw):
         r = self._require_result()
         return analysis.plot_elements_and_rays(self.elements, r.segments, **kw)

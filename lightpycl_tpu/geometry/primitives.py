@@ -163,6 +163,23 @@ class OpticalElements:
         V, T = revolve_profile(prof[::-1], self.n_segments)  # reversed: +z normal
         return GeoObject(V, T, material, ior, **kw).translate(center)
 
+    def annulus(self, r_inner: float, r_outer: float, center=(0, 0, 0),
+                material=Material.TERMINATOR, ior: float = 1.0, **kw) -> GeoObject:
+        """Flat ring in the z=0 plane (aperture stop / obstruction),
+        outward normal +z."""
+        if not 0.0 < r_inner < r_outer:
+            raise ValueError("need 0 < r_inner < r_outer")
+        r = np.linspace(r_outer, r_inner, self.n_radial + 1)
+        prof = np.stack([r, np.zeros_like(r)], axis=1)
+        V, T = revolve_profile(prof, self.n_segments)
+        return GeoObject(V, T, material, ior, **kw).translate(center)
+
+    def aperture_stop(self, r_open: float, r_outer: float, center=(0, 0, 0),
+                      **kw) -> GeoObject:
+        """Absorbing ring with a clear hole of radius `r_open` — the optical
+        bench aperture stop."""
+        return self.annulus(r_open, r_outer, center, Material.TERMINATOR, **kw)
+
     def rectangle(self, width: float = 1.0, depth: float = 1.0, center=(0, 0, 0),
                   material=Material.TERMINATOR, ior: float = 1.0, **kw) -> GeoObject:
         """Rectangular plane in z=0, outward normal +z."""

@@ -60,7 +60,7 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
     def local(scene, rays):
         led = Ledger.start(jnp.sum(jnp.where(rays.alive, rays.power, 0.0)))
         det = DetectorState.zeros(
-            cfg.hist_azimuth_bins, cfg.hist_polar_bins, 8
+            cfg.hist_azimuth_bins, cfg.hist_polar_bins, 8, cfg.image_bins
         )
 
         def body(_, st):
@@ -72,6 +72,7 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
         det = DetectorState(
             jax.lax.psum(det.hist, RAY_AXIS),
             jax.lax.psum(det.per_detector, RAY_AXIS),
+            jax.lax.psum(det.image, RAY_AXIS),
         )
         led = Ledger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
         return rays, det, led

@@ -63,6 +63,14 @@ class TraceConfig:
     backend: str = "auto"
     allow_splitting: bool = True
     compaction: str = "topk"
+    # optional on-device planar intensity image of measured hit points
+    # (BASELINE configs[1] focal-plane map at mega-ray scale): an
+    # image_bins x image_bins grid on the plane through image_center with
+    # normal image_normal, extent +-image_halfwidth. 0 bins = disabled.
+    image_bins: int = 0
+    image_center: tuple = (0.0, 0.0, 0.0)
+    image_normal: tuple = (0.0, 0.0, 1.0)
+    image_halfwidth: float = 1.0
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

@@ -46,6 +46,7 @@ class TraceResult:
     measured_wavelength: np.ndarray  # (M,) vacuum wavelengths [um]
     hist: np.ndarray              # (n_az, n_pol) power histogram
     per_detector: np.ndarray      # (D,)
+    image: np.ndarray             # (image_bins, image_bins) planar map
     detector_names: list
     ledger: dict                  # emitted/measured/absorbed/escaped/culled
     iterations_run: int
@@ -138,7 +139,8 @@ class Tracer:
         C = rays.capacity
         emitted = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
-                                  max(len(self.detector_names), 1))
+                                  max(len(self.detector_names), 1),
+                                  cfg.image_bins)
         led = Ledger.start(emitted)
 
         log.info(
@@ -259,6 +261,8 @@ class Tracer:
         n_det = max(len(self.detector_names), 1)
         hist64 = np.zeros((cfg.hist_azimuth_bins, cfg.hist_polar_bins))
         per_det64 = np.zeros(n_det)
+        nb = max(cfg.image_bins, 1)
+        image64 = np.zeros((nb, nb))
         led64 = np.zeros(5)  # emitted, measured, absorbed, escaped, culled
         start_batch = 0
         if checkpoint_path is not None:
@@ -270,6 +274,7 @@ class Tracer:
                 st = load_state(checkpoint_path)
                 hist64 = np.asarray(st["extra"]["hist64"])
                 per_det64 = np.asarray(st["extra"]["per_det64"])
+                image64 = np.asarray(st["extra"].get("image64", image64))
                 led64 = np.asarray(st["extra"]["led64"])
                 start_batch = int(st["extra"].get("next_batch", 0))
                 log.info("resuming batched trace at batch %d", start_batch)
@@ -299,7 +304,8 @@ class Tracer:
                 wl,
             )
             det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
-                                        cfg.hist_polar_bins, n_det)
+                                        cfg.hist_polar_bins, n_det,
+                                        cfg.image_bins)
             led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
             rays, det_b, led_b = step_mod.trace_loop_jit(
                 self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations
@@ -310,12 +316,13 @@ class Tracer:
             led_b = led_b._replace(culled=led_b.culled + leftover)
             hist64 += np.asarray(det_b.hist, np.float64)
             per_det64 += np.asarray(det_b.per_detector, np.float64)
+            image64 += np.asarray(det_b.image, np.float64)
             led64 += np.asarray(jnp.stack(list(led_b)), np.float64)
             if checkpoint_path is not None:
                 from lightpycl_tpu.io.checkpoint import save_state
 
                 save_state(checkpoint_path, hist64=hist64, per_det64=per_det64,
-                           led64=led64, next_batch=b + 1)
+                           image64=image64, led64=led64, next_batch=b + 1)
             log.info("batch %d/%d done", b + 1, n_batches)
         wall = time.perf_counter() - t0
         traced = done * batch_size
@@ -327,6 +334,7 @@ class Tracer:
             measured_wavelength=np.zeros((0,), np.float32),
             hist=hist64,
             per_detector=per_det64,
+            image=image64,
             detector_names=list(self.detector_names),
             ledger=dict(zip(
                 ("emitted", "measured", "absorbed", "escaped", "culled"),
@@ -373,6 +381,7 @@ class Tracer:
             measured_wavelength=wls,
             hist=np.asarray(det.hist),
             per_detector=np.asarray(det.per_detector),
+            image=np.asarray(det.image),
             detector_names=list(self.detector_names),
             ledger=led.as_dict() if isinstance(led, Ledger) else dict(led),
             iterations_run=iters,

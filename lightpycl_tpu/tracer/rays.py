@@ -69,16 +69,20 @@ class RayBatch(NamedTuple):
 class DetectorState(NamedTuple):
     """On-device measurement accumulators (reference: measurement surfaces
     accumulate power — BASELINE.json north_star 'on-chip scatter-add
-    histograms')."""
+    histograms'). `image` is the optional planar intensity map
+    (TraceConfig.image_bins; (1, 1) zeros when disabled)."""
 
     hist: jnp.ndarray          # (n_azimuth, n_polar) f32 power histogram
     per_detector: jnp.ndarray  # (D,) f32 total power per measure surface
+    image: jnp.ndarray         # (image_bins, image_bins) f32 planar map
 
     @staticmethod
-    def zeros(n_az: int, n_pol: int, n_detectors: int) -> "DetectorState":
+    def zeros(n_az: int, n_pol: int, n_detectors: int,
+              image_bins: int = 0) -> "DetectorState":
         return DetectorState(
             jnp.zeros((n_az, n_pol), jnp.float32),
             jnp.zeros((max(n_detectors, 1),), jnp.float32),
+            jnp.zeros((max(image_bins, 1), max(image_bins, 1)), jnp.float32),
         )
 
 

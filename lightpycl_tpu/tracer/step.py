@@ -250,7 +250,27 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
     hist = det.hist.reshape(-1).at[flat].add(sh.measured_power).reshape(n_az, n_pol)
     did = jnp.clip(sh.det_id, 0, det.per_detector.shape[0] - 1)
     per_det = det.per_detector.at[did].add(sh.measured_power)
-    return DetectorState(hist, per_det)
+
+    image = det.image
+    if cfg.image_bins > 0:
+        # planar intensity map: project measured hit points onto the image
+        # plane's (u, v) frame and scatter-add power into the pixel grid
+        from lightpycl_tpu.sources import _frame
+
+        F = jnp.asarray(_frame(cfg.image_normal), jnp.float32)
+        rel = sh.hit_point - jnp.asarray(cfg.image_center, jnp.float32)
+        x = rel @ F[0]
+        y = rel @ F[1]
+        nb = cfg.image_bins
+        hw = cfg.image_halfwidth
+        ix = ((x + hw) / (2 * hw) * nb).astype(jnp.int32)
+        iy = ((y + hw) / (2 * hw) * nb).astype(jnp.int32)
+        inside = (ix >= 0) & (ix < nb) & (iy >= 0) & (iy < nb)
+        flat_img = jnp.where(inside, ix * nb + iy, nb * nb)
+        image = jnp.pad(image.reshape(-1), (0, 1)).at[flat_img].add(
+            sh.measured_power
+        )[:-1].reshape(nb, nb)
+    return DetectorState(hist, per_det, image)
 
 
 # --------------------------------------------------------------------------
