@@ -58,6 +58,18 @@ class TestReferenceFlow:
         tracer.plot_elements_and_rays(path=p2)
         assert os.path.getsize(p2) > 0
 
+    def test_reference_module_names(self):
+        # upstream scripts port by changing only the import root
+        from lightpycl_tpu.geo_optical_elements import optical_elements as oe_f
+        from lightpycl_tpu.iterative_tracer import CL_Tracer as Tr
+        from lightpycl_tpu.light_source import light_source as ls_f
+
+        oe = oe_f(16, 6)
+        tr = Tr("AMD", "CPU")
+        res = tr.iterative_tracer(ls_f(power=1.0, ray_count=100),
+                                  [oe.hemisphere(2.0)], trace_iterations=2)
+        assert res.ledger["measured"] == pytest.approx(1.0, rel=1e-5)
+
     def test_material_string_compat(self):
         from lightpycl_tpu.materials import Material
 
