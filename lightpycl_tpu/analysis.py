@@ -58,6 +58,17 @@ def polar_directivity(vectors, powers, n_polar: int = 90,
     return hist, 0.5 * (edges[:-1] + edges[1:])
 
 
+def spectral_power(wavelengths, powers, band_edges):
+    """Total measured power per wavelength band (dispersion runs).
+
+    band_edges: (B+1,) ascending wavelengths [um]. Returns ((B,) powers,
+    (B,) band centers)."""
+    edges = np.asarray(band_edges, np.float64)
+    hist, _ = np.histogram(np.asarray(wavelengths, np.float64), bins=edges,
+                           weights=np.asarray(powers, np.float64))
+    return hist, 0.5 * (edges[:-1] + edges[1:])
+
+
 def beam_statistics(directions, powers) -> dict:
     """Power-weighted beam statistics of a measured ray bundle: mean
     direction, RMS divergence half-angle (radians), total power."""

@@ -176,12 +176,12 @@ class Tracer:
     def _run(self, mode, rays, det, led, cfg, C, emitted, record_paths) -> TraceResult:
         t0 = time.perf_counter()
         if mode == "device":
-            rays_out, det, led = step_mod.trace_loop_jit(
+            rays_out, det, led, iters_run = step_mod.trace_loop_jit(
                 self.scene, rays, det, led, cfg, cfg.trace_iterations
             )
             jax.block_until_ready(led)
             wall = time.perf_counter() - t0
-            iters = cfg.trace_iterations  # upper bound (early exit is on-device)
+            iters = int(np.asarray(iters_run))  # actual bounces (early exit)
             result = self._package(
                 rays_out, det, led, [], [], iters, C, wall, record_paths=False
             )
@@ -282,6 +282,7 @@ class Tracer:
         key = jax.random.key(seed)
         t0 = time.perf_counter()
         done = 0
+        batch_iters: list = []
         for b in range(n_batches):
             key, k = jax.random.split(key)
             if b < start_batch:
@@ -307,9 +308,10 @@ class Tracer:
                                         cfg.hist_polar_bins, n_det,
                                         cfg.image_bins)
             led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
-            rays, det_b, led_b = step_mod.trace_loop_jit(
+            rays, det_b, led_b, iters_b = step_mod.trace_loop_jit(
                 self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations
             )
+            batch_iters.append(int(np.asarray(iters_b)))
             # rays still alive when the batch retires are culled so the
             # conservation ledger stays exact across batches
             leftover = jnp.sum(jnp.where(rays.alive, rays.power, 0.0))
@@ -339,9 +341,9 @@ class Tracer:
             ledger=dict(zip(
                 ("emitted", "measured", "absorbed", "escaped", "culled"),
                 led64.tolist())),
-            iterations_run=cfg.trace_iterations,
-            rays_traced=traced * cfg.trace_iterations,
-            intersection_tests=traced * cfg.trace_iterations * self.num_triangles,
+            iterations_run=max(batch_iters, default=0),
+            rays_traced=batch_size * sum(batch_iters),
+            intersection_tests=batch_size * sum(batch_iters) * self.num_triangles,
             wall_time=wall,
             segments=[],
             final_live_power=0.0,

@@ -419,5 +419,7 @@ def trace_loop_jit(scene: Scene, rays: RayBatch, det: DetectorState,
         rays, det, led, _ = trace_step(scene, rays, det, led, cfg)
         return (i + 1, rays, det, led)
 
-    _, rays, det, led = jax.lax.while_loop(cond, body, (jnp.int32(0), rays, det, led))
-    return rays, det, led
+    iters_run, rays, det, led = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rays, det, led)
+    )
+    return rays, det, led, iters_run

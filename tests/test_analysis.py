@@ -93,3 +93,36 @@ class TestDXF:
         n_tris = sum(e.num_triangles for e in els)
         assert txt.count("3DFACE") == n_tris
         assert txt.count("\nLINE") == 3  # only alive segments
+
+
+class TestSpectral:
+    def test_spectral_power_bands(self):
+        from lightpycl_tpu.analysis import spectral_power
+
+        wl = np.array([0.45, 0.45, 0.55, 0.65])
+        p = np.array([1.0, 2.0, 4.0, 8.0])
+        hist, centers = spectral_power(wl, p, [0.4, 0.5, 0.6, 0.7])
+        assert np.allclose(hist, [3.0, 4.0, 8.0])
+        assert np.allclose(centers, [0.45, 0.55, 0.65])
+
+
+class TestProfiler:
+    def test_profile_logdir_writes_trace(self, tmp_path):
+        import lightpycl_tpu as L
+        from lightpycl_tpu.geometry.primitives import OpticalElements
+        from lightpycl_tpu.sources import CollimatedSource
+        from lightpycl_tpu.tracer.engine import Tracer
+
+        oe = OpticalElements(8, 3)
+        src = CollimatedSource(diameter=1.0, ray_count=64)
+        det = oe.rectangle(2, 2, center=(0, 0, 1))
+        det.material = L.Material.MEASURE
+        logdir = str(tmp_path / "prof")
+        Tracer().trace(src, [det], trace_iterations=1, mode="device",
+                       profile_logdir=logdir)
+        import os
+
+        found = []
+        for root, _, files in os.walk(logdir):
+            found += files
+        assert found  # xplane/trace artifacts written
