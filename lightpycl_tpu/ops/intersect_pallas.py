@@ -65,10 +65,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, eps, eps_b, t_max,
-            transform):
-    """One (ray-block, tri-tile) cell. o4/d4 (R,4); w (4,3K);
-    bt/bi (R,1) running best-t / best-index (revisited across tri tiles)."""
+def _kernel(mask_ref, o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, n_words,
+            cull, eps, eps_b, t_max, transform):
+    """One (ray-block, tri-tile) cell. mask: bitpacked (n_rb*n_words,) i32
+    scalar-prefetch array (bit j%32 of word i*n_words + j//32); 0 = the
+    block's conservative bounds cannot reach this tile's AABB -> skip all
+    compute (the triangle stream still flows; DMA is not the bottleneck).
+    o4/d4 (R,4); w (4,3K); bt/bi (R,1) running best-t / best-index
+    (revisited across tri tiles)."""
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -76,6 +81,21 @@ def _kernel(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, eps, eps_b, t_max,
         bt_ref[:] = jnp.full(bt_ref.shape, _INF)
         bi_ref[:] = jnp.full(bi_ref.shape, -1, jnp.int32)
 
+    if cull:
+        word = mask_ref[i * n_words + j // 32]
+        bit = jax.lax.shift_right_logical(word, j % 32) & 1
+        reachable = bit != 0
+    else:
+        reachable = True
+
+    @pl.when(reachable)
+    def _compute():
+        _kernel_body(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, j, K=K, eps=eps,
+                     eps_b=eps_b, t_max=t_max, transform=transform)
+
+
+def _kernel_body(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, j, *, K, eps, eps_b,
+                 t_max, transform):
     w = w_ref[:]
     if transform == "mxu":
         # precision=HIGHEST: full-f32 MXU passes. The default bf16
@@ -134,14 +154,48 @@ def _kernel(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, eps, eps_b, t_max,
     bi_ref[:] = jnp.where(better, i_tile + j * K, bi_ref[:])
 
 
+def _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max):
+    """(n_rb, n_tt) int32 conservative reachability of tri-tile AABBs from
+    ray blocks, via per-axis interval arithmetic on the block's origin box
+    and direction box. Never false-culls: any uncertainty -> 1.
+
+    Per axis, the coords reachable by ANY ray of the block (t in [0, inf)):
+      d_lo > 0          -> [o_lo, +inf)
+      d_hi < 0          -> (-inf, o_hi]
+      tiny |d| interval -> [o_lo, o_hi]         (rays parallel to the axis)
+      mixed signs       -> (-inf, +inf)
+    Cull when some axis' reachable interval misses the tile's AABB slab.
+    """
+    n_rb = o4.shape[0] // R
+    o_b = o4[:, :3].reshape(n_rb, R, 3)
+    d_b = d4[:, :3].reshape(n_rb, R, 3)
+    o_lo, o_hi = o_b.min(axis=1), o_b.max(axis=1)     # (n_rb, 3)
+    d_lo, d_hi = d_b.min(axis=1), d_b.max(axis=1)
+    BIG = jnp.float32(3.4e38)
+    tiny = 1e-12
+    pos = d_lo > tiny
+    neg = d_hi < -tiny
+    par = (jnp.abs(d_lo) <= tiny) & (jnp.abs(d_hi) <= tiny)
+    reach_lo = jnp.where(pos | par, o_lo, -BIG)       # (n_rb, 3)
+    reach_hi = jnp.where(neg | par, o_hi, BIG)
+    # t_max caps the reach (origins +- t_max along unit directions)
+    reach_lo = jnp.maximum(reach_lo, o_lo - jnp.float32(t_max))
+    reach_hi = jnp.minimum(reach_hi, o_hi + jnp.float32(t_max))
+    miss = (
+        (aabb_lo[None, :, :] > reach_hi[:, None, :])
+        | (aabb_hi[None, :, :] < reach_lo[:, None, :])
+    ).any(axis=2)                                     # (n_rb, n_tt)
+    return (~miss).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "eps_b", "t_max", "ray_block", "tri_tile",
-                     "interpret", "transform"),
+                     "interpret", "transform", "cull"),
 )
-def _intersect_pallas_impl(o, d, w4, *, eps, eps_b, t_max,
+def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, *, eps, eps_b, t_max,
                            ray_block, tri_tile, interpret,
-                           transform=TRANSFORM):
+                           transform=TRANSFORM, cull=False):
     C = o.shape[0]
     K = tri_tile
     R = ray_block
@@ -155,24 +209,45 @@ def _intersect_pallas_impl(o, d, w4, *, eps, eps_b, t_max,
     n_rb = Cp // R
     n_tt = w4.shape[1] // (3 * K)
 
-    grid = (n_rb, n_tt)
+    n_words = -(-n_tt // 32)
+    # SMEM is ~1 MB; auto-disable the cull when even the bitpacked mask
+    # would crowd it out (huge ray counts: use trace_batched instead)
+    if cull and n_rb * n_words * 4 > (512 << 10):
+        cull = False
+    if cull:
+        m = _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max)  # (n_rb, n_tt)
+        m = jnp.pad(m, ((0, 0), (0, n_words * 32 - n_tt)))
+        weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+        mask = jnp.sum(
+            m.reshape(n_rb, n_words, 32).astype(jnp.uint32) * weights,
+            axis=2, dtype=jnp.uint32,
+        ).reshape(-1).astype(jnp.int32)
+    else:
+        mask = jnp.zeros((1,), jnp.int32)
+
     # eps/t_max are static python floats -> compile-time literals in the kernel
     kernel = functools.partial(
-        _kernel, K=K, eps=float(eps), eps_b=float(eps_b), t_max=float(t_max),
-        transform=transform,
+        _kernel, K=K, n_words=n_words, cull=bool(cull), eps=float(eps),
+        eps_b=float(eps_b), t_max=float(t_max), transform=transform,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the flat cull mask, SMEM-resident
+        grid=(n_rb, n_tt),
+        in_specs=[
+            # index maps get the scalar-prefetch ref as an extra trailing arg
+            pl.BlockSpec((R, 4), lambda i, j, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 4), lambda i, j, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 3 * K), lambda i, j, m: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, 1), lambda i, j, m: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i, j, m: (i, 0), memory_space=pltpu.VMEM),
+        ),
     )
     bt, bi = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((R, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 3 * K), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((R, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ),
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((Cp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Cp, 1), jnp.int32),
@@ -186,8 +261,33 @@ def _intersect_pallas_impl(o, d, w4, *, eps, eps_b, t_max,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(o4, d4, w4)
+    )(mask, o4, d4, w4)
     return bt.reshape(-1)[:C], bi.reshape(-1)[:C]
+
+
+def pack_aabbs(scene: Scene, tri_tile: int = TRI_TILE):
+    """Per-tile AABBs (n_tt, 3) lo/hi for the cull mask. Degenerate/padding
+    triangles (all-zero plane row) contribute an empty box."""
+    Tp = scene.wu.shape[0]
+    K = tri_tile
+    Tt = _round_up(Tp, K)
+    BIG = jnp.float32(3.4e38)
+    valid = jnp.any(scene.ww != 0.0, axis=1)[:, None]          # (Tp, 1)
+    v0, e1, e2 = scene.v0, scene.e1, scene.e2
+    tri_lo = jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2))
+    tri_hi = jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2))
+    tri_lo = jnp.where(valid, tri_lo, BIG)
+    tri_hi = jnp.where(valid, tri_hi, -BIG)
+
+    def _tile(a, fill):
+        if Tt != Tp:
+            a = jnp.concatenate(
+                [a, jnp.full((Tt - Tp, 3), fill, jnp.float32)])
+        return a.reshape(Tt // K, K, 3)
+
+    lo = _tile(tri_lo, 3.4e38).min(axis=1)
+    hi = _tile(tri_hi, -3.4e38).max(axis=1)
+    return lo, hi
 
 
 def pack_w4(scene: Scene, tri_tile: int = TRI_TILE) -> jnp.ndarray:
@@ -210,9 +310,15 @@ def pack_w4(scene: Scene, tri_tile: int = TRI_TILE) -> jnp.ndarray:
 
 def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
                      ray_block: int | None = None, tri_tile: int | None = None,
-                     interpret: bool | None = None, transform: str | None = None):
+                     interpret: bool | None = None, transform: str | None = None,
+                     cull: bool | None = None):
     """Nearest-hit over the scene. Returns (t (C,), tri (C,); tri == -1,
-    t == +inf on miss). Drop-in for step.intersect_jnp."""
+    t == +inf on miss). Drop-in for step.intersect_jnp.
+
+    cull=True enables the conservative block x tile reachability mask
+    (cfg.cull by default): results are identical to brute force — the mask
+    only skips (block, tile) cells that provably cannot interact — with big
+    wall-clock wins for coherent ray bundles (collimated sources)."""
     R = int(ray_block or RAY_BLOCK)
     K = int(tri_tile or TRI_TILE)
     # small scenes: don't pad the triangle stream past the scene itself
@@ -220,11 +326,16 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
     K = min(K, scene.num_triangles_padded)
     if interpret is None:
         interpret = not pallas_available()
+    if cull is None:
+        cull = bool(getattr(cfg, "cull", False))
     w4 = pack_w4(scene, K)
+    aabb_lo, aabb_hi = pack_aabbs(scene, K)
     t, i = _intersect_pallas_impl(
-        o, d, w4, eps=float(cfg.eps), eps_b=float(cfg.eps_bary),
+        o, d, w4, aabb_lo, aabb_hi, eps=float(cfg.eps),
+        eps_b=float(cfg.eps_bary),
         t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K,
         interpret=bool(interpret), transform=transform or TRANSFORM,
+        cull=bool(cull),
     )
     # indices beyond the real (padded) triangle count cannot occur: padding
     # rows are all-zero -> DW == 0 -> masked out. Miss -> -1 from init.

@@ -63,6 +63,11 @@ class TraceConfig:
     backend: str = "auto"
     allow_splitting: bool = True
     compaction: str = "topk"
+    # conservative block x tile culling in the Pallas kernel: identical
+    # results to brute force, large wall-clock wins for coherent bundles
+    # (collimated sources); off by default so reported tests/s stays the
+    # honest brute-force number.
+    cull: bool = False
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an
     # image_bins x image_bins grid on the plane through image_center with

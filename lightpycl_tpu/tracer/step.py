@@ -146,6 +146,45 @@ def intersect(scene: Scene, o, d, cfg: TraceConfig):
 
 
 # --------------------------------------------------------------------------
+# Ray reordering (coherence for the cull mask)
+# --------------------------------------------------------------------------
+
+def _spread3(x):
+    """Spread 10 bits to every 3rd bit (Morton encoding helper)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_order(o, alive, lo, hi):
+    """Permutation sorting rays by the Morton code of their origins
+    (10 bits/axis over [lo, hi]); dead rays sort to the end.
+
+    Spatially-local ray blocks are what make the Pallas kernel's
+    conservative block x tile cull effective (PAPERS.md: 'On Ray Reordering
+    Techniques for Faster GPU Ray Tracing' — same idea, TPU-shaped: sort
+    once per bounce, blocks become coherent patches)."""
+    span = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip(((o - lo) / span * 1023.0), 0.0, 1023.0).astype(jnp.uint32)
+    code = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+            | (_spread3(q[:, 2]) << 2))
+    # dead rays get the max key so live rays pack into coherent blocks
+    code = jnp.where(alive, code, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(code)
+
+
+def reorder_rays(scene: Scene, rays: RayBatch) -> RayBatch:
+    """Morton-sort the batch in place (ray order is semantically free: every
+    downstream quantity is per-ray or a sum)."""
+    lo = jnp.min(scene.v0, axis=0)
+    hi = jnp.max(scene.v0, axis=0)
+    order = morton_order(rays.o, rays.alive, lo, hi)
+    return jax.tree_util.tree_map(lambda a: a[order], rays)
+
+
+# --------------------------------------------------------------------------
 # Shade: material dispatch, Snell/Fresnel split, measurement
 # --------------------------------------------------------------------------
 
@@ -357,7 +396,9 @@ class StepAux(NamedTuple):
 
 def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
                cfg: TraceConfig):
-    """One bounce: intersect, shade, measure, compact."""
+    """One bounce: (reorder,) intersect, shade, measure, compact."""
+    if cfg.cull:
+        rays = reorder_rays(scene, rays)
     t, tri = intersect(scene, rays.o, rays.d, cfg)
     sh = shade(scene, rays, t, tri, cfg)
     det = accumulate_detector(det, sh, rays, cfg)

@@ -1,0 +1,104 @@
+"""Conservative block x tile culling: results must be IDENTICAL to brute
+force (the mask may only skip provably-unreachable cells)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lightpycl_tpu as L
+from lightpycl_tpu.ops.intersect_pallas import intersect_pallas
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.scene import build_scene
+
+oe = L.optical_elements(n_segments=24, n_radial=8)
+CFG = TraceConfig()
+
+
+def scenes():
+    return [
+        oe.parabolic_mirror(0.5, 2.0),
+        oe.sphere(5.0, material="measure"),
+        oe.cube(0.4, center=(0.6, 0.1, 0.8), material="refractive", ior=1.5),
+    ]
+
+
+def check(o, d):
+    scene, _ = build_scene(scenes())
+    kw = dict(ray_block=128, tri_tile=256, interpret=True)
+    t0, i0 = map(np.asarray, intersect_pallas(scene, o, d, CFG, cull=False, **kw))
+    t1, i1 = map(np.asarray, intersect_pallas(scene, o, d, CFG, cull=True, **kw))
+    assert (i0 == i1).all()
+    both = np.isfinite(t0)
+    assert np.array_equal(t0[both], t1[both])
+
+
+class TestCullExactness:
+    def test_random_rays(self, rng):
+        o = rng.uniform(-2, 2, (300, 3)).astype(np.float32)
+        d = rng.normal(size=(300, 3))
+        d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+        check(jnp.asarray(o), jnp.asarray(d))
+
+    def test_collimated_bundle(self, rng):
+        # coherent bundle: the case the cull is built for
+        o = np.zeros((256, 3), np.float32)
+        o[:, 0] = rng.uniform(-0.2, 0.2, 256)
+        o[:, 1] = rng.uniform(-0.2, 0.2, 256)
+        o[:, 2] = -1.0
+        d = np.tile([0, 0, 1.0], (256, 1)).astype(np.float32)
+        check(jnp.asarray(o), jnp.asarray(d))
+
+    def test_axis_parallel_rays(self):
+        # rays exactly parallel to axes exercise the 'par' interval case
+        o = np.array([[0, 0, -1], [0.1, 0, 0], [0, 0.1, 0]], np.float32)
+        d = np.array([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+        check(jnp.asarray(o), jnp.asarray(d))
+
+    def test_cull_rate_positive_for_coherent(self, rng):
+        # the mask actually culls something for a tight bundle
+        from lightpycl_tpu.ops.intersect_pallas import (
+            _cull_mask, pack_aabbs)
+
+        # fine sphere -> tiles are phi-wedges; an off-axis bundle provably
+        # misses the wedges on the far side
+        fine = L.geometry.primitives.OpticalElements(64, 32)
+        scene, _ = build_scene([fine.sphere(5.0, material="measure")])
+        lo, hi = pack_aabbs(scene, 256)
+        C = 256
+        o = np.zeros((C, 4), np.float32)
+        o[:, 0] = 2.0
+        o[:, 1] = 2.0
+        o[:, 2] = -10.0
+        o[:, 3] = 1.0
+        d = np.tile([0, 0, 1.0, 0.0], (C, 1)).astype(np.float32)
+        mask = np.asarray(_cull_mask(jnp.asarray(o), jnp.asarray(d),
+                                     lo, hi, 128, 1e3))
+        assert mask.mean() < 0.8  # far-side wedges provably unreachable
+
+
+class TestCullTrace:
+    def test_trace_with_cull_matches(self):
+        from lightpycl_tpu.sources import CollimatedSource
+        from lightpycl_tpu.tracer.engine import Tracer
+
+        els = [oe.parabolic_mirror(0.5, 2.0, reflectivity=0.9),
+               oe.hemisphere(10.0, name="dome"),
+               oe.biconvex_lens(1.0, 0.6, 0.1, ior=1.5, center=(0, 0, 1.0))]
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=1.5, ray_count=1024, power=1.0, seed=3)
+        r0 = Tracer().trace(src, els, trace_iterations=5, mode="device")
+        r1 = Tracer().trace(src, els, trace_iterations=5, mode="device",
+                            cull=True)
+        for k in ("measured", "absorbed", "escaped"):
+            assert r1.ledger[k] == pytest.approx(r0.ledger[k], rel=1e-4, abs=1e-7)
+        assert np.allclose(r1.hist, r0.hist, atol=1e-5)
+
+    def test_morton_order_groups_dead_last(self, rng):
+        from lightpycl_tpu.tracer.step import morton_order
+
+        o = jnp.asarray(rng.uniform(0, 1, (64, 3)), jnp.float32)
+        alive = jnp.asarray(rng.uniform(size=64) > 0.5)
+        order = np.asarray(morton_order(o, alive, jnp.zeros(3), jnp.ones(3)))
+        alive_np = np.asarray(alive)[order]
+        n_live = alive_np.sum()
+        assert alive_np[:n_live].all() and not alive_np[n_live:].any()
