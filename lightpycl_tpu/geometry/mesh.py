@@ -62,6 +62,7 @@ class GeoObject:
     reflectivity: float = 1.0
     name: Optional[str] = None
     dispersion_b: float = 0.0  # Cauchy B [um^2]: n(wl) = ior + B / wl^2
+    absorption: float = 0.0    # Beer-Lambert bulk absorption inside [1/len]
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -120,6 +121,7 @@ class GeoObject:
             self.reflectivity,
             self.name,
             self.dispersion_b,
+            self.absorption,
         )
 
     # ---- derived quantities ---------------------------------------------
@@ -167,6 +169,7 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         reflectivity=objs[0].reflectivity,
         name=objs[0].name,
         dispersion_b=objs[0].dispersion_b,
+        absorption=objs[0].absorption,
     )
     base.update(overrides)
     return GeoObject(np.concatenate(verts), np.concatenate(tris), **base)

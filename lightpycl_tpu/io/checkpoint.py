@@ -42,7 +42,15 @@ def load_state(path: str):
     z = np.load(path)
     out = {"rays": None, "detector": None, "ledger": None, "extra": {}}
     if "rays_o" in z:
-        out["rays"] = RayBatch(*[jnp.asarray(z[f"rays_{f}"]) for f in RayBatch._fields])
+        n = z["rays_power"].shape[0]
+
+        def _field(f):
+            if f"rays_{f}" in z:
+                return jnp.asarray(z[f"rays_{f}"])
+            # fields added after a checkpoint was written default to zeros
+            return jnp.zeros((n,), jnp.float32)
+
+        out["rays"] = RayBatch(*[_field(f) for f in RayBatch._fields])
     if "det_hist" in z:
         out["detector"] = DetectorState(
             *[jnp.asarray(z[f"det_{f}"]) for f in DetectorState._fields])

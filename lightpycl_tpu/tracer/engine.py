@@ -303,6 +303,7 @@ class Tracer:
                 jnp.full((batch_size,), cfg.ior_env, jnp.float32),
                 p > 0,
                 wl,
+                jnp.zeros((batch_size,), jnp.float32),
             )
             det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
                                         cfg.hist_polar_bins, n_det,

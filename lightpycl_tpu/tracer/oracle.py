@@ -77,6 +77,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     """
     v0s, e1s, e2s, mats, iors, refls, dets = [], [], [], [], [], [], []
     iorbs = []
+    absorbs = []
     det_names = []
     for el in elements:
         tv = el.triangle_vertices()
@@ -87,6 +88,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         mats.append(np.full(t, int(el.material)))
         iors.append(np.full(t, el.ior))
         iorbs.append(np.full(t, float(getattr(el, "dispersion_b", 0.0))))
+        absorbs.append(np.full(t, float(getattr(el, "absorption", 0.0))))
         refls.append(np.full(t, el.reflectivity))
         if el.material == Material.MEASURE:
             dets.append(np.full(t, len(det_names)))
@@ -96,6 +98,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     v0 = np.concatenate(v0s); e1 = np.concatenate(e1s); e2 = np.concatenate(e2s)
     mat = np.concatenate(mats); ior_in = np.concatenate(iors)
     ior_b = np.concatenate(iorbs)
+    tri_absorb = np.concatenate(absorbs)
     refl = np.concatenate(refls); det_id = np.concatenate(dets)
     n_geom = np.cross(e1, e2)
     n_geom /= np.maximum(np.linalg.norm(n_geom, axis=1, keepdims=True), 1e-300)
@@ -107,6 +110,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     ior = np.full(len(o), float(ior_env))
     wl = (np.full(len(o), 0.5876) if wavelengths is None
           else np.asarray(wavelengths, np.float64))
+    ab = np.zeros(len(o))
 
     emitted = p.sum()
     measured_pos, measured_dir, measured_pow, measured_det = [], [], [], []
@@ -118,6 +122,11 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         t, ti = _mt_nearest_hit(o, d, v0, e1, e2, eps, eps_bary, max_ray_len)
         hit = ti >= 0
         hp = o + np.where(hit, t, max_ray_len)[:, None] * d
+
+        # Beer-Lambert bulk attenuation over the segment just traveled
+        atten = np.exp(-ab * np.where(hit, t, max_ray_len))
+        absorbed += (p * (1.0 - atten)).sum()
+        p = p * atten
 
         escaped += p[~hit].sum()
 
@@ -134,7 +143,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             measured_pow.append(p[is_meas])
             measured_det.append(det_id[ti[is_meas]])
 
-        new_o, new_d, new_p, new_ior, new_wl = [], [], [], [], []
+        new_o, new_d, new_p, new_ior, new_wl, new_ab = [], [], [], [], [], []
 
         # mirrors: one reflected child
         if is_mirror.any():
@@ -146,6 +155,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             absorbed += (p[i] * (1.0 - r)).sum()
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])
+            new_ab.append(ab[i])
 
         # dielectrics: Fresnel split into reflected + refracted children
         if is_refr.any():
@@ -169,23 +179,28 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             # reflected child
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * R); new_ior.append(n1); new_wl.append(wl[i])
+            new_ab.append(ab[i])
             # refracted child (zero power under TIR)
             tdir = eta[:, None] * d[i] + (eta * cos_i - cos_t)[:, None] * n
             tlen = np.maximum(np.linalg.norm(tdir, axis=1, keepdims=True), 1e-300)
             new_o.append(hp[i]); new_d.append(tdir / tlen)
             new_p.append(p[i] * (1.0 - R)); new_ior.append(np.where(tir, n1, n2))
             new_wl.append(wl[i])
+            new_ab.append(np.where(tir, ab[i],
+                                   np.where(entering, tri_absorb[ti[i]], 0.0)))
 
         if not new_o:
             o = np.zeros((0, 3)); d = np.zeros((0, 3))
-            p = np.zeros(0); ior = np.zeros(0); wl = np.zeros(0)
+            p = np.zeros(0); ior = np.zeros(0); wl = np.zeros(0); ab = np.zeros(0)
             continue
         o = np.concatenate(new_o); d = np.concatenate(new_d)
         p = np.concatenate(new_p); ior = np.concatenate(new_ior)
         wl = np.concatenate(new_wl)
+        ab = np.concatenate(new_ab)
         keep = p > power_cutoff
         culled += p[~keep].sum()
-        o, d, p, ior, wl = o[keep], d[keep], p[keep], ior[keep], wl[keep]
+        o, d, p, ior, wl, ab = (o[keep], d[keep], p[keep], ior[keep],
+                                wl[keep], ab[keep])
 
     live = p.sum() if len(p) else 0.0
     return {

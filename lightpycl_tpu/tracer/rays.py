@@ -34,6 +34,7 @@ class RayBatch(NamedTuple):
     ior: jnp.ndarray         # (C,)  f32 current-medium IOR
     alive: jnp.ndarray       # (C,)  bool
     wavelength: jnp.ndarray  # (C,)  f32 vacuum wavelength [um]
+    absorb: jnp.ndarray      # (C,)  f32 current-medium absorption [1/len]
 
     @property
     def capacity(self) -> int:
@@ -63,7 +64,8 @@ class RayBatch(NamedTuple):
             p = jnp.concatenate([p, jnp.zeros((pad,), jnp.float32)])
             w = jnp.concatenate([w, jnp.full((pad,), D_LINE_UM, jnp.float32)])
         alive = (jnp.arange(c) < n) & (p > 0)
-        return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive, w)
+        return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive, w,
+                        jnp.zeros((c,), jnp.float32))
 
 
 class DetectorState(NamedTuple):

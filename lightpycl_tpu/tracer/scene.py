@@ -46,6 +46,7 @@ class Scene(NamedTuple):
     mat: jnp.ndarray           # (T_pad,) i32 Material code
     ior: jnp.ndarray           # (T_pad,) f32 IOR inside the element (Cauchy A)
     ior_b: jnp.ndarray         # (T_pad,) f32 Cauchy B [um^2]: n = A + B/wl^2
+    absorb: jnp.ndarray        # (T_pad,) f32 bulk absorption inside [1/len]
     reflectivity: jnp.ndarray  # (T_pad,) f32 mirror reflectivity
     detector_id: jnp.ndarray   # (T_pad,) i32 measure-surface index, -1 else
 
@@ -69,6 +70,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256) -> tuple[Scene,
         raise ValueError("scene needs at least one optical element")
     tv_list, mat_list, ior_list, refl_list, det_list = [], [], [], [], []
     iorb_list = []
+    absorb_list = []
     detector_names: list[str] = []
     for obj in objects:
         t = obj.num_triangles
@@ -79,6 +81,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256) -> tuple[Scene,
         ior_list.append(np.full(t, float(obj.ior), np.float64))
         iorb_list.append(np.full(t, float(getattr(obj, "dispersion_b", 0.0)),
                                  np.float64))
+        absorb_list.append(np.full(t, float(getattr(obj, "absorption", 0.0)),
+                                   np.float64))
         refl_list.append(np.full(t, float(obj.reflectivity), np.float64))
         if obj.material == Material.MEASURE:
             det_id = len(detector_names)
@@ -128,6 +132,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256) -> tuple[Scene,
                            fill=int(Material.TERMINATOR)), jnp.int32),
         ior=jnp.asarray(_p(np.concatenate(ior_list), fill=1.0), jnp.float32),
         ior_b=jnp.asarray(_p(np.concatenate(iorb_list), fill=0.0), jnp.float32),
+        absorb=jnp.asarray(_p(np.concatenate(absorb_list), fill=0.0), jnp.float32),
         reflectivity=jnp.asarray(_p(np.concatenate(refl_list), fill=0.0), jnp.float32),
         detector_id=jnp.asarray(_p(np.concatenate(det_list), fill=-1), jnp.int32),
     )

@@ -194,6 +194,7 @@ class ShadeOut(NamedTuple):
     child_power: jnp.ndarray   # (2C,)
     child_ior: jnp.ndarray     # (2C,)
     child_wavelength: jnp.ndarray  # (2C,)
+    child_absorb: jnp.ndarray  # (2C,) medium absorption coefficient
     child_alive: jnp.ndarray   # (2C,) bool
     hit_point: jnp.ndarray     # (C, 3) parent hit / termination point
     measured: jnp.ndarray      # (C,) bool parent measured this step
@@ -215,6 +216,13 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
     t_draw = jnp.where(hit_valid, t, cfg.max_ray_len)
     hit_point = rays.o + t_draw[:, None] * rays.d
 
+    # Beer-Lambert bulk attenuation over the segment just traveled
+    # (rays.absorb == 0 in vacuum/air -> no-op; extension over the
+    # reference, which has loss only at surfaces)
+    atten = jnp.exp(-rays.absorb * t_draw)
+    bulk_absorbed = jnp.sum(live_p * (1.0 - atten))
+    live_p = live_p * atten
+
     mat = scene.mat[safe_tri]
     n_geom = scene.normal[safe_tri]
     # dispersive glass: Cauchy n(lambda) = A + B / lambda^2 (lambda in um);
@@ -223,6 +231,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
     refl = scene.reflectivity[safe_tri]
     det_id = scene.detector_id[safe_tri]
 
+    tri_absorb = scene.absorb[safe_tri]
     sn = physics.snell_interaction(rays.d, n_geom, rays.ior, tri_ior, cfg.ior_env)
 
     is_mirror = hit_valid & (mat == int(Material.MIRROR))
@@ -245,22 +254,28 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
         child_power = jnp.concatenate([pa, pb], axis=0)
         child_ior = jnp.concatenate([rays.ior, sn["new_ior"]], axis=0)
         child_wl = jnp.concatenate([rays.wavelength, rays.wavelength], axis=0)
+        # refracted child changes medium: entering -> element's bulk
+        # absorption, exiting -> ambient (0)
+        refr_absorb = jnp.where(sn["entering"], tri_absorb, 0.0)
+        child_ab = jnp.concatenate([rays.absorb, refr_absorb], axis=0)
     else:
         # no refractive elements in the scene (engine-verified): only the
         # reflected branch exists, children stay in their parent slots and
         # the 2C buffer + compaction gather are skipped entirely
         child_o, child_d, child_power, child_ior = hit_point, da, pa, rays.ior
         child_wl = rays.wavelength
+        child_ab = rays.absorb
     child_alive = child_power > 0.0
 
-    absorbed = jnp.sum(jnp.where(is_term, live_p, 0.0)) + jnp.sum(
-        jnp.where(is_mirror, live_p * (1.0 - refl), 0.0)
-    )
+    absorbed = bulk_absorbed + jnp.sum(
+        jnp.where(is_term, live_p, 0.0)
+    ) + jnp.sum(jnp.where(is_mirror, live_p * (1.0 - refl), 0.0))
     escaped = jnp.sum(jnp.where(is_miss, live_p, 0.0))
     measured_power = jnp.where(is_meas, live_p, 0.0)
 
     return ShadeOut(
-        child_o, child_d, child_power, child_ior, child_wl, child_alive,
+        child_o, child_d, child_power, child_ior, child_wl, child_ab,
+        child_alive,
         hit_point, is_meas, measured_power, det_id,
         absorbed, escaped,
     )
@@ -333,7 +348,7 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
     if not cfg.allow_splitting:
         power = jnp.where(live, sh.child_power, 0.0)
         rays = RayBatch(sh.child_o, sh.child_d, power, sh.child_ior, live,
-                        sh.child_wavelength)
+                        sh.child_wavelength, sh.child_absorb)
         return rays, below
 
     total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
@@ -350,8 +365,9 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         power = scat(sh.child_power)
         ior = scat(sh.child_ior, fill=1.0)
         wl = scat(sh.child_wavelength, fill=1.0)
+        ab = scat(sh.child_absorb)
         alive = scat(live, fill=False)
-        rays = RayBatch(o, d, power, ior, alive, wl)
+        rays = RayBatch(o, d, power, ior, alive, wl, ab)
         culled = total_live - jnp.sum(power) + below
         return rays, culled
 
@@ -367,6 +383,7 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         ior=sh.child_ior[idx],
         alive=sel_live,
         wavelength=sh.child_wavelength[idx],
+        absorb=sh.child_absorb[idx],
     )
     return rays, culled
 
