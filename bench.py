@@ -102,7 +102,10 @@ def main():
     tr = Tracer()
     res = tr.trace(ls, els, trace_iterations=8, mode="device")
     res2 = tr.trace(ls, els, trace_iterations=8, mode="device")  # warm
-    rays_per_s = res2.rays_per_second
+    # source rays fully traced per second (iterations_run is the honest
+    # early-exited bounce count, so rays_traced / iters == capacity)
+    rays_per_s = (res2.rays_traced / max(res2.iterations_run, 1)
+                  / max(res2.wall_time, 1e-12))
 
     # ---- parity co-metric (small, vs float64 oracle) ----------------------
     from lightpycl_tpu.tracer.oracle import trace_oracle
