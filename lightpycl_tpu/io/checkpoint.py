@@ -48,6 +48,8 @@ def load_state(path: str):
             if f"rays_{f}" in z:
                 return jnp.asarray(z[f"rays_{f}"])
             # fields added after a checkpoint was written default to zeros
+            if f == "basis":
+                return jnp.zeros((n, 3), jnp.float32)
             return jnp.zeros((n,), jnp.float32)
 
         out["rays"] = RayBatch(*[_field(f) for f in RayBatch._fields])

@@ -80,6 +80,93 @@ def fresnel_unpolarized(cos_i, cos_t, n1, n2, tir):
     return jnp.where(tir, 1.0, jnp.clip(r, 0.0, 1.0))
 
 
+def fresnel_amplitudes(cos_i, cos_t, n1, n2):
+    """Signed Fresnel amplitude coefficients (rs, rp, ts, tp); cos_i/cos_t
+    >= 0. Conventions: rp sign per the Verdet convention so that
+    rs == rp at normal incidence has opposite sign (rp = (n2 ci - n1 ct)/..)."""
+    den_s = n1 * cos_i + n2 * cos_t
+    den_p = n2 * cos_i + n1 * cos_t
+    den_s = jnp.where(jnp.abs(den_s) > _TINY, den_s, 1.0)
+    den_p = jnp.where(jnp.abs(den_p) > _TINY, den_p, 1.0)
+    rs = (n1 * cos_i - n2 * cos_t) / den_s
+    rp = (n2 * cos_i - n1 * cos_t) / den_p
+    ts = 2.0 * n1 * cos_i / den_s
+    tp = 2.0 * n1 * cos_i / den_p
+    return rs, rp, ts, tp
+
+
+def tir_phase_shift(cos_i, n_rel):
+    """Relative s-p phase shift delta = delta_p - delta_s under total
+    internal reflection; n_rel = n2/n1 (< 1 in the TIR regime).
+    tan(d_s/2) = sqrt(sin^2 - n^2)/cos, tan(d_p/2) = same / n^2."""
+    sin2 = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    root = jnp.sqrt(jnp.maximum(sin2 - n_rel * n_rel, 0.0))
+    d_s = 2.0 * jnp.arctan2(root, jnp.maximum(cos_i, _TINY))
+    d_p = 2.0 * jnp.arctan2(root, jnp.maximum(n_rel * n_rel * cos_i, _TINY))
+    return d_p - d_s
+
+
+def rotate_stokes(s1, s2, cos_phi, sin_phi):
+    """Rotate the polarization reference frame by phi about the ray
+    direction: (S1, S2) rotate by 2*phi (S3 invariant)."""
+    c2 = cos_phi * cos_phi - sin_phi * sin_phi
+    s2r = 2.0 * cos_phi * sin_phi
+    return s1 * c2 + s2 * s2r, -s1 * s2r + s2 * c2
+
+
+def polarized_split(s0, s1, s2, s3, cos_i, cos_t, n1, n2, tir):
+    """Mueller-calculus Fresnel split of a Stokes vector (UNnormalized,
+    s0 = power) expressed in the incidence (s, p) frame.
+
+    Returns (refl Stokes 4-tuple, trans Stokes 4-tuple). Under TIR the
+    reflection applies the s-p retardation (linear -> elliptical, the
+    Fresnel-rhomb effect) and transmission carries zero power.
+    Energy: s0_r + s0_t == s0 exactly (per-component Rs+Ts = Rp+Tp = 1).
+    """
+    rs, rp, ts, tp = fresnel_amplitudes(cos_i, cos_t, n1, n2)
+    Rs, Rp = rs * rs, rp * rp
+    cross_r = rs * rp                       # signed: encodes 0/pi phase
+    f = (n2 * cos_t) / jnp.maximum(n1 * cos_i, _TINY)
+    Ts, Tp = f * ts * ts, f * tp * tp
+    cross_t = f * ts * tp
+
+    # non-TIR reflection
+    r0 = 0.5 * (Rs + Rp) * s0 + 0.5 * (Rs - Rp) * s1
+    r1 = 0.5 * (Rs - Rp) * s0 + 0.5 * (Rs + Rp) * s1
+    r2 = cross_r * s2
+    r3 = cross_r * s3
+    # TIR reflection: unit reflectance + retardation delta between s and p
+    delta = tir_phase_shift(cos_i, n2 / jnp.maximum(n1, _TINY))
+    cd, sd = jnp.cos(delta), jnp.sin(delta)
+    r0 = jnp.where(tir, s0, r0)
+    r1 = jnp.where(tir, s1, r1)
+    r2 = jnp.where(tir, cd * s2 + sd * s3, r2)
+    r3 = jnp.where(tir, -sd * s2 + cd * s3, r3)
+
+    t0 = 0.5 * (Ts + Tp) * s0 + 0.5 * (Ts - Tp) * s1
+    t1 = 0.5 * (Ts - Tp) * s0 + 0.5 * (Ts + Tp) * s1
+    t2 = cross_t * s2
+    t3 = cross_t * s3
+    zero = jnp.zeros_like(s0)
+    t0 = jnp.where(tir, zero, t0)
+    t1 = jnp.where(tir, zero, t1)
+    t2 = jnp.where(tir, zero, t2)
+    t3 = jnp.where(tir, zero, t3)
+    return (r0, r1, r2, r3), (t0, t1, t2, t3)
+
+
+def incidence_s_direction(d, n, fallback_basis):
+    """Unit s-direction (perpendicular to the incidence plane): d x n
+    normalized; at ~normal incidence (plane undefined) fall back to the
+    ray's current basis re-orthogonalized against d."""
+    c = jnp.cross(d, n)
+    c2 = jnp.sum(c * c, axis=-1, keepdims=True)
+    fb = fallback_basis - dot(fallback_basis, d)[..., None] * d
+    fb = normalize(fb)
+    use_c = c2 > 1e-12
+    return jnp.where(use_c, c / jnp.sqrt(jnp.maximum(c2, _TINY)), fb)
+
+
 def snell_interaction(d, n_geom, ray_ior, tri_ior, env_ior):
     """Full dielectric interaction at a surface.
 
@@ -123,4 +210,10 @@ def snell_interaction(d, n_geom, ray_ior, tri_ior, env_ior):
         "new_ior": new_ior,
         "entering": entering,
         "tir": tir,
+        # extras for the polarized (Stokes-Mueller) path
+        "n": n,
+        "n1": n1,
+        "n2": n2,
+        "cos_i": cos_i,
+        "cos_t": cos_t,
     }

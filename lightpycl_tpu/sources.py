@@ -92,6 +92,7 @@ class LightSource:
     mode: str = "weighted"
     seed: int = 0
     wavelength: object = D_LINE_UM  # um, or (wavelengths, weights) spectrum
+    stokes: object = None  # (s1, s2, s3) fractions for polarized emission
 
     def sample(self, rng: Optional[np.random.Generator] = None):
         """Generate the ray batch host-side.
@@ -184,6 +185,7 @@ class CollimatedSource:
     ray_count: int = 1000
     seed: int = 0
     wavelength: object = D_LINE_UM  # um, or (wavelengths, weights) spectrum
+    stokes: object = None  # (s1, s2, s3) fractions for polarized emission
 
     def sample(self, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng(self.seed)

@@ -68,6 +68,10 @@ class TraceConfig:
     # (collimated sources); off by default so reported tests/s stays the
     # honest brute-force number.
     cull: bool = False
+    # opt-in Stokes-Mueller polarization: polarized Fresnel coefficients,
+    # TIR retardation, frame tracking. Off (default) = the reference's
+    # unpolarized scalar model, R = (Rs+Rp)/2 at every surface.
+    polarization: bool = False
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an
     # image_bins x image_bins grid on the plane through image_center with

@@ -135,7 +135,8 @@ class Tracer:
                    if hasattr(source, "sample_wavelengths") else None)
             rays = RayBatch.from_arrays(origins, dirs, powers,
                                         ior_env=cfg.ior_env, capacity=capacity,
-                                        wavelengths=wls)
+                                        wavelengths=wls,
+                                        stokes=getattr(source, "stokes", None))
         C = rays.capacity
         emitted = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
@@ -298,13 +299,9 @@ class Tracer:
                 from lightpycl_tpu.tracer.rays import D_LINE_UM
 
                 wl = jnp.full((batch_size,), D_LINE_UM, jnp.float32)
-            rays = RayBatch(
-                o, d, p * (1.0 / n_batches),
-                jnp.full((batch_size,), cfg.ior_env, jnp.float32),
-                p > 0,
-                wl,
-                jnp.zeros((batch_size,), jnp.float32),
-            )
+            rays = RayBatch.from_arrays(
+                o, d, p * (1.0 / n_batches), ior_env=cfg.ior_env,
+                wavelengths=wl, stokes=getattr(source, "stokes", None))
             det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
                                         cfg.hist_polar_bins, n_det,
                                         cfg.image_bins)

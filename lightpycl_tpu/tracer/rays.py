@@ -35,6 +35,10 @@ class RayBatch(NamedTuple):
     alive: jnp.ndarray       # (C,)  bool
     wavelength: jnp.ndarray  # (C,)  f32 vacuum wavelength [um]
     absorb: jnp.ndarray      # (C,)  f32 current-medium absorption [1/len]
+    s1: jnp.ndarray          # (C,)  f32 Stokes fraction S1/S0 (pol. opt-in)
+    s2: jnp.ndarray          # (C,)  f32 Stokes fraction S2/S0
+    s3: jnp.ndarray          # (C,)  f32 Stokes fraction S3/S0
+    basis: jnp.ndarray       # (C,3) f32 s-direction reference (unit, perp d)
 
     @property
     def capacity(self) -> int:
@@ -43,8 +47,11 @@ class RayBatch(NamedTuple):
     @staticmethod
     def from_arrays(origins, dirs, powers, ior_env: float = 1.0,
                     capacity: int | None = None,
-                    wavelengths=None) -> "RayBatch":
-        """Build a padded batch from host or device arrays."""
+                    wavelengths=None, stokes=None) -> "RayBatch":
+        """Build a padded batch from host or device arrays. `stokes` is an
+        optional (s1, s2, s3) tuple of Stokes fractions (polarized sources;
+        interpreted in the auto-generated basis, the s-direction being the
+        horizontal-ish vector perpendicular to each ray)."""
         o = jnp.asarray(origins, jnp.float32)
         d = jnp.asarray(dirs, jnp.float32)
         p = jnp.asarray(powers, jnp.float32)
@@ -64,8 +71,21 @@ class RayBatch(NamedTuple):
             p = jnp.concatenate([p, jnp.zeros((pad,), jnp.float32)])
             w = jnp.concatenate([w, jnp.full((pad,), D_LINE_UM, jnp.float32)])
         alive = (jnp.arange(c) < n) & (p > 0)
+        # default polarization basis: unit vector perpendicular to d
+        a = jnp.where(jnp.abs(d[:, :1]) < 0.9,
+                      jnp.broadcast_to(jnp.asarray([1.0, 0, 0], jnp.float32), d.shape),
+                      jnp.broadcast_to(jnp.asarray([0, 1.0, 0], jnp.float32), d.shape))
+        b = jnp.cross(d, a)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-20)
+        if stokes is None:
+            # three DISTINCT buffers: the trace step donates the batch, and
+            # aliased leaves trip "donate the same buffer twice"
+            sf = [jnp.zeros((c,), jnp.float32) for _ in range(3)]
+        else:
+            sf = [jnp.broadcast_to(jnp.asarray(x, jnp.float32), (c,))
+                  for x in stokes]
         return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive, w,
-                        jnp.zeros((c,), jnp.float32))
+                        jnp.zeros((c,), jnp.float32), sf[0], sf[1], sf[2], b)
 
 
 class DetectorState(NamedTuple):

@@ -195,6 +195,10 @@ class ShadeOut(NamedTuple):
     child_ior: jnp.ndarray     # (2C,)
     child_wavelength: jnp.ndarray  # (2C,)
     child_absorb: jnp.ndarray  # (2C,) medium absorption coefficient
+    child_s1: jnp.ndarray      # (2C,) Stokes fractions (polarization)
+    child_s2: jnp.ndarray      # (2C,)
+    child_s3: jnp.ndarray      # (2C,)
+    child_basis: jnp.ndarray   # (2C,3) polarization frame s-direction
     child_alive: jnp.ndarray   # (2C,) bool
     hit_point: jnp.ndarray     # (C, 3) parent hit / termination point
     measured: jnp.ndarray      # (C,) bool parent measured this step
@@ -245,9 +249,39 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
         is_mirror, live_p * refl, jnp.where(is_refr, live_p * sn["R"], 0.0)
     )
     da = sn["refl_dir"]
+
+    if cfg.polarization:
+        # Stokes-Mueller path: rotate the frame into the incidence plane,
+        # apply the polarized Fresnel/TIR Mueller split, re-derive the
+        # children's powers and Stokes fractions (see physics.py)
+        s_dir = physics.incidence_s_direction(rays.d, sn["n"], rays.basis)
+        cos_phi = physics.dot(rays.basis, s_dir)
+        sin_phi = physics.dot(jnp.cross(rays.basis, s_dir), rays.d)
+        s1f, s2f = physics.rotate_stokes(rays.s1, rays.s2, cos_phi, sin_phi)
+        S = (live_p, s1f * live_p, s2f * live_p, rays.s3 * live_p)
+        (r0, r1, r2, r3), (t0, t1, t2, t3) = physics.polarized_split(
+            *S, sn["cos_i"], sn["cos_t"], sn["n1"], sn["n2"], sn["tir"])
+
+        def frac(num, den):
+            return num / jnp.maximum(den, 1e-30)
+
+        pa = jnp.where(is_mirror, live_p * refl, jnp.where(is_refr, r0, 0.0))
+        pb_pol = jnp.where(is_refr, t0, 0.0)
+        # reflected-child fractions: mirror = ideal (rotated fractions kept)
+        a_s1 = jnp.where(is_refr, frac(r1, r0), s1f)
+        a_s2 = jnp.where(is_refr, frac(r2, r0), s2f)
+        a_s3 = jnp.where(is_refr, frac(r3, r0), rays.s3)
+        b_s1, b_s2, b_s3 = frac(t1, t0), frac(t2, t0), frac(t3, t0)
+        new_basis = jnp.where(hit_valid[:, None], s_dir, rays.basis)
+    else:
+        pb_pol = None
+        a_s1 = a_s2 = a_s3 = None
     if cfg.allow_splitting:
         # child B: the refracted branch (dielectric only), at slot C + i
-        pb = jnp.where(is_refr, live_p * (1.0 - sn["R"]), 0.0)
+        if cfg.polarization:
+            pb = pb_pol
+        else:
+            pb = jnp.where(is_refr, live_p * (1.0 - sn["R"]), 0.0)
         db = sn["refr_dir"]
         child_o = jnp.concatenate([hit_point, hit_point], axis=0)
         child_d = jnp.concatenate([da, db], axis=0)
@@ -258,6 +292,16 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
         # absorption, exiting -> ambient (0)
         refr_absorb = jnp.where(sn["entering"], tri_absorb, 0.0)
         child_ab = jnp.concatenate([rays.absorb, refr_absorb], axis=0)
+        if cfg.polarization:
+            child_s1 = jnp.concatenate([a_s1, b_s1])
+            child_s2 = jnp.concatenate([a_s2, b_s2])
+            child_s3 = jnp.concatenate([a_s3, b_s3])
+            child_basis = jnp.concatenate([new_basis, new_basis], axis=0)
+        else:
+            child_s1 = jnp.concatenate([rays.s1, rays.s1])
+            child_s2 = jnp.concatenate([rays.s2, rays.s2])
+            child_s3 = jnp.concatenate([rays.s3, rays.s3])
+            child_basis = jnp.concatenate([rays.basis, rays.basis], axis=0)
     else:
         # no refractive elements in the scene (engine-verified): only the
         # reflected branch exists, children stay in their parent slots and
@@ -265,6 +309,12 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
         child_o, child_d, child_power, child_ior = hit_point, da, pa, rays.ior
         child_wl = rays.wavelength
         child_ab = rays.absorb
+        if cfg.polarization:
+            child_s1, child_s2, child_s3 = a_s1, a_s2, a_s3
+            child_basis = new_basis
+        else:
+            child_s1, child_s2, child_s3 = rays.s1, rays.s2, rays.s3
+            child_basis = rays.basis
     child_alive = child_power > 0.0
 
     absorbed = bulk_absorbed + jnp.sum(
@@ -275,6 +325,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
 
     return ShadeOut(
         child_o, child_d, child_power, child_ior, child_wl, child_ab,
+        child_s1, child_s2, child_s3, child_basis,
         child_alive,
         hit_point, is_meas, measured_power, det_id,
         absorbed, escaped,
@@ -348,7 +399,8 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
     if not cfg.allow_splitting:
         power = jnp.where(live, sh.child_power, 0.0)
         rays = RayBatch(sh.child_o, sh.child_d, power, sh.child_ior, live,
-                        sh.child_wavelength, sh.child_absorb)
+                        sh.child_wavelength, sh.child_absorb,
+                        sh.child_s1, sh.child_s2, sh.child_s3, sh.child_basis)
         return rays, below
 
     total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
@@ -366,8 +418,10 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         ior = scat(sh.child_ior, fill=1.0)
         wl = scat(sh.child_wavelength, fill=1.0)
         ab = scat(sh.child_absorb)
+        ps1, ps2, ps3 = (scat(x) for x in (sh.child_s1, sh.child_s2, sh.child_s3))
+        pbasis = scat(sh.child_basis)
         alive = scat(live, fill=False)
-        rays = RayBatch(o, d, power, ior, alive, wl, ab)
+        rays = RayBatch(o, d, power, ior, alive, wl, ab, ps1, ps2, ps3, pbasis)
         culled = total_live - jnp.sum(power) + below
         return rays, culled
 
@@ -384,6 +438,10 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         alive=sel_live,
         wavelength=sh.child_wavelength[idx],
         absorb=sh.child_absorb[idx],
+        s1=sh.child_s1[idx],
+        s2=sh.child_s2[idx],
+        s3=sh.child_s3[idx],
+        basis=sh.child_basis[idx],
     )
     return rays, culled
 

@@ -57,6 +57,9 @@ class TestReferenceFlow:
         p2 = str(tmp_path / "scene.png")
         tracer.plot_elements_and_rays(path=p2)
         assert os.path.getsize(p2) > 0
+        p3 = str(tmp_path / "directivity3d.png")
+        tracer.plot_measured_directivity_3d(path=p3)
+        assert os.path.getsize(p3) > 0
 
     def test_reference_module_names(self):
         # upstream scripts port by changing only the import root
