@@ -69,6 +69,18 @@ def spectral_power(wavelengths, powers, band_edges):
     return hist, 0.5 * (edges[:-1] + edges[1:])
 
 
+def degree_of_polarization(stokes_fractions, powers=None):
+    """Power-weighted degree of polarization of a measured bundle:
+    |sum(S_vec)| / sum(S0), with stokes_fractions (N, 3) = S/S0 per ray."""
+    s = np.asarray(stokes_fractions, np.float64)
+    p = np.ones(len(s)) if powers is None else np.asarray(powers, np.float64)
+    total = p.sum()
+    if total <= 0 or len(s) == 0:
+        return 0.0
+    svec = (s * p[:, None]).sum(axis=0)
+    return float(np.linalg.norm(svec) / total)
+
+
 def beam_statistics(directions, powers) -> dict:
     """Power-weighted beam statistics of a measured ray bundle: mean
     direction, RMS divergence half-angle (radians), total power."""

@@ -44,6 +44,7 @@ class TraceResult:
     measured_power: np.ndarray    # (M,)
     measured_det: np.ndarray      # (M,) detector ids
     measured_wavelength: np.ndarray  # (M,) vacuum wavelengths [um]
+    measured_stokes: np.ndarray   # (M, 3) Stokes fractions (polarization)
     hist: np.ndarray              # (n_az, n_pol) power histogram
     per_detector: np.ndarray      # (D,)
     image: np.ndarray             # (image_bins, image_bins) planar map
@@ -208,6 +209,7 @@ class Tracer:
                             np.asarray(aux.m_power[:m]),
                             np.asarray(aux.m_det[:m]),
                             np.asarray(aux.m_wl[:m]),
+                            np.asarray(aux.m_stokes[:m]),
                         )
                     )
                 if record_paths:
@@ -332,6 +334,7 @@ class Tracer:
             measured_power=np.zeros((0,), np.float32),
             measured_det=np.zeros((0,), np.int32),
             measured_wavelength=np.zeros((0,), np.float32),
+            measured_stokes=np.zeros((0, 3), np.float32),
             hist=hist64,
             per_detector=per_det64,
             image=image64,
@@ -365,12 +368,14 @@ class Tracer:
             pw = np.concatenate([h[2] for h in harvested])
             dd = np.concatenate([h[3] for h in harvested])
             wls = np.concatenate([h[4] for h in harvested])
+            stk = np.concatenate([h[5] for h in harvested])
         else:
             pos = np.zeros((0, 3), np.float32)
             dirs = np.zeros((0, 3), np.float32)
             pw = np.zeros((0,), np.float32)
             dd = np.zeros((0,), np.int32)
             wls = np.zeros((0,), np.float32)
+            stk = np.zeros((0, 3), np.float32)
         live_power = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         real_tris = self.num_triangles
         return TraceResult(
@@ -379,6 +384,7 @@ class Tracer:
             measured_power=pw,
             measured_det=dd,
             measured_wavelength=wls,
+            measured_stokes=stk,
             hist=np.asarray(det.hist),
             per_detector=np.asarray(det.per_detector),
             image=np.asarray(det.image),

@@ -465,6 +465,7 @@ class StepAux(NamedTuple):
     m_power: jnp.ndarray         # (C,) measured powers, compacted
     m_det: jnp.ndarray           # (C,) detector ids, compacted
     m_wl: jnp.ndarray            # (C,) wavelengths [um], compacted
+    m_stokes: jnp.ndarray        # (C,3) Stokes fractions, compacted
     measured_count: jnp.ndarray  # () i32
     live_count: jnp.ndarray      # () i32 live rays AFTER the step
 
@@ -503,6 +504,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         m_power=_compact(sh.measured_power),
         m_det=_compact(sh.det_id, fill=-1),
         m_wl=_compact(rays.wavelength),
+        m_stokes=_compact(jnp.stack([rays.s1, rays.s2, rays.s3], axis=1)),
         measured_count=jnp.sum(sh.measured.astype(jnp.int32)),
         live_count=jnp.sum(new_rays.alive.astype(jnp.int32)),
     )
