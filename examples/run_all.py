@@ -1,0 +1,55 @@
+"""Run every example at reduced size (CI-style sweep).
+
+    LPCL_FORCE_CPU=1 python examples/run_all.py     # CPU, ~3 min
+    python examples/run_all.py                      # real TPU
+"""
+
+import os
+import runpy
+import sys
+import time
+
+if os.environ.get("LPCL_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+SMALL = {
+    "example_parabolic_mirror.py": {"RAY_COUNT": "20000"},
+    "example_plano_convex.py": {"RAY_COUNT": "100000"},
+    "example_lens_stack.py": {"RAY_COUNT": "5000"},
+    "example_prism_dispersion.py": {"RAY_COUNT": "4000"},
+    "example_polarization.py": {"RAY_COUNT": "4000"},
+    "example_large_mesh.py": {"TOTAL_RAYS": "2000000", "BATCH": "1000000",
+                              "MESH_SEGMENTS": "128",
+                              "CKPT": "/tmp/run_all_ckpt.npz"},
+    "example_multichip.py": {"RAY_COUNT": "16384"},
+}
+
+
+def main():
+    failures = []
+    for name, env in SMALL.items():
+        os.environ.update(env)
+        if name == "example_large_mesh.py" and os.path.exists(env.get("CKPT", "")):
+            os.remove(env["CKPT"])
+        t0 = time.perf_counter()
+        print(f"=== {name} ===", flush=True)
+        try:
+            runpy.run_path(os.path.join(HERE, name), run_name="__main__")
+            print(f"=== {name} OK ({time.perf_counter() - t0:.1f}s) ===",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            failures.append((name, repr(e)))
+            print(f"=== {name} FAILED: {e!r} ===", flush=True)
+    if failures:
+        print(f"{len(failures)} example(s) failed: {failures}")
+        return 1
+    print(f"all {len(SMALL)} examples OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,3 +126,19 @@ class TestProfiler:
         for root, _, files in os.walk(logdir):
             found += files
         assert found  # xplane/trace artifacts written
+
+
+class TestDOP:
+    def test_degree_of_polarization(self):
+        from lightpycl_tpu.analysis import degree_of_polarization
+
+        # fully polarized, same state -> 1
+        s = np.tile([1.0, 0, 0], (10, 1))
+        assert degree_of_polarization(s) == pytest.approx(1.0)
+        # equal mix of orthogonal states -> 0
+        s = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+        assert degree_of_polarization(s) == pytest.approx(0.0)
+        # power weighting
+        s = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
+        assert degree_of_polarization(s, [3.0, 1.0]) == pytest.approx(0.5)
+        assert degree_of_polarization(np.zeros((0, 3))) == 0.0
