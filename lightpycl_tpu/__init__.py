@@ -21,7 +21,7 @@ Architecture (TPU-first, not a port):
     bins and power ledgers reduce with `psum` over ICI.
 """
 
-from lightpycl_tpu.materials import Material
+from lightpycl_tpu.materials import Material, glass
 from lightpycl_tpu.geometry.mesh import GeoObject
 from lightpycl_tpu.geometry.primitives import OpticalElements, optical_elements
 from lightpycl_tpu.sources import LightSource, light_source
@@ -35,6 +35,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Material",
+    "glass",
     "GeoObject",
     "OpticalElements",
     "optical_elements",

@@ -69,12 +69,15 @@ class CL_Tracer(Tracer):
 
     def iterative_tracer(self, light_source, meshes, trace_iterations=16,
                          max_ray_len=1e3, ior_env=1.0, record_paths=None,
-                         **kw) -> TraceResult:
+                         power_dissipated=None, **kw) -> TraceResult:
         """Run the full iterative trace (reference main entry point,
         SURVEY.md §4.3). Measured rays are harvested per iteration (host
-        mode), matching reference semantics."""
+        mode), matching reference semantics. `power_dissipated` is the
+        reference's early-exit fraction (alias of dissipation_target)."""
         if record_paths is None:
             record_paths = self._record_paths_default
+        if power_dissipated is not None:
+            kw.setdefault("dissipation_target", float(power_dissipated))
         return self.trace(
             light_source, elements=meshes,
             trace_iterations=int(trace_iterations),
