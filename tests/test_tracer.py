@@ -192,3 +192,39 @@ class TestDissipationEarlyExit:
         src = CollimatedSource(direction=(0, 0, 1), diameter=1.0, ray_count=100)
         res = Tracer().trace(src, [wall], trace_iterations=50)
         assert res.iterations_run == 1  # everything absorbed on bounce 1
+
+
+class TestHistModes:
+    def test_direction_mode_matches_position_for_collimated(self):
+        # collimated beam onto a dome: arrival direction == hit-position
+        # direction, so both binning modes put all power in the same bins
+        oe2 = L.optical_elements(n_segments=24, n_radial=8)
+        els = [oe2.hemisphere(10.0, name="dome")]
+        src = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                               diameter=0.5, ray_count=500)
+        r_pos = Tracer().trace(src, els, trace_iterations=2,
+                               hist_mode="position")
+        r_dir = Tracer().trace(src, els, trace_iterations=2,
+                               hist_mode="direction")
+        assert r_pos.hist.sum() == pytest.approx(1.0, rel=1e-4)
+        # direction mode puts everything in azimuth bin 0 (exact +z); the
+        # azimuth-integrated polar profiles must agree
+        assert np.allclose(r_pos.hist.sum(axis=0), r_dir.hist.sum(axis=0),
+                           atol=1e-5)
+
+
+class TestPolarizedDeviceMode:
+    def test_device_loop_carries_stokes(self):
+        slab = oe.cube((2, 2, 0.3), center=(0, 0, 0.15),
+                       material="refractive", ior=1.5).rotate((0, 1, 0), 0.6)
+        dome = L.optical_elements(16, 6).sphere(8.0, material="measure")
+        src = CollimatedSource(center=(0, 0, -1), direction=(0, 0, 1),
+                               diameter=0.5, ray_count=256, power=1.0, seed=6,
+                               stokes=(0.5, 0.0, 0.0))
+        r_d = Tracer().trace(src, [slab, dome], trace_iterations=8,
+                             capacity=2048, polarization=True, mode="device")
+        r_h = Tracer().trace(src, [slab, dome], trace_iterations=8,
+                             capacity=2048, polarization=True, mode="host")
+        for k in ("measured", "escaped", "culled"):
+            assert r_d.ledger[k] == pytest.approx(r_h.ledger[k], rel=1e-4,
+                                                  abs=1e-6)
