@@ -3,6 +3,7 @@ from lightpycl_tpu.parallel.sharding import (
     shard_rays,
     trace_multichip,
 )
+from lightpycl_tpu.parallel.mesh2d import make_mesh2d, place, trace_mesh2d
 from lightpycl_tpu.parallel.tri_sharding import (
     gather_hit_attributes,
     intersect_tri_sharded,
@@ -18,4 +19,7 @@ __all__ = [
     "shard_scene",
     "intersect_tri_sharded",
     "gather_hit_attributes",
+    "make_mesh2d",
+    "place",
+    "trace_mesh2d",
 ]

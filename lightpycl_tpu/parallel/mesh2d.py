@@ -1,0 +1,135 @@
+"""2-D mesh decomposition: rays sharded on one axis, TRIANGLES on the other.
+
+Reference parity: none (the reference is single-device). This is the
+production layout for scenes too large to replicate per chip AND ray
+batches too large for one chip: a ("tris", "rays") device mesh where
+
+  * the ray batch shards over the "rays" axis (as in parallel/sharding.py)
+    and replicates over "tris";
+  * the triangle soup (Scene) shards over "tris" and replicates over "rays";
+  * each step: local nearest-hit, `pmin` over "tris" for the global winner,
+    winner-contributes + `psum` gather of the hit attributes, then shade /
+    detector / compaction computed identically on every "tris" rank (the
+    inputs are replicated, so the results are too — ledger and detector
+    increments are gated to "tris" rank 0 and `psum`-combined at the end).
+
+No point-to-point traffic: two collectives per bounce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
+from lightpycl_tpu.tracer.scene import Scene
+from lightpycl_tpu.tracer import step as step_mod
+
+TRI_AXIS = "tris"
+RAY_AXIS = "rays"
+
+
+def make_mesh2d(n_tris: int, n_rays: int) -> Mesh:
+    devs = np.array(jax.devices()[: n_tris * n_rays])
+    return Mesh(devs.reshape(n_tris, n_rays), (TRI_AXIS, RAY_AXIS))
+
+
+def place(scene: Scene, rays: RayBatch, mesh: Mesh):
+    scene_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(TRI_AXIS))), scene)
+    rays_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(RAY_AXIS))), rays)
+    return scene_sh, rays_sh
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "iterations", "mesh"))
+def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
+                 iterations: int, mesh: Mesh):
+    """Fixed-depth trace over the 2-D mesh. Returns (rays sharded over
+    "rays", DetectorState global, Ledger global)."""
+    n_tris = mesh.shape[TRI_AXIS]
+    Tp = scene.num_triangles_padded
+    assert Tp % n_tris == 0
+    shard_size = Tp // n_tris
+
+    def local(scene_shard, rays):
+        my_tri = jax.lax.axis_index(TRI_AXIS)
+        is_rank0 = (my_tri == 0).astype(jnp.float32)
+        det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
+                                  8, cfg.image_bins)
+        led = Ledger.start(
+            jnp.sum(jnp.where(rays.alive, rays.power, 0.0)) * is_rank0)
+
+        def body(_, st):
+            rays, det, led = st
+            # 1. local nearest hit + global reduction over the triangle axis
+            t_loc, i_loc = step_mod.intersect(scene_shard, rays.o, rays.d, cfg)
+            i_glob = jnp.where(i_loc >= 0, i_loc + my_tri * shard_size,
+                               jnp.int32(2**30))
+            t_min = jax.lax.pmin(t_loc, TRI_AXIS)
+            cand = jnp.where(t_loc == t_min, i_glob, jnp.int32(2**30))
+            i_min = jax.lax.pmin(cand, TRI_AXIS)
+            tri = jnp.where(jnp.isfinite(t_min), i_min, -1)
+
+            # 2. winner-contributes gather of per-hit attributes
+            local_i = tri - my_tri * shard_size
+            mine = (tri >= 0) & (local_i >= 0) & (local_i < shard_size)
+            li = jnp.clip(local_i, 0, shard_size - 1)
+            a = step_mod.gather_hit_attrs(scene_shard, li)
+            mf = mine.astype(jnp.float32)
+            attrs = {
+                "mat": jax.lax.psum(a["mat"] * mine.astype(jnp.int32), TRI_AXIS),
+                "normal": jax.lax.psum(a["normal"] * mf[:, None], TRI_AXIS),
+                "ior": jax.lax.psum(a["ior"] * mf, TRI_AXIS),
+                "ior_b": jax.lax.psum(a["ior_b"] * mf, TRI_AXIS),
+                "reflectivity": jax.lax.psum(a["reflectivity"] * mf, TRI_AXIS),
+                "detector_id": jax.lax.psum(
+                    (a["detector_id"] + 1) * mine.astype(jnp.int32), TRI_AXIS) - 1,
+                "absorb": jax.lax.psum(a["absorb"] * mf, TRI_AXIS),
+            }
+            # misses have no winner: psum of zeros -> ior 0; force sane values
+            miss = tri < 0
+            attrs["ior"] = jnp.where(miss, 1.0, attrs["ior"])
+            attrs["mat"] = jnp.where(miss, jnp.int32(2), attrs["mat"])
+
+            # 3. replicated shade/measure/compact (inputs identical across
+            # the tris axis); ledger/detector increments gated to rank 0
+            sh = step_mod.shade(scene_shard, rays, t_min, tri, cfg, attrs=attrs)
+            sh0 = sh._replace(
+                measured_power=sh.measured_power * is_rank0,
+                absorbed=sh.absorbed * is_rank0,
+                escaped=sh.escaped * is_rank0,
+            )
+            det = step_mod.accumulate_detector(det, sh0, rays, cfg)
+            new_rays, culled = step_mod.compact(sh, rays.capacity, cfg)
+            led = Ledger(
+                emitted=led.emitted,
+                measured=led.measured + jnp.sum(sh0.measured_power),
+                absorbed=led.absorbed + sh0.absorbed,
+                escaped=led.escaped + sh0.escaped,
+                culled=led.culled + culled * is_rank0,
+            )
+            return new_rays, det, led
+
+        rays, det, led = jax.lax.fori_loop(0, iterations, body,
+                                           (rays, det, led))
+        det = DetectorState(
+            jax.lax.psum(jax.lax.psum(det.hist, TRI_AXIS), RAY_AXIS),
+            jax.lax.psum(jax.lax.psum(det.per_detector, TRI_AXIS), RAY_AXIS),
+            jax.lax.psum(jax.lax.psum(det.image, TRI_AXIS), RAY_AXIS),
+        )
+        led = Ledger(*(jax.lax.psum(jax.lax.psum(x, TRI_AXIS), RAY_AXIS)
+                       for x in led))
+        return rays, det, led
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(TRI_AXIS), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS), P(), P()),
+        check_vma=False,
+    )(scene, rays)

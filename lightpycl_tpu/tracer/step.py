@@ -208,10 +208,27 @@ class ShadeOut(NamedTuple):
     escaped: jnp.ndarray       # () power escaped (miss) this step
 
 
-def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
+def gather_hit_attrs(scene: Scene, safe_tri):
+    """Per-hit triangle attributes (the gathers shade needs). Separated so
+    triangle-sharded tracing can substitute collectively-gathered values
+    (parallel/mesh2d.py)."""
+    return {
+        "mat": scene.mat[safe_tri],
+        "normal": scene.normal[safe_tri],
+        "ior": scene.ior[safe_tri],
+        "ior_b": scene.ior_b[safe_tri],
+        "reflectivity": scene.reflectivity[safe_tri],
+        "detector_id": scene.detector_id[safe_tri],
+        "absorb": scene.absorb[safe_tri],
+    }
+
+
+def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
+          attrs=None) -> ShadeOut:
     """Apply surface interaction at the nearest hit (reference:
     `reflect_refract` kernel, SURVEY.md §3). Branchless: every ray computes
-    all material outcomes; masks select."""
+    all material outcomes; masks select. `attrs` overrides the per-hit
+    triangle gathers (triangle-sharded tracing)."""
     C = rays.capacity
     hit_valid = (tri >= 0) & rays.alive
     safe_tri = jnp.maximum(tri, 0)
@@ -227,15 +244,16 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig) -> ShadeOut:
     bulk_absorbed = jnp.sum(live_p * (1.0 - atten))
     live_p = live_p * atten
 
-    mat = scene.mat[safe_tri]
-    n_geom = scene.normal[safe_tri]
+    if attrs is None:
+        attrs = gather_hit_attrs(scene, safe_tri)
+    mat = attrs["mat"]
+    n_geom = attrs["normal"]
     # dispersive glass: Cauchy n(lambda) = A + B / lambda^2 (lambda in um);
     # B == 0 (the default) reduces to the reference's constant IOR
-    tri_ior = scene.ior[safe_tri] + scene.ior_b[safe_tri] / jnp.square(rays.wavelength)
-    refl = scene.reflectivity[safe_tri]
-    det_id = scene.detector_id[safe_tri]
-
-    tri_absorb = scene.absorb[safe_tri]
+    tri_ior = attrs["ior"] + attrs["ior_b"] / jnp.square(rays.wavelength)
+    refl = attrs["reflectivity"]
+    det_id = attrs["detector_id"]
+    tri_absorb = attrs["absorb"]
     sn = physics.snell_interaction(rays.d, n_geom, rays.ior, tri_ior, cfg.ior_env)
 
     is_mirror = hit_valid & (mat == int(Material.MIRROR))

@@ -1,0 +1,51 @@
+"""2-D (tris x rays) mesh decomposition: must reproduce the single-device
+trace on 2x4 and 4x2 virtual meshes."""
+
+import jax
+import numpy as np
+import pytest
+
+import lightpycl_tpu as L
+from lightpycl_tpu.parallel.mesh2d import make_mesh2d, place, trace_mesh2d
+from lightpycl_tpu.sources import CollimatedSource
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.engine import Tracer
+from lightpycl_tpu.tracer.rays import RayBatch
+
+oe = L.optical_elements(n_segments=24, n_radial=8)
+
+
+def setup_case():
+    els = [oe.parabolic_mirror(0.5, 2.0, reflectivity=0.9),
+           oe.hemisphere(10.0, name="dome"),
+           oe.biconvex_lens(1.0, 0.6, 0.1, ior=1.5, center=(0, 0, 1.0))]
+    src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                           diameter=1.5, ray_count=1024, power=1.0, seed=3)
+    o, d, p = src.sample()
+    return els, src, RayBatch.from_arrays(o, d, p)
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_mesh2d_matches_single_device(shape):
+    els, src, rays = setup_case()
+    cfg = TraceConfig(hist_azimuth_bins=16, hist_polar_bins=8)
+
+    res1 = Tracer(cfg).trace(src, els, trace_iterations=5, mode="device",
+                             rays=rays, capacity=1024)
+
+    scene, _ = L.build_scene(els)
+    assert scene.num_triangles_padded % shape[0] == 0
+    mesh = make_mesh2d(*shape)
+    els2, src2, rays2 = setup_case()
+    scene_sh, rays_sh = place(scene, rays2, mesh)
+    rays_out, det, led = trace_mesh2d(scene_sh, rays_sh, cfg, 5, mesh)
+
+    assert float(led.emitted) == pytest.approx(res1.ledger["emitted"], rel=1e-6)
+    for k in ("measured", "absorbed", "escaped", "culled"):
+        assert float(getattr(led, k)) == pytest.approx(
+            res1.ledger[k], rel=1e-4, abs=1e-6), k
+    assert np.allclose(np.asarray(det.hist), res1.hist, atol=1e-5)
+    # conservation including live power
+    live = float(np.asarray((rays_out.power * rays_out.alive).sum()))
+    acc = float(led.measured + led.absorbed + led.escaped + led.culled)
+    assert acc + live == pytest.approx(1.0, rel=1e-5)
