@@ -186,6 +186,7 @@ class CollimatedSource:
     seed: int = 0
     wavelength: object = D_LINE_UM  # um, or (wavelengths, weights) spectrum
     stokes: object = None  # (s1, s2, s3) fractions for polarized emission
+    divergence: float = 0.0  # half-angle [rad]: directions uniform in a cone
 
     def sample(self, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng(self.seed)
@@ -199,7 +200,11 @@ class CollimatedSource:
             + r[:, None] * np.cos(phi)[:, None] * u
             + r[:, None] * np.sin(phi)[:, None] * v
         )
-        dirs = np.broadcast_to(w, (n, 3)).copy()
+        if self.divergence > 0.0:
+            dloc, _, _ = _cap_directions_np(rng, n, self.divergence)
+            dirs = dloc @ F
+        else:
+            dirs = np.broadcast_to(w, (n, 3)).copy()
         powers = np.full(n, self.power / n)
         return origins, dirs, powers
 

@@ -65,6 +65,12 @@ class TraceResult:
     def rays_per_second(self) -> float:
         return self.rays_traced / max(self.wall_time, 1e-12)
 
+    def detector_power(self, name: str) -> float:
+        """Total measured power on the named measure surface."""
+        if name not in self.detector_names:
+            raise KeyError(f"unknown detector {name!r}; have {self.detector_names}")
+        return float(self.per_detector[self.detector_names.index(name)])
+
     def power_conservation_error(self) -> float:
         l = self.ledger
         acc = l["measured"] + l["absorbed"] + l["escaped"] + l["culled"]

@@ -142,3 +142,31 @@ class TestDOP:
         s = np.array([[1.0, 0, 0], [-1.0, 0, 0]])
         assert degree_of_polarization(s, [3.0, 1.0]) == pytest.approx(0.5)
         assert degree_of_polarization(np.zeros((0, 3))) == 0.0
+
+
+class TestSTL:
+    def test_stl_roundtrip(self, tmp_path):
+        from lightpycl_tpu.io.stl import load_stl, save_stl
+
+        oe = OpticalElements(12, 4)
+        cube = oe.cube(2.0, center=(1, 2, 3))
+        p = str(tmp_path / "cube.stl")
+        save_stl(p, cube)
+        back = load_stl(p, material="mirror")
+        assert back.num_triangles == cube.num_triangles
+        assert back.area() == pytest.approx(cube.area(), rel=1e-5)
+        lo1, hi1 = cube.bounds()
+        lo2, hi2 = back.bounds()
+        assert np.allclose(lo1, lo2, atol=1e-5) and np.allclose(hi1, hi2, atol=1e-5)
+
+    def test_ascii_stl(self, tmp_path):
+        from lightpycl_tpu.io.stl import load_stl
+
+        p = tmp_path / "tri.stl"
+        p.write_text(
+            "solid t\n facet normal 0 0 1\n  outer loop\n"
+            "   vertex 0 0 0\n   vertex 1 0 0\n   vertex 0 1 0\n"
+            "  endloop\n endfacet\nendsolid t\n")
+        obj = load_stl(str(p))
+        assert obj.num_triangles == 1
+        assert obj.area() == pytest.approx(0.5)

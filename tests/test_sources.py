@@ -67,3 +67,13 @@ class TestCollimated:
         o, d, p = cs.rays_on_device(jax.random.key(1))
         assert np.allclose(np.asarray(d), [0, 0, 1])
         assert float(p.sum()) == pytest.approx(1.0, rel=1e-5)
+
+
+class TestDivergence:
+    def test_collimated_divergence_cone(self):
+        cs = CollimatedSource(direction=(0, 0, 1), diameter=0.5,
+                              ray_count=5000, divergence=0.1, seed=2)
+        _, d, _ = cs.sample()
+        cos = d @ np.array([0, 0, 1.0])
+        assert (cos >= np.cos(0.1) - 1e-12).all()
+        assert cos.min() < np.cos(0.02)  # actually spread, not collimated

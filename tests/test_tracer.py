@@ -228,3 +228,15 @@ class TestPolarizedDeviceMode:
         for k in ("measured", "escaped", "culled"):
             assert r_d.ledger[k] == pytest.approx(r_h.ledger[k], rel=1e-4,
                                                   abs=1e-6)
+
+
+class TestDetectorByName:
+    def test_detector_power_lookup(self):
+        oe2 = L.optical_elements(16, 6)
+        d1 = oe2.rectangle(2, 2, center=(0, 0, 1), material="measure")
+        d1.name = "front"
+        src = CollimatedSource(direction=(0, 0, 1), diameter=0.5, ray_count=100)
+        res = Tracer().trace(src, [d1], trace_iterations=1)
+        assert res.detector_power("front") == pytest.approx(1.0, rel=1e-4)
+        with pytest.raises(KeyError):
+            res.detector_power("nope")
