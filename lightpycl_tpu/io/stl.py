@@ -30,7 +30,12 @@ def load_stl(path: str, material="terminator", ior: float = 1.0,
 def _load_binary(path, material, ior, **kw):
     with open(path, "rb") as f:
         f.seek(80)
-        (n,) = struct.unpack("<I", f.read(4))
+        count = f.read(4)
+        if len(count) != 4:
+            raise ValueError(f"not a valid STL file: {path}")
+        (n,) = struct.unpack("<I", count)
+        if n == 0:
+            raise ValueError(f"empty STL: {path}")
         data = np.frombuffer(f.read(n * 50), dtype=np.uint8)
     if len(data) != n * 50:
         raise ValueError(f"truncated binary STL: {path}")
