@@ -154,21 +154,33 @@ def _kernel_body(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, j, *, K, eps, eps_b,
     bi_ref[:] = jnp.where(better, i_tile + j * K, bi_ref[:])
 
 
-def _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max):
+def _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max, alive=None):
     """(n_rb, n_tt) int32 conservative reachability of tri-tile AABBs from
-    ray blocks, via per-axis interval arithmetic on the block's origin box
-    and direction box. Never false-culls: any uncertainty -> 1.
+    ray blocks. Never false-culls: any uncertainty -> 1. Three independent
+    necessary-condition tests are ANDed (each pass-set contains the truly
+    reachable set, so their intersection still does):
 
-    Per axis, the coords reachable by ANY ray of the block (t in [0, inf)):
-      d_lo > 0          -> [o_lo, +inf)
-      d_hi < 0          -> (-inf, o_hi]
-      tiny |d| interval -> [o_lo, o_hi]         (rays parallel to the axis)
-      mixed signs       -> (-inf, +inf)
-    Cull when some axis' reachable interval misses the tile's AABB slab.
+      1. per-axis interval arithmetic on the block's origin box and
+         direction box (strong for axis-aligned collimated bundles);
+      2. a direction-cone vs bounding-sphere angular test: the block's live
+         rays fit in a cone (mean direction m, half-angle from min d.m);
+         the tile fits in a sphere; cull when the cone cannot point at it
+         (strong for diverging/reflected bundles);
+      3. blocks with no live rays cull everything (their results are
+         masked out downstream anyway).
     """
     n_rb = o4.shape[0] // R
     o_b = o4[:, :3].reshape(n_rb, R, 3)
     d_b = d4[:, :3].reshape(n_rb, R, 3)
+    if alive is None:
+        alive_b = jnp.ones((n_rb, R), bool)
+    else:
+        pad = o4.shape[0] - alive.shape[0]
+        if pad:
+            alive = jnp.concatenate([alive, jnp.zeros((pad,), bool)])
+        alive_b = alive.reshape(n_rb, R)
+    any_alive = alive_b.any(axis=1)                   # (n_rb,)
+
     o_lo, o_hi = o_b.min(axis=1), o_b.max(axis=1)     # (n_rb, 3)
     d_lo, d_hi = d_b.min(axis=1), d_b.max(axis=1)
     BIG = jnp.float32(3.4e38)
@@ -181,11 +193,42 @@ def _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max):
     # t_max caps the reach (origins +- t_max along unit directions)
     reach_lo = jnp.maximum(reach_lo, o_lo - jnp.float32(t_max))
     reach_hi = jnp.minimum(reach_hi, o_hi + jnp.float32(t_max))
-    miss = (
+    miss_axis = (
         (aabb_lo[None, :, :] > reach_hi[:, None, :])
         | (aabb_hi[None, :, :] < reach_lo[:, None, :])
     ).any(axis=2)                                     # (n_rb, n_tt)
-    return (~miss).astype(jnp.int32)
+
+    # --- cone test (live rays only; dead rays would blow up the cone) ---
+    af = alive_b.astype(jnp.float32)[:, :, None]
+    m = jnp.sum(d_b * af, axis=1)
+    m_len = jnp.linalg.norm(m, axis=1, keepdims=True)
+    m = m / jnp.maximum(m_len, 1e-20)                 # (n_rb, 3) mean dir
+    cosm = jnp.sum(d_b * m[:, None, :], axis=2)       # (n_rb, R)
+    cos_bundle = jnp.min(jnp.where(alive_b, cosm, 1.0), axis=1)
+    cos_bundle = jnp.clip(cos_bundle, -1.0, 1.0)      # (n_rb,)
+    sin_bundle = jnp.sqrt(1.0 - cos_bundle**2)
+    # degenerate bundle (opposing directions): cone covers everything
+    full_cone = (cos_bundle <= 0.0) | (m_len[:, 0] < 1e-12)
+
+    o_c = 0.5 * (o_lo + o_hi)                         # (n_rb, 3)
+    o_r = 0.5 * jnp.linalg.norm(o_hi - o_lo, axis=1)  # (n_rb,)
+    t_c = 0.5 * (aabb_lo + aabb_hi)                   # (n_tt, 3)
+    t_r = 0.5 * jnp.linalg.norm(aabb_hi - aabb_lo, axis=1)
+    v = t_c[None, :, :] - o_c[:, None, :]             # (n_rb, n_tt, 3)
+    dist = jnp.linalg.norm(v, axis=2)                 # (n_rb, n_tt)
+    rad = t_r[None, :] + o_r[:, None]
+    overlap = dist <= rad                             # inside -> pass
+    s_beta = jnp.clip(rad / jnp.maximum(dist, 1e-20), 0.0, 1.0)
+    c_beta = jnp.sqrt(1.0 - s_beta**2)
+    cos_needed = (cos_bundle[:, None] * c_beta
+                  - sin_bundle[:, None] * s_beta)     # cos(bundle + beta)
+    cos_actual = jnp.sum(v * m[:, None, :], axis=2) / jnp.maximum(dist, 1e-20)
+    miss_cone = (~overlap) & (cos_actual < cos_needed) & ~full_cone[:, None]
+    # t_max cap on the cone test too
+    miss_cone = miss_cone | ((dist - rad) > jnp.float32(t_max))
+
+    reach = ~(miss_axis | miss_cone) & any_alive[:, None]
+    return reach.astype(jnp.int32)
 
 
 @functools.partial(
@@ -193,8 +236,8 @@ def _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max):
     static_argnames=("eps", "eps_b", "t_max", "ray_block", "tri_tile",
                      "interpret", "transform", "cull"),
 )
-def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, *, eps, eps_b, t_max,
-                           ray_block, tri_tile, interpret,
+def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
+                           t_max, ray_block, tri_tile, interpret,
                            transform=TRANSFORM, cull=False):
     C = o.shape[0]
     K = tri_tile
@@ -215,7 +258,8 @@ def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, *, eps, eps_b, t_max,
     if cull and n_rb * n_words * 4 > (512 << 10):
         cull = False
     if cull:
-        m = _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max)  # (n_rb, n_tt)
+        m = _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max,
+                       alive=alive)  # (n_rb, n_tt)
         m = jnp.pad(m, ((0, 0), (0, n_words * 32 - n_tt)))
         weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
         mask = jnp.sum(
@@ -311,7 +355,7 @@ def pack_w4(scene: Scene, tri_tile: int = TRI_TILE) -> jnp.ndarray:
 def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
                      ray_block: int | None = None, tri_tile: int | None = None,
                      interpret: bool | None = None, transform: str | None = None,
-                     cull: bool | None = None):
+                     cull: bool | None = None, alive=None):
     """Nearest-hit over the scene. Returns (t (C,), tri (C,); tri == -1,
     t == +inf on miss). Drop-in for step.intersect_jnp.
 
@@ -330,8 +374,10 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
         cull = bool(getattr(cfg, "cull", False))
     w4 = pack_w4(scene, K)
     aabb_lo, aabb_hi = pack_aabbs(scene, K)
+    if alive is None:
+        alive = jnp.ones((o.shape[0],), bool)
     t, i = _intersect_pallas_impl(
-        o, d, w4, aabb_lo, aabb_hi, eps=float(cfg.eps),
+        o, d, w4, aabb_lo, aabb_hi, alive, eps=float(cfg.eps),
         eps_b=float(cfg.eps_bary),
         t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K,
         interpret=bool(interpret), transform=transform or TRANSFORM,

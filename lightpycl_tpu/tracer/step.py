@@ -131,14 +131,15 @@ def intersect_jnp(scene: Scene, o, d, cfg: TraceConfig, ray_block: int = 4096):
     return bt, jnp.where(jnp.isfinite(bt), bi, -1)
 
 
-def intersect(scene: Scene, o, d, cfg: TraceConfig):
-    """Backend-dispatching nearest-hit."""
+def intersect(scene: Scene, o, d, cfg: TraceConfig, alive=None):
+    """Backend-dispatching nearest-hit. `alive` (optional) lets the Pallas
+    cull skip all-dead ray blocks."""
     if cfg.backend in ("pallas", "auto"):
         try:
             from lightpycl_tpu.ops.intersect_pallas import intersect_pallas, pallas_available
 
             if cfg.backend == "pallas" or pallas_available():
-                return intersect_pallas(scene, o, d, cfg)
+                return intersect_pallas(scene, o, d, cfg, alive=alive)
         except ImportError:
             if cfg.backend == "pallas":
                 raise
@@ -493,7 +494,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
     """One bounce: (reorder,) intersect, shade, measure, compact."""
     if cfg.cull:
         rays = reorder_rays(scene, rays)
-    t, tri = intersect(scene, rays.o, rays.d, cfg)
+    t, tri = intersect(scene, rays.o, rays.d, cfg, alive=rays.alive)
     sh = shade(scene, rays, t, tri, cfg)
     det = accumulate_detector(det, sh, rays, cfg)
     new_rays, culled = compact(sh, rays.capacity, cfg)

@@ -102,3 +102,47 @@ class TestCullTrace:
         alive_np = np.asarray(alive)[order]
         n_live = alive_np.sum()
         assert alive_np[:n_live].all() and not alive_np[n_live:].any()
+
+
+class TestCullGen2:
+    def test_all_dead_block_culls_everything(self):
+        from lightpycl_tpu.ops.intersect_pallas import _cull_mask, pack_aabbs
+
+        scene, _ = build_scene(scenes())
+        lo, hi = pack_aabbs(scene, 256)
+        C = 256
+        o = np.zeros((C, 4), np.float32); o[:, 3] = 1.0
+        d = np.tile([0, 0, 1.0, 0.0], (C, 1)).astype(np.float32)
+        alive = jnp.zeros((C,), bool)
+        mask = np.asarray(_cull_mask(jnp.asarray(o), jnp.asarray(d),
+                                     lo, hi, 128, 1e3, alive=alive))
+        assert (mask == 0).all()
+
+    def test_mixed_alive_still_exact(self, rng):
+        # half the rays dead with garbage directions: results for the live
+        # ones must be identical to brute force
+        scene, _ = build_scene(scenes())
+        n = 256
+        o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3))
+        d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+        alive = jnp.asarray(rng.uniform(size=n) > 0.5)
+        kw = dict(ray_block=128, tri_tile=256, interpret=True)
+        t0, i0 = map(np.asarray, intersect_pallas(
+            scene, jnp.asarray(o), jnp.asarray(d), CFG, cull=False, **kw))
+        t1, i1 = map(np.asarray, intersect_pallas(
+            scene, jnp.asarray(o), jnp.asarray(d), CFG, cull=True,
+            alive=alive, **kw))
+        live = np.asarray(alive)
+        assert (i0[live] == i1[live]).all()
+
+    def test_diverging_bundle_exact(self, rng):
+        # point-source-like divergent bundle exercises the cone test
+        scene, _ = build_scene(scenes())
+        n = 256
+        o = np.tile([0.0, 0.0, 0.6], (n, 1)).astype(np.float32)
+        z = rng.uniform(0.7, 1.0, n)
+        phi = rng.uniform(0, 2 * np.pi, n)
+        s = np.sqrt(1 - z**2)
+        d = np.stack([s * np.cos(phi), s * np.sin(phi), -z], 1).astype(np.float32)
+        check(jnp.asarray(o), jnp.asarray(d))
