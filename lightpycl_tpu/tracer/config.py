@@ -72,6 +72,12 @@ class TraceConfig:
     # TIR retardation, frame tracking. Off (default) = the reference's
     # unpolarized scalar model, R = (Rs+Rp)/2 at every surface.
     polarization: bool = False
+    # opt-in Russian-roulette termination of weak rays: children below this
+    # power threshold survive with probability power/threshold (boosted to
+    # the threshold) — unbiased, unlike power_cutoff. `seed` feeds the
+    # per-bounce PRNG.
+    roulette_threshold: float = 0.0
+    seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an
     # image_bins x image_bins grid on the plane through image_center with

@@ -200,8 +200,10 @@ class Tracer:
             for it in range(cfg.trace_iterations):
                 # pull starts BEFORE the step: the step donates the ray buffers
                 starts = np.asarray(rays.o) if record_paths else None
+                key = (jax.random.fold_in(jax.random.key(cfg.seed), it)
+                       if cfg.roulette_threshold > 0.0 else None)
                 rays, det, led, aux = step_mod.trace_step_jit(
-                    self.scene, rays, det, led, cfg
+                    self.scene, rays, det, led, cfg, key
                 )
                 iters += 1
                 m = int(np.asarray(aux.measured_count))

@@ -401,6 +401,25 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
 # Compaction
 # --------------------------------------------------------------------------
 
+def roulette(sh: ShadeOut, cfg: TraceConfig, key):
+    """Russian-roulette termination (opt-in, cfg.roulette_threshold > 0):
+    children with 0 < power < threshold survive with probability
+    power/threshold and are boosted to exactly threshold — unbiased in
+    expectation, unlike the reference's power-cutoff cull which silently
+    biases detected power low. The per-sample power delta (kills minus
+    boosts) is accounted in 'culled' (can be negative) so the conservation
+    ledger stays exact per run."""
+    thr = cfg.roulette_threshold
+    weak = sh.child_alive & (sh.child_power < thr)
+    p_survive = jnp.clip(sh.child_power / thr, 0.0, 1.0)
+    u = jax.random.uniform(key, sh.child_power.shape)
+    survive = u < p_survive
+    new_power = jnp.where(weak, jnp.where(survive, thr, 0.0), sh.child_power)
+    delta = jnp.sum(jnp.where(weak, sh.child_power - new_power, 0.0))
+    return sh._replace(child_power=new_power,
+                       child_alive=sh.child_alive & (new_power > 0.0)), delta
+
+
 def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
     """Fit the live children back into `capacity` slots (reference:
     host-side numpy compaction, SURVEY.md §4.3 — here fully on-device).
@@ -490,14 +509,21 @@ class StepAux(NamedTuple):
 
 
 def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
-               cfg: TraceConfig):
-    """One bounce: (reorder,) intersect, shade, measure, compact."""
+               cfg: TraceConfig, key=None):
+    """One bounce: (reorder,) intersect, shade, measure, (roulette,)
+    compact. `key` is only needed when cfg.roulette_threshold > 0."""
     if cfg.cull:
         rays = reorder_rays(scene, rays)
     t, tri = intersect(scene, rays.o, rays.d, cfg, alive=rays.alive)
     sh = shade(scene, rays, t, tri, cfg)
     det = accumulate_detector(det, sh, rays, cfg)
+    rr_delta = jnp.float32(0.0)
+    if cfg.roulette_threshold > 0.0:
+        if key is None:
+            raise ValueError("roulette_threshold > 0 requires a PRNG key")
+        sh, rr_delta = roulette(sh, cfg, key)
     new_rays, culled = compact(sh, rays.capacity, cfg)
+    culled = culled + rr_delta
     led = Ledger(
         emitted=led.emitted,
         measured=led.measured + jnp.sum(sh.measured_power),
@@ -532,8 +558,8 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
 def trace_step_jit(scene: Scene, rays: RayBatch, det: DetectorState,
-                   led: Ledger, cfg: TraceConfig):
-    return trace_step(scene, rays, det, led, cfg)
+                   led: Ledger, cfg: TraceConfig, key=None):
+    return trace_step(scene, rays, det, led, cfg, key=key)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iterations"),
@@ -553,7 +579,9 @@ def trace_loop_jit(scene: Scene, rays: RayBatch, det: DetectorState,
 
     def body(state):
         i, rays, det, led = state
-        rays, det, led, _ = trace_step(scene, rays, det, led, cfg)
+        key = (jax.random.fold_in(jax.random.key(cfg.seed), i)
+               if cfg.roulette_threshold > 0.0 else None)
+        rays, det, led, _ = trace_step(scene, rays, det, led, cfg, key=key)
         return (i + 1, rays, det, led)
 
     iters_run, rays, det, led = jax.lax.while_loop(
