@@ -91,11 +91,16 @@ class Tracer:
 
     # -- scene -------------------------------------------------------------
 
-    def set_elements(self, elements: Sequence[GeoObject]):
+    def set_elements(self, elements: Sequence[GeoObject],
+                     spatial_sort: Optional[bool] = None):
         from lightpycl_tpu.materials import Material
 
         self.elements = list(elements)
-        self.scene, self.detector_names = build_scene(self.elements)
+        if spatial_sort is None:
+            spatial_sort = self.cfg.cull
+        self.scene, self.detector_names = build_scene(
+            self.elements, spatial_sort=spatial_sort)
+        self._scene_sorted = spatial_sort
         self._has_refractive = any(
             e.material == Material.REFRACTIVE for e in self.elements
         )
@@ -135,6 +140,9 @@ class Tracer:
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
         cfg = self._tune_splitting(cfg)
+        if cfg.cull and not getattr(self, "_scene_sorted", False):
+            # spatially-sorted triangle tiles are what make the cull bite
+            self.set_elements(self.elements, spatial_sort=True)
 
         if rays is None:
             origins, dirs, powers = source.sample()

@@ -59,12 +59,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def build_scene(objects: Sequence[GeoObject], pad_to: int = 256) -> tuple[Scene, list[str]]:
+def _morton3_np(q: np.ndarray) -> np.ndarray:
+    """Interleave 3x10-bit quantized coords into 30-bit Morton codes."""
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    q = q.astype(np.uint32)
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
+                spatial_sort: bool = False) -> tuple[Scene, list[str]]:
     """Flatten optical elements into a Scene pytree.
 
     Returns (scene, detector_names) where detector_names[i] labels the
     measure surface with detector_id == i. Padding triangles are degenerate
     (all-zero transform rows -> DW == 0 -> never hit).
+
+    spatial_sort reorders triangles by the Morton code of their centroids so
+    the Pallas kernel's triangle tiles become compact spatial patches — this
+    is what gives the conservative cull (TraceConfig.cull) small per-tile
+    bounding volumes. Physics is order-independent; only internal triangle
+    indices change.
     """
     if not objects:
         raise ValueError("scene needs at least one optical element")
@@ -92,6 +112,21 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256) -> tuple[Scene,
             det_list.append(np.full(t, -1, np.int32))
 
     tv = np.concatenate(tv_list)              # (T, 3, 3)
+    mat_np = np.concatenate(mat_list)
+    ior_np = np.concatenate(ior_list)
+    iorb_np = np.concatenate(iorb_list)
+    absorb_np = np.concatenate(absorb_list)
+    refl_np = np.concatenate(refl_list)
+    det_np = np.concatenate(det_list)
+    if spatial_sort:
+        c = tv.mean(axis=1)
+        lo, hi = c.min(axis=0), c.max(axis=0)
+        qn = np.clip((c - lo) / np.maximum(hi - lo, 1e-30) * 1023.0, 0, 1023)
+        order = np.argsort(_morton3_np(qn), kind="stable")
+        tv = tv[order]
+        mat_np, ior_np, iorb_np = mat_np[order], ior_np[order], iorb_np[order]
+        absorb_np, refl_np, det_np = (absorb_np[order], refl_np[order],
+                                      det_np[order])
     T = len(tv)
     v0 = tv[:, 0]
     e1 = tv[:, 1] - tv[:, 0]
@@ -128,12 +163,11 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256) -> tuple[Scene,
         wu=jnp.asarray(_p(rows[:, 0]), jnp.float32),
         wv=jnp.asarray(_p(rows[:, 1]), jnp.float32),
         ww=jnp.asarray(_p(rows[:, 2]), jnp.float32),
-        mat=jnp.asarray(_p(np.concatenate(mat_list),
-                           fill=int(Material.TERMINATOR)), jnp.int32),
-        ior=jnp.asarray(_p(np.concatenate(ior_list), fill=1.0), jnp.float32),
-        ior_b=jnp.asarray(_p(np.concatenate(iorb_list), fill=0.0), jnp.float32),
-        absorb=jnp.asarray(_p(np.concatenate(absorb_list), fill=0.0), jnp.float32),
-        reflectivity=jnp.asarray(_p(np.concatenate(refl_list), fill=0.0), jnp.float32),
-        detector_id=jnp.asarray(_p(np.concatenate(det_list), fill=-1), jnp.int32),
+        mat=jnp.asarray(_p(mat_np, fill=int(Material.TERMINATOR)), jnp.int32),
+        ior=jnp.asarray(_p(ior_np, fill=1.0), jnp.float32),
+        ior_b=jnp.asarray(_p(iorb_np, fill=0.0), jnp.float32),
+        absorb=jnp.asarray(_p(absorb_np, fill=0.0), jnp.float32),
+        reflectivity=jnp.asarray(_p(refl_np, fill=0.0), jnp.float32),
+        detector_id=jnp.asarray(_p(det_np, fill=-1), jnp.int32),
     )
     return scene, detector_names
