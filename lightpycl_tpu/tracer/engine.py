@@ -65,6 +65,14 @@ class TraceResult:
     def rays_per_second(self) -> float:
         return self.rays_traced / max(self.wall_time, 1e-12)
 
+    def measured_rays_for(self, name: str):
+        """(positions, directions, powers) of measured rays on the named
+        detector only (host-mode traces)."""
+        if name not in self.detector_names:
+            raise KeyError(f"unknown detector {name!r}; have {self.detector_names}")
+        sel = self.measured_det == self.detector_names.index(name)
+        return self.measured_pos[sel], self.measured_dir[sel], self.measured_power[sel]
+
     def detector_power(self, name: str) -> float:
         """Total measured power on the named measure surface."""
         if name not in self.detector_names:

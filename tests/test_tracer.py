@@ -240,3 +240,20 @@ class TestDetectorByName:
         assert res.detector_power("front") == pytest.approx(1.0, rel=1e-4)
         with pytest.raises(KeyError):
             res.detector_power("nope")
+
+
+class TestMeasuredRaysFor:
+    def test_per_detector_harvest_filter(self):
+        oe2 = L.optical_elements(16, 6)
+        d1 = oe2.rectangle(1, 1, center=(0.8, 0, 1), material="measure")
+        d1.name = "right"
+        d2 = oe2.rectangle(1, 1, center=(-0.8, 0, 1), material="measure")
+        d2.name = "left"
+        src = CollimatedSource(center=(0.8, 0, 0), direction=(0, 0, 1),
+                               diameter=0.4, ray_count=200)
+        res = Tracer().trace(src, [d1, d2], trace_iterations=1)
+        pos, dirs, pw = res.measured_rays_for("right")
+        assert pw.sum() == pytest.approx(1.0, rel=1e-4)
+        assert (pos[:, 0] > 0).all()
+        _, _, pw_left = res.measured_rays_for("left")
+        assert pw_left.sum() == 0.0
