@@ -257,3 +257,25 @@ class TestMeasuredRaysFor:
         assert (pos[:, 0] > 0).all()
         _, _, pw_left = res.measured_rays_for("left")
         assert pw_left.sum() == 0.0
+
+
+class TestDeterminism:
+    def test_identical_runs_bit_identical(self):
+        """SURVEY.md §5.2: the one race surface is the detector scatter-add;
+        XLA's scatter is deterministic — assert it (same inputs -> identical
+        histogram, image, ledger bits)."""
+        oe2 = L.optical_elements(24, 8)
+        els = [oe2.parabolic_mirror(0.5, 2.0, reflectivity=0.9),
+               oe2.hemisphere(10.0, name="dome"),
+               oe2.biconvex_lens(1.0, 0.6, 0.1, ior=1.5, center=(0, 0, 1.0))]
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=1.5, ray_count=1024, power=1.0, seed=3)
+
+        def run():
+            return Tracer().trace(src, els, trace_iterations=5, mode="device",
+                                  image_bins=16, image_halfwidth=2.0)
+
+        a, b = run(), run()
+        assert np.array_equal(a.hist, b.hist)
+        assert np.array_equal(a.image, b.image)
+        assert a.ledger == b.ledger
