@@ -200,6 +200,9 @@ class Tracer:
     def _run(self, mode, rays, det, led, cfg, C, emitted, record_paths) -> TraceResult:
         t0 = time.perf_counter()
         if mode == "device":
+            if record_paths:
+                log.warning("record_paths requires mode='host'; device mode "
+                            "returns no path segments")
             rays_out, det, led, iters_run = step_mod.trace_loop_jit(
                 self.scene, rays, det, led, cfg, cfg.trace_iterations
             )
@@ -214,8 +217,6 @@ class Tracer:
             segments = []
             iters = 0
             for it in range(cfg.trace_iterations):
-                # pull starts BEFORE the step: the step donates the ray buffers
-                starts = np.asarray(rays.o) if record_paths else None
                 key = (jax.random.fold_in(jax.random.key(cfg.seed), it)
                        if cfg.roulette_threshold > 0.0 else None)
                 rays, det, led, aux = step_mod.trace_step_jit(
@@ -237,18 +238,18 @@ class Tracer:
                         )
                     )
                 if record_paths:
+                    # aux.start_point is POST-reorder, so it pairs with
+                    # hit_point even when cfg.cull Morton-sorts the batch
                     segments.append(
                         (
-                            starts,
+                            np.asarray(aux.start_point),
                             np.asarray(aux.hit_point),
                             np.asarray(aux.parent_alive),
                         )
                     )
                 live = int(np.asarray(aux.live_count))
-                led_now = jax.tree_util.tree_map(lambda x: float(np.asarray(x)), led)
-                accounted = (
-                    led_now.measured + led_now.absorbed + led_now.escaped + led_now.culled
-                )
+                led_vals = np.asarray(jnp.stack(list(led)))  # one sync
+                accounted = float(led_vals[1:].sum())
                 log.info(
                     "iter %d: live=%d accounted=%.4f/%.4f", it, live, accounted, emitted
                 )
@@ -285,6 +286,11 @@ class Tracer:
             raise ValueError("no scene: pass `elements` or call set_elements()")
         cfg = self._tune_splitting(cfg)
         n_batches = max(1, total_rays // batch_size)
+        if total_rays != n_batches * batch_size:
+            log.warning(
+                "trace_batched: tracing %d rays (%d batches x %d), not the "
+                "requested %d (make total_rays a multiple of batch_size)",
+                n_batches * batch_size, n_batches, batch_size, total_rays)
         n_det = max(len(self.detector_names), 1)
         hist64 = np.zeros((cfg.hist_azimuth_bins, cfg.hist_polar_bins))
         per_det64 = np.zeros(n_det)
@@ -333,7 +339,8 @@ class Tracer:
                                         cfg.image_bins)
             led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
             rays, det_b, led_b, iters_b = step_mod.trace_loop_jit(
-                self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations
+                self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations,
+                jax.random.fold_in(k, 0x5757)  # batch-distinct roulette keys
             )
             batch_iters.append(int(np.asarray(iters_b)))
             # rays still alive when the batch retires are culled so the

@@ -179,8 +179,11 @@ def morton_order(o, alive, lo, hi):
 def reorder_rays(scene: Scene, rays: RayBatch) -> RayBatch:
     """Morton-sort the batch in place (ray order is semantically free: every
     downstream quantity is per-ray or a sum)."""
-    lo = jnp.min(scene.v0, axis=0)
-    hi = jnp.max(scene.v0, axis=0)
+    # bounds over VALID triangles only: padding rows are zero vectors and
+    # would stretch the quantization box to include the origin
+    valid = jnp.any(scene.ww != 0.0, axis=1)[:, None]
+    lo = jnp.min(jnp.where(valid, scene.v0, jnp.float32(3.4e38)), axis=0)
+    hi = jnp.max(jnp.where(valid, scene.v0, jnp.float32(-3.4e38)), axis=0)
     order = morton_order(rays.o, rays.alive, lo, hi)
     return jax.tree_util.tree_map(lambda a: a[order], rays)
 
@@ -196,6 +199,7 @@ class ShadeOut(NamedTuple):
     child_ior: jnp.ndarray     # (2C,)
     child_wavelength: jnp.ndarray  # (2C,)
     child_absorb: jnp.ndarray  # (2C,) medium absorption coefficient
+    policy_dropped: jnp.ndarray  # () power dropped by allow_splitting=False
     child_s1: jnp.ndarray      # (2C,) Stokes fractions (polarization)
     child_s2: jnp.ndarray      # (2C,)
     child_s3: jnp.ndarray      # (2C,)
@@ -295,6 +299,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
+    policy_dropped = jnp.float32(0.0)
     if cfg.allow_splitting:
         # child B: the refracted branch (dielectric only), at slot C + i
         if cfg.polarization:
@@ -328,6 +333,10 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_o, child_d, child_power, child_ior = hit_point, da, pa, rays.ior
         child_wl = rays.wavelength
         child_ab = rays.absorb
+        # direct step-level users can reach this path with refractive
+        # triangles present (the engine forbids it); account the dropped
+        # refracted power so the conservation ledger still balances
+        policy_dropped = jnp.sum(jnp.where(is_refr, live_p * (1.0 - sn["R"]), 0.0))
         if cfg.polarization:
             child_s1, child_s2, child_s3 = a_s1, a_s2, a_s3
             child_basis = new_basis
@@ -344,6 +353,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
 
     return ShadeOut(
         child_o, child_d, child_power, child_ior, child_wl, child_ab,
+        policy_dropped,
         child_s1, child_s2, child_s3, child_basis,
         child_alive,
         hit_point, is_meas, measured_power, det_id,
@@ -383,12 +393,16 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
 
         F = jnp.asarray(_frame(cfg.image_normal), jnp.float32)
         rel = sh.hit_point - jnp.asarray(cfg.image_center, jnp.float32)
-        x = rel @ F[0]
-        y = rel @ F[1]
+        # elementwise dot, NOT a matmul: TPU's default matmul precision
+        # truncates geometry to bf16 (see CLAUDE.md)
+        x = jnp.sum(rel * F[0], axis=1)
+        y = jnp.sum(rel * F[1], axis=1)
         nb = cfg.image_bins
         hw = cfg.image_halfwidth
-        ix = ((x + hw) / (2 * hw) * nb).astype(jnp.int32)
-        iy = ((y + hw) / (2 * hw) * nb).astype(jnp.int32)
+        # floor, not int-cast: truncation would alias points just outside
+        # the left/bottom edge into row/column 0
+        ix = jnp.floor((x + hw) / (2 * hw) * nb).astype(jnp.int32)
+        iy = jnp.floor((y + hw) / (2 * hw) * nb).astype(jnp.int32)
         inside = (ix >= 0) & (ix < nb) & (iy >= 0) & (iy < nb)
         flat_img = jnp.where(inside, ix * nb + iy, nb * nb)
         image = jnp.pad(image.reshape(-1), (0, 1)).at[flat_img].add(
@@ -497,6 +511,8 @@ class StepAux(NamedTuple):
     everything every iteration — SURVEY.md §4.3)."""
 
     hit_point: jnp.ndarray       # (C, 3) segment endpoints (for paths/plots)
+    start_point: jnp.ndarray     # (C, 3) segment starts (POST-reorder when
+                                 # cfg.cull sorts rays; pairs with hit_point)
     parent_alive: jnp.ndarray    # (C,) bool parents that were traced
     m_pos: jnp.ndarray           # (C, 3) measured hit points, compacted
     m_dir: jnp.ndarray           # (C, 3) arrival directions, compacted
@@ -523,7 +539,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
             raise ValueError("roulette_threshold > 0 requires a PRNG key")
         sh, rr_delta = roulette(sh, cfg, key)
     new_rays, culled = compact(sh, rays.capacity, cfg)
-    culled = culled + rr_delta
+    culled = culled + rr_delta + sh.policy_dropped
     led = Ledger(
         emitted=led.emitted,
         measured=led.measured + jnp.sum(sh.measured_power),
@@ -543,6 +559,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
 
     aux = StepAux(
         hit_point=sh.hit_point,
+        start_point=rays.o,
         parent_alive=rays.alive,
         m_pos=_compact(sh.hit_point),
         m_dir=_compact(rays.d),
@@ -565,7 +582,7 @@ def trace_step_jit(scene: Scene, rays: RayBatch, det: DetectorState,
 @functools.partial(jax.jit, static_argnames=("cfg", "iterations"),
                    donate_argnums=(1,))
 def trace_loop_jit(scene: Scene, rays: RayBatch, det: DetectorState,
-                   led: Ledger, cfg: TraceConfig, iterations: int):
+                   led: Ledger, cfg: TraceConfig, iterations: int, key=None):
     """Whole fixed-depth trace as ONE on-device computation (the reference's
     per-iteration host round-trip removed — SURVEY.md §4.3 design note).
     Early exit when accounted power reaches cfg.dissipation_target via
@@ -577,11 +594,13 @@ def trace_loop_jit(scene: Scene, rays: RayBatch, det: DetectorState,
             led.accounted() < cfg.dissipation_target * led.emitted
         )
 
+    base_key = (key if key is not None else jax.random.key(cfg.seed))
+
     def body(state):
         i, rays, det, led = state
-        key = (jax.random.fold_in(jax.random.key(cfg.seed), i)
-               if cfg.roulette_threshold > 0.0 else None)
-        rays, det, led, _ = trace_step(scene, rays, det, led, cfg, key=key)
+        k = (jax.random.fold_in(base_key, i)
+             if cfg.roulette_threshold > 0.0 else None)
+        rays, det, led, _ = trace_step(scene, rays, det, led, cfg, key=k)
         return (i + 1, rays, det, led)
 
     iters_run, rays, det, led = jax.lax.while_loop(

@@ -66,3 +66,27 @@ class TestStrategies:
         with pytest.raises(ValueError, match="refracted branch"):
             Tracer().trace(src, lens_scene(), trace_iterations=2,
                            allow_splitting=False)
+
+
+class TestNoSplitStepLevelLedger:
+    def test_policy_dropped_keeps_ledger_exact(self):
+        # direct step-level use of allow_splitting=False on a refractive
+        # scene: the dropped refracted power must be accounted (culled)
+        import jax.numpy as jnp
+
+        from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
+        from lightpycl_tpu.tracer.step import trace_step
+
+        scene, _ = L.build_scene(lens_scene())
+        cfg = TraceConfig(allow_splitting=False)
+        rays = RayBatch.from_arrays(
+            np.tile([0, 0, -1.0], (64, 1)), np.tile([0, 0, 1.0], (64, 1)),
+            np.full(64, 1.0 / 64))
+        det = DetectorState.zeros(4, 4, 1)
+        led = Ledger.start(1.0)
+        for _ in range(4):
+            rays, det, led, _ = trace_step(scene, rays, det, led, cfg)
+        live = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
+        acc = float(np.asarray(led.accounted()))
+        assert acc + live == pytest.approx(1.0, rel=1e-5)
+        assert float(np.asarray(led.culled)) > 0.01  # refracted power dropped

@@ -146,3 +146,30 @@ class TestCullGen2:
         s = np.sqrt(1 - z**2)
         d = np.stack([s * np.cos(phi), s * np.sin(phi), -z], 1).astype(np.float32)
         check(jnp.asarray(o), jnp.asarray(d))
+
+
+class TestCullRecordPaths:
+    def test_segments_aligned_under_reordering(self):
+        # cull Morton-sorts rays inside the step; recorded segments must
+        # still pair each start with ITS OWN hit point
+        from lightpycl_tpu.sources import CollimatedSource
+        from lightpycl_tpu.tracer.engine import Tracer
+
+        els = [oe.parabolic_mirror(0.5, 2.0, reflectivity=0.9),
+               oe.hemisphere(10.0, name="dome")]
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=1.5, ray_count=256, power=1.0, seed=3)
+        res = Tracer().trace(src, els, trace_iterations=3, mode="host",
+                             record_paths=True, cull=True)
+        assert res.segments
+        for starts, ends, alive in res.segments:
+            seg = ends[alive] - starts[alive]
+            ln = np.linalg.norm(seg, axis=1, keepdims=True)
+            ok = ln[:, 0] > 1e-6
+            u = seg[ok] / ln[ok]
+            # every segment must be a straight ray path: unit direction,
+            # and for the first bounce all downward (-z source)
+            assert np.allclose(np.linalg.norm(u, axis=1), 1.0, atol=1e-5)
+        first_starts, first_ends, first_alive = res.segments[0]
+        d0 = first_ends[first_alive] - first_starts[first_alive]
+        assert (d0[:, 2] < 0).all()  # all first segments travel -z

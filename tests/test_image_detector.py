@@ -73,3 +73,18 @@ class TestAnnulus:
         assert res.ledger["absorbed"] == pytest.approx(1 - (0.2 / 0.5) ** 2, abs=0.02)
         r_hit = np.linalg.norm(res.measured_pos[:, :2], axis=1)
         assert (r_hit <= 0.2 + 1e-3).all()
+
+
+class TestImageEdges:
+    def test_points_outside_left_edge_not_binned(self):
+        # a beam JUST outside the left edge, within one pixel width
+        # (x in [-1.09, -1.01], pixel = 0.125): int-truncation used to
+        # alias exactly this band into column 0
+        det = oe.rectangle(4, 4, center=(0, 0, 1), material="measure")
+        src = CollimatedSource(center=(-1.05, 0, 0), direction=(0, 0, 1),
+                               diameter=0.08, ray_count=500)
+        res = Tracer().trace(src, [det], trace_iterations=1, mode="device",
+                             image_bins=16, image_center=(0, 0, 1),
+                             image_halfwidth=1.0)
+        assert res.ledger["measured"] == pytest.approx(1.0, rel=1e-4)
+        assert res.image.sum() < 1e-6  # all hits outside the window
