@@ -50,19 +50,24 @@ def reflect(d, n):
     return d - 2.0 * dot(d, n)[..., None] * n
 
 
-def refract(d, n, eta):
+def refract_full(d, n, eta):
     """Snell refraction of unit direction d at a surface with normal n.
 
-    eta = n1 / n2. Returns (t_dir, tir) where t_dir is the refracted unit
-    direction (garbage-but-finite where tir) and tir flags total internal
-    reflection.
-    """
+    eta = n1 / n2. Returns (t_dir, tir, cos_t): refracted unit direction
+    (garbage-but-finite where tir), the TIR flag, and cos of the
+    transmission angle (0 where tir)."""
     cos_i = -dot(d, n)  # >= 0 since n faces the ray
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t > 1.0
     cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
     t = eta[..., None] * d + (eta * cos_i - cos_t)[..., None] * n
-    return normalize(t), tir
+    return normalize(t), tir, jnp.where(tir, 0.0, cos_t)
+
+
+def refract(d, n, eta):
+    """Snell refraction; returns (t_dir, tir). See refract_full."""
+    t, tir, _ = refract_full(d, n, eta)
+    return t, tir
 
 
 def fresnel_unpolarized(cos_i, cos_t, n1, n2, tir):
@@ -194,10 +199,7 @@ def snell_interaction(d, n_geom, ray_ior, tri_ior, env_ior):
     eta = n1 / jnp.maximum(n2, _TINY)
 
     cos_i = -dot(d, n)
-    refr_dir, tir = refract(d, n, eta)
-    cos_t = jnp.sqrt(
-        jnp.maximum(0.0, 1.0 - eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i))
-    )
+    refr_dir, tir, cos_t = refract_full(d, n, eta)
     R = fresnel_unpolarized(cos_i, cos_t, n1, n2, tir)
     refl_dir = reflect(d, n)
     # Where TIR, the "refracted" branch carries zero power (R=1); keep its
