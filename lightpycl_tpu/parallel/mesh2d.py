@@ -47,25 +47,39 @@ def place(scene: Scene, rays: RayBatch, mesh: Mesh):
     return scene_sh, rays_sh
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "iterations", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "iterations", "mesh", "n_detectors"))
 def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
-                 iterations: int, mesh: Mesh):
+                 iterations: int, mesh: Mesh, n_detectors: int = 8,
+                 key=None):
     """Fixed-depth trace over the 2-D mesh. Returns (rays sharded over
-    "rays", DetectorState global, Ledger global)."""
+    "rays", DetectorState global, Ledger global).
+
+    `n_detectors` must cover every measure surface in the scene. Roulette
+    (cfg.roulette_threshold > 0) needs `key`; the per-step key folds in the
+    RAY axis index only — shade/compact run replicated across the TRI axis,
+    so the draws must be identical on every triangle rank."""
     n_tris = mesh.shape[TRI_AXIS]
     Tp = scene.num_triangles_padded
     assert Tp % n_tris == 0
     shard_size = Tp // n_tris
+    if cfg.roulette_threshold > 0.0 and key is None:
+        raise ValueError(
+            "cfg.roulette_threshold > 0 requires a PRNG key "
+            "(pass key=jax.random.key(seed) to trace_mesh2d)")
 
-    def local(scene_shard, rays):
+    def local(scene_shard, rays, key):
         my_tri = jax.lax.axis_index(TRI_AXIS)
         is_rank0 = (my_tri == 0).astype(jnp.float32)
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
-                                  8, cfg.image_bins)
+                                  n_detectors, cfg.image_bins)
         led = Ledger.start(
             jnp.sum(jnp.where(rays.alive, rays.power, 0.0)) * is_rank0)
+        if cfg.roulette_threshold > 0.0:
+            shard_key = jax.random.fold_in(
+                key, jax.lax.axis_index(RAY_AXIS))
 
-        def body(_, st):
+        def body(i, st):
             rays, det, led = st
             # 1. local nearest hit + global reduction over the triangle axis
             t_loc, i_loc = step_mod.intersect(scene_shard, rays.o, rays.d, cfg)
@@ -106,13 +120,19 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 escaped=sh.escaped * is_rank0,
             )
             det = step_mod.accumulate_detector(det, sh0, rays, cfg)
+            rr_delta = jnp.float32(0.0)
+            if cfg.roulette_threshold > 0.0:
+                # identical across the TRI axis (sh is replicated there)
+                sh, rr_delta = step_mod.roulette(
+                    sh, cfg, jax.random.fold_in(shard_key, i))
             new_rays, culled = step_mod.compact(sh, rays.capacity, cfg)
             led = Ledger(
                 emitted=led.emitted,
                 measured=led.measured + jnp.sum(sh0.measured_power),
                 absorbed=led.absorbed + sh0.absorbed,
                 escaped=led.escaped + sh0.escaped,
-                culled=led.culled + culled * is_rank0,
+                culled=led.culled
+                + (culled + rr_delta + sh.policy_dropped) * is_rank0,
             )
             return new_rays, det, led
 
@@ -129,7 +149,7 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(TRI_AXIS), P(RAY_AXIS)),
+        in_specs=(P(TRI_AXIS), P(RAY_AXIS), P()),
         out_specs=(P(RAY_AXIS), P(), P()),
         check_vma=False,
-    )(scene, rays)
+    )(scene, rays, key)

@@ -45,27 +45,44 @@ def shard_rays(rays: RayBatch, mesh: Mesh) -> RayBatch:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "iterations", "mesh")
+    jax.jit, static_argnames=("cfg", "iterations", "mesh", "n_detectors")
 )
 def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
-                    iterations: int, mesh: Mesh):
+                    iterations: int, mesh: Mesh, n_detectors: int = 8,
+                    key=None):
     """Fixed-depth multi-bounce trace, SPMD over the ray axis.
 
     Returns (rays_out sharded, DetectorState replicated/global,
     Ledger replicated/global). Per-shard compaction keeps each chip's
     capacity fixed; detector bins and the ledger are `psum`ed over ICI at
     the end (BASELINE.json north_star: "psum of detector bins over ICI").
-    """
 
-    def local(scene, rays):
+    `n_detectors` sizes the per-detector accumulator — it must be >= the
+    number of measure surfaces in the scene (the engine passes
+    len(detector_names)). `key` is required iff cfg.roulette_threshold > 0:
+    each shard folds its axis index in, so roulette draws are independent
+    across chips and deterministic for a fixed mesh.
+    """
+    if cfg.roulette_threshold > 0.0 and key is None:
+        raise ValueError(
+            "cfg.roulette_threshold > 0 requires a PRNG key "
+            "(pass key=jax.random.key(seed) to trace_multichip)")
+
+    def local(scene, rays, key):
         led = Ledger.start(jnp.sum(jnp.where(rays.alive, rays.power, 0.0)))
         det = DetectorState.zeros(
-            cfg.hist_azimuth_bins, cfg.hist_polar_bins, 8, cfg.image_bins
+            cfg.hist_azimuth_bins, cfg.hist_polar_bins, n_detectors,
+            cfg.image_bins
         )
+        if cfg.roulette_threshold > 0.0:
+            shard_key = jax.random.fold_in(
+                key, jax.lax.axis_index(RAY_AXIS))
 
-        def body(_, st):
+        def body(i, st):
             rays, det, led = st
-            rays, det, led, _ = trace_step(scene, rays, det, led, cfg)
+            k = (jax.random.fold_in(shard_key, i)
+                 if cfg.roulette_threshold > 0.0 else None)
+            rays, det, led, _ = trace_step(scene, rays, det, led, cfg, key=k)
             return rays, det, led
 
         rays, det, led = jax.lax.fori_loop(0, iterations, body, (rays, det, led))
@@ -80,7 +97,7 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(RAY_AXIS)),
+        in_specs=(P(), P(RAY_AXIS), P()),
         out_specs=(P(RAY_AXIS), P(), P()),
         check_vma=False,
-    )(scene, rays)
+    )(scene, rays, key)

@@ -130,6 +130,7 @@ class Tracer:
         record_paths: bool = False,
         rays: Optional[RayBatch] = None,
         profile_logdir: Optional[str] = None,
+        mesh=None,
         **cfg_overrides,
     ) -> TraceResult:
         """Run the iterative trace.
@@ -137,6 +138,12 @@ class Tracer:
         `source` is a LightSource / CollimatedSource (or None if `rays` is
         given). Remaining kwargs override TraceConfig fields, mirroring the
         reference's iterative_tracer(...) signature.
+
+        mode="multichip" shards the ray batch over every available device
+        (or over `mesh`, a 1-axis jax.sharding.Mesh) with the scene
+        replicated, and psums the detector state + ledger back — same
+        TraceResult as a single-device run, detector histograms exactly
+        equal. Measured-ray lists and record_paths need mode="host".
         """
         cfg = self.cfg
         if trace_iterations is not None:
@@ -160,6 +167,12 @@ class Tracer:
                                         ior_env=cfg.ior_env, capacity=capacity,
                                         wavelengths=wls,
                                         stokes=getattr(source, "stokes", None))
+        if mode == "multichip":
+            from lightpycl_tpu.parallel.sharding import make_ray_mesh
+
+            mesh = mesh or make_ray_mesh()
+            n_shards = mesh.devices.size
+            rays = rays.padded_to(-(-rays.capacity // n_shards) * n_shards)
         C = rays.capacity
         emitted = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
@@ -176,7 +189,8 @@ class Tracer:
         from lightpycl_tpu.utils.profiling import trace_profile
 
         with trace_profile(profile_logdir):
-            result = self._run(mode, rays, det, led, cfg, C, emitted, record_paths)
+            result = self._run(mode, rays, det, led, cfg, C, emitted,
+                               record_paths, mesh=mesh)
         self.last_result = result
         log.info(
             "trace done: %.3fs, %.3g intersection tests/s, %.3g rays/s",
@@ -197,9 +211,31 @@ class Tracer:
             cfg = cfg.replace(allow_splitting=False)
         return cfg
 
-    def _run(self, mode, rays, det, led, cfg, C, emitted, record_paths) -> TraceResult:
+    def _run(self, mode, rays, det, led, cfg, C, emitted, record_paths,
+             mesh=None) -> TraceResult:
         t0 = time.perf_counter()
-        if mode == "device":
+        if mode == "multichip":
+            from lightpycl_tpu.parallel.sharding import (
+                shard_rays, trace_multichip,
+            )
+
+            if record_paths:
+                log.warning("record_paths requires mode='host'; multichip "
+                            "mode returns no path segments")
+            rays = shard_rays(rays, mesh)
+            key = (jax.random.key(cfg.seed)
+                   if cfg.roulette_threshold > 0.0 else None)
+            rays_out, det, led = trace_multichip(
+                self.scene, rays, cfg, cfg.trace_iterations, mesh,
+                n_detectors=max(len(self.detector_names), 1), key=key,
+            )
+            jax.block_until_ready(led)
+            wall = time.perf_counter() - t0
+            result = self._package(
+                rays_out, det, led, [], [], cfg.trace_iterations, C, wall,
+                record_paths=False,
+            )
+        elif mode == "device":
             if record_paths:
                 log.warning("record_paths requires mode='host'; device mode "
                             "returns no path segments")
@@ -301,8 +337,11 @@ class Tracer:
         if checkpoint_path is not None:
             import os
 
-            from lightpycl_tpu.io.checkpoint import load_state
+            from lightpycl_tpu.io.checkpoint import load_state, normalize_path
 
+            # save_state writes '<path>.npz' when the suffix is missing;
+            # resume must probe the name actually on disk
+            checkpoint_path = normalize_path(checkpoint_path)
             if os.path.exists(checkpoint_path):
                 st = load_state(checkpoint_path)
                 hist64 = np.asarray(st["extra"]["hist64"])

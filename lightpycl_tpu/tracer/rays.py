@@ -44,6 +44,35 @@ class RayBatch(NamedTuple):
     def capacity(self) -> int:
         return self.o.shape[0]
 
+    def padded_to(self, capacity: int) -> "RayBatch":
+        """Grow the batch to `capacity` slots with dead rays (used by the
+        multichip path, where capacity must divide the device count)."""
+        pad = capacity - self.capacity
+        if pad < 0:
+            raise ValueError(f"capacity {capacity} < current {self.capacity}")
+        if pad == 0:
+            return self
+
+        def ext(a, fill):
+            return jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+        unit_z = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (pad, 1))
+        unit_x = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))
+        return RayBatch(
+            o=ext(self.o, 0.0),
+            d=jnp.concatenate([self.d, unit_z]),
+            power=ext(self.power, 0.0),
+            ior=ext(self.ior, 1.0),
+            alive=ext(self.alive, False),
+            wavelength=ext(self.wavelength, D_LINE_UM),
+            absorb=ext(self.absorb, 0.0),
+            s1=ext(self.s1, 0.0),
+            s2=ext(self.s2, 0.0),
+            s3=ext(self.s3, 0.0),
+            basis=jnp.concatenate([self.basis, unit_x]),
+        )
+
     @staticmethod
     def from_arrays(origins, dirs, powers, ior_env: float = 1.0,
                     capacity: int | None = None,

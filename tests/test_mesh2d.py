@@ -49,3 +49,58 @@ def test_mesh2d_matches_single_device(shape):
     live = float(np.asarray((rays_out.power * rays_out.alive).sum()))
     acc = float(led.measured + led.absorbed + led.escaped + led.culled)
     assert acc + live == pytest.approx(1.0, rel=1e-5)
+
+
+def test_mesh2d_roulette_conserves():
+    """Roulette draws must be identical across the TRI axis (shade/compact
+    run replicated there); conservation stays exact on a 2x4 mesh."""
+    els, src, rays = setup_case()
+    cfg = TraceConfig(roulette_threshold=5e-3)
+    scene, _ = L.build_scene(els)
+    mesh = make_mesh2d(2, 4)
+    scene_sh, rays_sh = place(scene, rays, mesh)
+    rays_out, det, led = trace_mesh2d(scene_sh, rays_sh, cfg, 6, mesh,
+                                      key=jax.random.key(11))
+    live = float(np.asarray((rays_out.power * rays_out.alive).sum()))
+    acc = float(led.measured + led.absorbed + led.escaped + led.culled)
+    assert acc + live == pytest.approx(1.0, rel=1e-5)
+    assert float(led.measured) > 0.5
+
+
+def test_mesh2d_roulette_requires_key():
+    els, src, rays = setup_case()
+    cfg = TraceConfig(roulette_threshold=5e-3)
+    scene, _ = L.build_scene(els)
+    mesh = make_mesh2d(2, 4)
+    scene_sh, rays_sh = place(scene, rays, mesh)
+    with pytest.raises(ValueError, match="PRNG key"):
+        trace_mesh2d(scene_sh, rays_sh, cfg, 4, mesh)
+
+
+def test_mesh2d_many_detectors():
+    """n_detectors sizes the per-detector accumulator (was hard-coded 8)."""
+    from lightpycl_tpu.materials import Material
+
+    n_det = 10
+    els = [
+        oe.rectangle(1.0, 4.0, center=(x - (n_det - 1) / 2.0, 0, 0),
+                     material=Material.MEASURE, name=f"panel{x}")
+        for x in range(n_det)
+    ]
+    els.append(oe.rectangle(40.0, 40.0, center=(0, 0, -1.0),
+                            material=Material.TERMINATOR))
+    src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                           diameter=9.0, ray_count=4096, power=1.0, seed=6)
+    cfg = TraceConfig()
+    res1 = Tracer(cfg).trace(src, els, trace_iterations=2, mode="device")
+
+    scene, det_names = L.build_scene(els)
+    o, d, p = src.sample()
+    mesh = make_mesh2d(2, 4)
+    scene_sh, rays_sh = place(scene, RayBatch.from_arrays(o, d, p), mesh)
+    _, det, led = trace_mesh2d(scene_sh, rays_sh, cfg, 2, mesh,
+                               n_detectors=len(det_names))
+    assert np.asarray(det.per_detector).shape == (n_det,)
+    assert (res1.per_detector > 0).all()
+    np.testing.assert_allclose(np.asarray(det.per_detector),
+                               res1.per_detector, atol=1e-5)

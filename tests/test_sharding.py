@@ -76,3 +76,89 @@ class TestMultichip:
         )
         sharded = shard_rays(rays, mesh)
         assert len(sharded.o.sharding.device_set) == 8
+
+
+def many_detector_els(n_det=10):
+    """n_det unit-width measure rectangles side by side at z=0 plus a
+    catch-all terminator floor below."""
+    from lightpycl_tpu.materials import Material
+
+    els = [
+        oe.rectangle(1.0, 4.0, center=(x - (n_det - 1) / 2.0, 0, 0),
+                     material=Material.MEASURE, name=f"panel{x}")
+        for x in range(n_det)
+    ]
+    els.append(oe.rectangle(40.0, 40.0, center=(0, 0, -1.0),
+                            material=Material.TERMINATOR))
+    return els
+
+
+class TestEngineMultichip:
+    def test_engine_mode_matches_device_mode(self):
+        els = scene_els()
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=1.5, ray_count=2048, power=1.0, seed=3)
+        cfg = TraceConfig(hist_azimuth_bins=16, hist_polar_bins=8)
+        tr = Tracer(cfg)
+        res1 = tr.trace(src, els, trace_iterations=5, mode="device")
+        res8 = tr.trace(src, els, trace_iterations=5, mode="multichip")
+        assert res8.ledger["emitted"] == pytest.approx(
+            res1.ledger["emitted"], rel=1e-6)
+        assert res8.ledger["measured"] == pytest.approx(
+            res1.ledger["measured"], rel=1e-4)
+        assert np.allclose(res8.hist, res1.hist, atol=1e-5)
+        assert np.allclose(res8.per_detector, res1.per_detector, atol=1e-5)
+        assert res8.per_detector.shape == res1.per_detector.shape
+        assert res8.detector_names == res1.detector_names
+
+    def test_engine_mode_pads_capacity(self):
+        # 1000 rays does not divide 8; the engine must pad, not crash,
+        # and padding must not change the physics
+        els = scene_els()
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=1.5, ray_count=1000, power=1.0, seed=5)
+        tr = Tracer(TraceConfig())
+        res1 = tr.trace(src, els, trace_iterations=5, mode="device")
+        res8 = tr.trace(src, els, trace_iterations=5, mode="multichip")
+        assert res8.ledger["measured"] == pytest.approx(
+            res1.ledger["measured"], rel=1e-4)
+
+    def test_nine_plus_detectors(self):
+        # regression: the sharded paths used to hard-code 8 detector slots,
+        # silently folding detectors >= 8 into bin 7
+        n_det = 10
+        els = many_detector_els(n_det)
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=9.0, ray_count=4096, power=1.0, seed=6)
+        tr = Tracer(TraceConfig())
+        res1 = tr.trace(src, els, trace_iterations=2, mode="device")
+        res8 = tr.trace(src, els, trace_iterations=2, mode="multichip")
+        assert len(res8.detector_names) == n_det
+        assert res8.per_detector.shape == (n_det,)
+        # every panel (including ids 8 and 9) collects some power and the
+        # sharded result matches the single-device one detector-by-detector
+        assert (res1.per_detector > 0).all()
+        np.testing.assert_allclose(res8.per_detector, res1.per_detector,
+                                   atol=1e-5)
+
+    def test_roulette_multichip_conserves(self):
+        els = scene_els()
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=1.5, ray_count=1024, power=1.0, seed=7)
+        cfg = TraceConfig(roulette_threshold=5e-3)
+        tr = Tracer(cfg)
+        res = tr.trace(src, els, trace_iterations=6, mode="multichip")
+        assert res.power_conservation_error() < 1e-5
+        assert res.ledger["measured"] > 0.5
+
+    def test_roulette_requires_key_at_api_boundary(self):
+        els = scene_els()
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=1.5, ray_count=512, power=1.0, seed=8)
+        cfg = TraceConfig(roulette_threshold=5e-3)
+        scene, _ = L.build_scene(els)
+        o, d, p = src.sample()
+        mesh = make_ray_mesh(8)
+        rays = shard_rays(RayBatch.from_arrays(o, d, p), mesh)
+        with pytest.raises(ValueError, match="PRNG key"):
+            trace_multichip(scene, rays, cfg, 4, mesh)
