@@ -16,13 +16,27 @@ import numpy as np
 
 from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
 
+# bump when RayBatch/DetectorState/Ledger fields change meaning; loaders
+# may forward-fill fields ADDED since an older version but must never
+# guess at incompatible ones
+SCHEMA_VERSION = 2
+
+
+def normalize_path(path: str) -> str:
+    """The on-disk name save_state actually writes (np.savez appends
+    '.npz' when the suffix is missing — resume must check the same name)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
 
 def save_state(path: str, rays: Optional[RayBatch] = None,
                detector: Optional[DetectorState] = None,
                ledger: Optional[Ledger] = None, **extra) -> str:
     """Snapshot trace state to an .npz file. Any of the three state pytrees
-    may be omitted; `extra` holds scalars like the batch cursor."""
+    may be omitted; `extra` holds scalars like the batch cursor. Returns
+    the path actually written (always '.npz'-suffixed)."""
+    path = normalize_path(path)
     payload: dict = {f"extra_{k}": np.asarray(v) for k, v in extra.items()}
+    payload["extra_schema_version"] = np.asarray(SCHEMA_VERSION)
     if rays is not None:
         for f in RayBatch._fields:
             payload[f"rays_{f}"] = np.asarray(getattr(rays, f))
@@ -36,20 +50,47 @@ def save_state(path: str, rays: Optional[RayBatch] = None,
     return path
 
 
+def _default_basis(d: jnp.ndarray) -> jnp.ndarray:
+    """Valid polarization frame for rays whose checkpoint predates the
+    `basis` field: unit vector perpendicular to each direction (same
+    construction as RayBatch.from_arrays). A zero fill would silently
+    corrupt Stokes rotation on resume into a polarization=True run."""
+    a = jnp.where(jnp.abs(d[:, :1]) < 0.9,
+                  jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), d.shape),
+                  jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), d.shape))
+    b = jnp.cross(d, a)
+    return b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-20)
+
+
 def load_state(path: str):
     """Returns dict with 'rays' / 'detector' / 'ledger' (None if absent)
-    and 'extra' (dict of scalars)."""
+    and 'extra' (dict of scalars, including 'schema_version').
+
+    Checkpoints newer than this build are refused; fields this build added
+    since an older checkpoint are forward-filled with physically valid
+    defaults (unpolarized Stokes, perpendicular basis frame)."""
+    path = normalize_path(path)
     z = np.load(path)
+    version = int(z["extra_schema_version"]) if "extra_schema_version" in z else 1
+    if version > SCHEMA_VERSION:
+        raise ValueError(
+            f"checkpoint {path!r} has schema version {version}, newer than "
+            f"this build's {SCHEMA_VERSION}; refusing to guess at its fields")
     out = {"rays": None, "detector": None, "ledger": None, "extra": {}}
     if "rays_o" in z:
         n = z["rays_power"].shape[0]
+        d = jnp.asarray(z["rays_d"])
 
         def _field(f):
             if f"rays_{f}" in z:
                 return jnp.asarray(z[f"rays_{f}"])
-            # fields added after a checkpoint was written default to zeros
+            # fields added after the checkpoint was written: valid defaults
             if f == "basis":
-                return jnp.zeros((n, 3), jnp.float32)
+                return _default_basis(d)
+            if f == "wavelength":
+                from lightpycl_tpu.tracer.rays import D_LINE_UM
+
+                return jnp.full((n,), D_LINE_UM, jnp.float32)
             return jnp.zeros((n,), jnp.float32)
 
         out["rays"] = RayBatch(*[_field(f) for f in RayBatch._fields])

@@ -131,9 +131,16 @@ class LightSource:
         while len(out) < n:
             k = max(n - len(out), 1) * 2
             d, az, pol = _cap_directions_np(rng, k, self.polar_max)
-            acc = rng.uniform(0.0, m, size=k) < np.maximum(
-                0.0, np.asarray(self.directivity(az, pol))
-            )
+            vals = np.maximum(0.0, np.asarray(self.directivity(az, pol)))
+            if vals.max() > m:
+                # the grid probe under-covered a spike (sub-grid-cell peak);
+                # accepting under a too-small envelope clips the density, so
+                # raise the envelope and RESTART — already-accepted samples
+                # are biased toward the clipped region
+                m = float(vals.max()) * 1.1
+                out = np.empty((0, 3))
+                continue
+            acc = rng.uniform(0.0, m, size=k) < vals
             out = np.concatenate([out, d[acc]])
         d = out[:n]
         return d, np.ones(n)
@@ -218,7 +225,7 @@ class CollimatedSource:
 
     def rays_on_device(self, key: jax.Array, n: Optional[int] = None):
         n = int(n or self.ray_count)
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         r = (self.diameter / 2.0) * jnp.sqrt(jax.random.uniform(k1, (n,)))
         phi = jax.random.uniform(k2, (n,), minval=0.0, maxval=2.0 * jnp.pi)
         F = jnp.asarray(_frame(self.direction), dtype=jnp.float32)
@@ -228,7 +235,17 @@ class CollimatedSource:
             + r[:, None] * jnp.cos(phi)[:, None] * u
             + r[:, None] * jnp.sin(phi)[:, None] * v
         )
-        dirs = jnp.broadcast_to(w, (n, 3))
+        if self.divergence > 0.0:
+            # uniform in the divergence cone, same physics as sample()
+            z = jax.random.uniform(k3, (n,), minval=jnp.cos(self.divergence),
+                                   maxval=1.0)
+            ph = jax.random.uniform(k4, (n,), minval=0.0,
+                                    maxval=2.0 * jnp.pi)
+            s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+            dloc = jnp.stack([s * jnp.cos(ph), s * jnp.sin(ph), z], axis=1)
+            dirs = (dloc @ F).astype(jnp.float32)
+        else:
+            dirs = jnp.broadcast_to(w, (n, 3))
         powers = jnp.full((n,), self.power / n, jnp.float32)
         return origins.astype(jnp.float32), dirs, powers
 

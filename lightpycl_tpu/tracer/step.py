@@ -290,10 +290,14 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
 
         pa = jnp.where(is_mirror, live_p * refl, jnp.where(is_refr, r0, 0.0))
         pb_pol = jnp.where(is_refr, t0, 0.0)
-        # reflected-child fractions: mirror = ideal (rotated fractions kept)
+        # reflected-child fractions: an ideal mirror imposes rs = 1,
+        # rp = -1 (Mueller diag(1, 1, -1, -1)) — S2 and S3 flip sign, so
+        # circular polarization inverts handedness on reflection
         a_s1 = jnp.where(is_refr, frac(r1, r0), s1f)
-        a_s2 = jnp.where(is_refr, frac(r2, r0), s2f)
-        a_s3 = jnp.where(is_refr, frac(r3, r0), rays.s3)
+        a_s2 = jnp.where(is_refr, frac(r2, r0),
+                         jnp.where(is_mirror, -s2f, s2f))
+        a_s3 = jnp.where(is_refr, frac(r3, r0),
+                         jnp.where(is_mirror, -rays.s3, rays.s3))
         b_s1, b_s2, b_s3 = frac(t1, t0), frac(t2, t0), frac(t3, t0)
         new_basis = jnp.where(hit_valid[:, None], s_dir, rays.basis)
     else:

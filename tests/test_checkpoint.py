@@ -62,3 +62,66 @@ def test_resume_mid_trace_matches_uninterrupted(tmp_path):
     for a, b in zip(led, l2):
         assert float(a) == pytest.approx(float(b), rel=1e-6, abs=1e-7)
     assert np.allclose(np.asarray(det.hist), np.asarray(d2.hist), atol=1e-6)
+
+
+def test_bare_path_resume(tmp_path):
+    """save_state writes '<path>.npz' when the suffix is missing; resume
+    (engine + load_state) must find that file from the bare path."""
+    import os
+
+    from lightpycl_tpu.tracer.engine import Tracer
+
+    src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                           diameter=1.5, ray_count=256)
+    elements = [oe.parabolic_mirror(0.5, 2.0, reflectivity=0.9),
+                oe.hemisphere(10.0, name="dome")]
+    bare = str(tmp_path / "run")  # no .npz
+
+    tr = Tracer(TraceConfig(trace_iterations=4))
+    res_full = tr.trace_batched(src, total_rays=1024, batch_size=256,
+                                elements=elements, seed=5)
+    tr2 = Tracer(TraceConfig(trace_iterations=4))
+    tr2.trace_batched(src, total_rays=1024, batch_size=256,
+                      elements=elements, checkpoint_path=bare, seed=5,
+                      max_batches=2)
+    assert os.path.exists(bare + ".npz")
+    res_resumed = tr2.trace_batched(src, total_rays=1024, batch_size=256,
+                                    elements=elements, checkpoint_path=bare,
+                                    seed=5)
+    assert res_resumed.ledger["measured"] == pytest.approx(
+        res_full.ledger["measured"], rel=1e-5)
+    # direct load_state from the bare path works too
+    assert load_state(bare)["extra"]["next_batch"] == 4
+
+
+def test_old_checkpoint_forward_fills_valid_basis(tmp_path):
+    """A v1 checkpoint (no `basis`/Stokes fields) resumed into a
+    polarization=True run must get a VALID perpendicular frame, not zeros."""
+    src = CollimatedSource(diameter=1.0, ray_count=64, seed=1,
+                           direction=(0, 1, 1))
+    o, d, p = src.sample()
+    rays = RayBatch.from_arrays(o, d, p)
+    path = str(tmp_path / "old.npz")
+    save_state(path, rays)
+    # strip the fields a v1 build did not have
+    z = dict(np.load(path))
+    for f in ("rays_basis", "rays_s1", "rays_s2", "rays_s3",
+              "extra_schema_version"):
+        z.pop(f)
+    np.savez_compressed(path, **z)
+
+    st = load_state(path)
+    b = np.asarray(st["rays"].basis, np.float64)
+    dn = np.asarray(st["rays"].d, np.float64)
+    np.testing.assert_allclose(np.linalg.norm(b, axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose((b * dn).sum(1), 0.0, atol=1e-5)
+
+
+def test_newer_schema_refused(tmp_path):
+    path = str(tmp_path / "future.npz")
+    save_state(path, cursor=1)
+    z = dict(np.load(path))
+    z["extra_schema_version"] = np.asarray(99)
+    np.savez_compressed(path, **z)
+    with pytest.raises(ValueError, match="schema version"):
+        load_state(path)

@@ -146,3 +146,37 @@ class TestPolarizedTrace:
         # both conserve, but the detected split differs measurably
         assert r_pol.power_conservation_error() < 1e-4
         assert abs(r_pol.ledger["measured"] - r_sca.ledger["measured"]) > 1e-4
+
+
+class TestMirrorHandedness:
+    def test_mirror_flips_s3_and_s2(self):
+        """An ideal mirror imposes rs = 1, rp = -1 (Mueller
+        diag(1, 1, -1, -1)): circular polarization inverts handedness and
+        S2 flips sign; S1 is preserved."""
+        mirror = oe.rectangle(4.0, 4.0, material="mirror",
+                              reflectivity=1.0).rotate((0, 1, 0),
+                                                       np.radians(45.0))
+        scene, _ = L.build_scene([mirror])
+        cfg = TraceConfig(polarization=True, allow_splitting=False)
+        n = 8
+        for stokes, expect in [
+            ((0.0, 0.0, 1.0), (0.0, 0.0, -1.0)),
+            ((0.0, 0.6, 0.0), (0.0, -0.6, 0.0)),
+            ((0.8, 0.0, 0.0), (0.8, 0.0, 0.0)),
+        ]:
+            rays = RayBatch.from_arrays(
+                np.tile([0, 0, -2.0], (n, 1)), np.tile([0, 0, 1.0], (n, 1)),
+                np.full(n, 1.0 / n), stokes=stokes)
+            det = DetectorState.zeros(4, 4, 1)
+            led = Ledger.start(1.0)
+            r, det, led, _ = trace_step(scene, rays, det, led, cfg)
+            alive = np.asarray(r.alive)
+            assert alive.any()
+            # the auto basis for d=+z is the incidence s-direction here
+            # (tilt about y), so no frame rotation muddies the comparison
+            np.testing.assert_allclose(np.asarray(r.s1)[alive], expect[0],
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(r.s2)[alive], expect[1],
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(r.s3)[alive], expect[2],
+                                       atol=1e-5)

@@ -77,3 +77,45 @@ class TestDivergence:
         cos = d @ np.array([0, 0, 1.0])
         assert (cos >= np.cos(0.1) - 1e-12).all()
         assert cos.min() < np.cos(0.02)  # actually spread, not collimated
+
+    def test_divergence_on_device_matches_host_statistics(self):
+        """rays_on_device must honor `divergence` (it used to silently emit
+        the exact axis direction): mean direction + RMS divergence of the
+        device batch match the host sample()."""
+        cs = CollimatedSource(direction=(0, 1, 1), diameter=0.5,
+                              ray_count=20000, divergence=0.15, seed=3)
+        _, dh, _ = cs.sample()
+        _, dd, _ = cs.rays_on_device(jax.random.key(7))
+        dd = np.asarray(dd, np.float64)
+        axis = np.array([0, 1, 1.0]) / np.sqrt(2.0)
+        for d in (dh, dd):
+            cos = np.clip(d @ axis, -1, 1)
+            ang = np.arccos(cos)
+            assert (cos >= np.cos(0.15) - 1e-5).all()
+            # uniform in cone: E[theta^2] is the same for both samplers
+            assert np.sqrt((ang ** 2).mean()) == pytest.approx(
+                np.sqrt((np.arccos(np.clip(dh @ axis, -1, 1)) ** 2).mean()),
+                rel=0.03)
+        assert np.abs(dd.mean(0) - dh.mean(0)).max() < 5e-3
+
+    def test_rejection_envelope_recovers_from_spike(self):
+        """A directivity whose peak hides between the 64x64 probe-grid
+        nodes must still be sampled from the full density (the envelope
+        rebuilds and restarts when it observes a larger value)."""
+        from lightpycl_tpu.sources import LightSource
+
+        # narrow gaussian spike at polar=0.31, azimuth arbitrary: grid step
+        # over polar is polar_max/63 ~ 0.025, spike sigma is comparable but
+        # the scale factor makes mid-cell values exceed node values * 1.1
+        def spiky(az, pol):
+            return 1.0 + 200.0 * np.exp(-((pol - 0.3137) / 0.004) ** 2)
+
+        ls = LightSource(directivity=spiky, ray_count=4000, mode="sampled",
+                         polar_max=1.5, seed=9)
+        o, d, p = ls.sample()
+        pol = np.arccos(np.clip(d[:, 2], -1, 1))
+        # the spike must be visibly over-represented vs the flat background
+        in_spike = np.abs(pol - 0.3137) < 0.012
+        frac = in_spike.mean()
+        # flat density would put ~sin(0.31)*0.024/(1-cos(1.5)) ~ 0.8% here
+        assert frac > 0.02
