@@ -1,7 +1,8 @@
-from lightpycl_tpu.io.dxf import DXFWriter, load_dxf_mesh, save_traced_scene
+from lightpycl_tpu.io.dxf import (DXFWriter, load_dxf_mesh, load_dxf_scene,
+                                  save_traced_scene)
 from lightpycl_tpu.io.checkpoint import load_state, save_state
 from lightpycl_tpu.io.stl import load_stl, save_stl
 
 __all__ = ["DXFWriter", "save_traced_scene", "load_dxf_mesh",
-           "save_state", "load_state",
+           "load_dxf_scene", "save_state", "load_state",
            "load_stl", "save_stl"]
