@@ -55,7 +55,7 @@ def main():
     parity = abs(res_par.ledger["measured"] - ora["measured"]) / ora["measured"]
     emit("1_parabolic_collimator", rays=n1, triangles=tr.num_triangles,
          detected_power=res.ledger["measured"], wall_s=wall,
-         rays_per_s=n1 * 8 / wall, parity_rel_err=parity)
+         rays_per_s=n1 / wall, parity_rel_err=parity)
 
     # ---- config 2: plano-convex, focal map --------------------------------
     n2 = int(1_000_000 * scale)
@@ -77,7 +77,7 @@ def main():
          detected_power=res2.ledger["measured"],
          theory_direct_transmission=(1 - R0) ** 2,
          image_peak_bin=list(map(int, peak)), wall_s=wall,
-         rays_per_s=n2 * 6 / wall)
+         rays_per_s=n2 / wall)
 
     # ---- config 3: two-element stack with splitting ----------------------
     n3 = int(200_000 * scale)
@@ -96,7 +96,7 @@ def main():
     acc = sum(res3.ledger[k] for k in ("measured", "absorbed", "escaped", "culled"))
     emit("3_lens_stack_splitting", rays=n3, triangles=tr3.num_triangles,
          detected_power=res3.ledger["measured"], accounted=acc,
-         wall_s=wall, rays_per_s=n3 * 5 / wall)
+         wall_s=wall, rays_per_s=n3 / wall)
 
     # ---- config 4: large mesh, mega-batched -------------------------------
     n4 = int(16_000_000 * scale)
