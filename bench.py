@@ -60,14 +60,22 @@ def main():
     d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
     o_dev, d_dev = jnp.asarray(o), jnp.asarray(d)
 
+    import importlib
+
+    # ops/__init__ re-exports the same-named function, which shadows the
+    # submodule on `import ... as`; resolve the module itself
+    ip_mod = importlib.import_module("lightpycl_tpu.ops.intersect_pallas")
+
     cfg = TraceConfig()
-    ray_block = int(os.environ.get("LPCL_RAY_BLOCK", 256))
-    tri_tile = int(os.environ.get("LPCL_TRI_TILE", 2048))
+    ray_block = ip_mod.RAY_BLOCK   # env-overridable module defaults
+    tri_tile = ip_mod.TRI_TILE
+    tri_sub = ip_mod.TRI_SUB
 
     def one_intersect(o_in, d_in):
         if on_tpu:
             return intersect_pallas(scene, o_in, d_in, cfg,
-                                    ray_block=ray_block, tri_tile=tri_tile)
+                                    ray_block=ray_block, tri_tile=tri_tile,
+                                    tri_sub=tri_sub)
         return intersect_jnp(scene, o_in, d_in, cfg)
 
     # Timing methodology: run `reps` kernel invocations inside ONE jitted
@@ -131,6 +139,7 @@ def main():
         "device": str(jax.devices()[0]),
         "ray_block": ray_block,
         "tri_tile": tri_tile,
+        "tri_sub": tri_sub,
     }
     print(json.dumps(out))
 

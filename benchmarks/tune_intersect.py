@@ -43,21 +43,19 @@ def main():
     cfg = TraceConfig()
 
     results = []
-    r_list = [128, 256, 512, 1024]
-    k_list = [256, 512, 1024, 2048]
+    r_list = [32, 64, 128, 256]
+    k_list = [1024, 2048]
+    s_list = [1, 4, 8, 16]
     if quick:
-        r_list, k_list = [256, 512], [512, 1024]
-    for R, K in itertools.product(r_list, k_list):
+        r_list, k_list, s_list = [64, 128], [2048], [8, 16]
+    for R, K, S in itertools.product(r_list, k_list, s_list):
         try:
-            w4 = ip.pack_w4(scene, K)
-
             @jax.jit
-            def bench_loop(o_in, d_in, w4=w4, R=R, K=K):
+            def bench_loop(o_in, d_in, R=R, K=K, S=S):
                 def body(carry, _):
-                    t, i = ip._intersect_pallas_impl(
-                        o_in + carry, d_in, w4, eps=cfg.eps, eps_b=cfg.eps_bary,
-                        t_max=cfg.max_ray_len, ray_block=R, tri_tile=K,
-                        interpret=False)
+                    t, i = ip.intersect_pallas(
+                        scene, o_in + carry, d_in, cfg, ray_block=R,
+                        tri_tile=K, tri_sub=S, interpret=False, cull=False)
                     chk = jnp.clip(jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)), 0.0, 1.0)
                     return chk * 1e-30, jnp.sum(i)
                 return jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
@@ -67,16 +65,17 @@ def main():
             jax.block_until_ready(bench_loop(o, d))
             dt = (time.perf_counter() - t0) / reps
             rate = n_rays * n_tris / dt
-            results.append((rate, R, K))
-            print(f"R={R:5d} K={K:5d}: {dt * 1e3:8.2f} ms  {rate:.3e} tests/s",
-                  flush=True)
+            results.append((rate, R, K, S))
+            print(f"R={R:5d} K={K:5d} SUB={S:3d}: {dt * 1e3:8.2f} ms  "
+                  f"{rate:.3e} tests/s", flush=True)
         except Exception as e:
-            print(f"R={R:5d} K={K:5d}: FAILED {type(e).__name__}: {str(e)[:120]}",
-                  flush=True)
+            print(f"R={R:5d} K={K:5d} SUB={S:3d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
     if results:
         best = max(results)
-        print(f"# best: R={best[1]} K={best[2]} -> {best[0]:.3e} tests/s")
+        print(f"# best: R={best[1]} K={best[2]} SUB={best[3]} -> "
+              f"{best[0]:.3e} tests/s")
 
 
 if __name__ == "__main__":

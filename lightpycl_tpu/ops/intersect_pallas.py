@@ -45,10 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 from lightpycl_tpu.tracer.config import TraceConfig
 from lightpycl_tpu.tracer.scene import Scene
 
-# Block sizes (tuned on TPU v5e: benchmarks/compare_transforms.py sweep —
-# 6.2e10 tests/s plateau at K=2048 across R in 128..512).
-RAY_BLOCK = int(os.environ.get("LPCL_RAY_BLOCK", 256))
+# Block sizes (tuned on TPU v5e: benchmarks/compare_transforms.py +
+# micro_variants.py sweeps — round 2: R=128 with 8 K-tiles per grid step
+# beats round 1's R=256/1-tile by ~22% (7.6e10 vs 6.2e10) by amortizing
+# per-step grid overhead; larger R with many sub-tiles regresses on VMEM
+# pressure).
+RAY_BLOCK = int(os.environ.get("LPCL_RAY_BLOCK", 64))
 TRI_TILE = int(os.environ.get("LPCL_TRI_TILE", 2048))
+TRI_SUB = int(os.environ.get("LPCL_TRI_SUB", 16))  # K-tiles per grid step
 # Transform engine: 'mxu' (matmul, HIGHEST-precision passes) or 'vpu'
 # (broadcast FMAs — true f32, no precision passes, and the K=4 contraction
 # is too skinny to use the MXU well anyway).
@@ -65,14 +69,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(mask_ref, o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, n_words,
-            cull, eps, eps_b, t_max, transform):
-    """One (ray-block, tri-tile) cell. mask: bitpacked (n_rb*n_words,) i32
-    scalar-prefetch array (bit j%32 of word i*n_words + j//32); 0 = the
-    block's conservative bounds cannot reach this tile's AABB -> skip all
+def _kernel(mask_ref, o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, n_sub,
+            n_words, cull, eps, eps_b, t_max, transform):
+    """One (ray-block, tri-tile-group) cell: n_sub K-tiles of triangles per
+    grid step (amortizes the per-step grid overhead — measured 22% on v5e).
+    mask: bitpacked (n_rb*n_words,) i32 scalar-prefetch array over REAL tile
+    indices jj = j*n_sub + s (bit jj%32 of word i*n_words + jj//32); 0 = the
+    block's conservative bounds cannot reach that tile's AABB -> skip its
     compute (the triangle stream still flows; DMA is not the bottleneck).
-    o4/d4 (R,4); w (4,3K); bt/bi (R,1) running best-t / best-index
-    (revisited across tri tiles)."""
+    o4/d4 (R,4); w (4, n_sub*3K); bt/bi (R,1) running best-t / best-index
+    (revisited across tri groups)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -81,30 +87,38 @@ def _kernel(mask_ref, o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, n_words,
         bt_ref[:] = jnp.full(bt_ref.shape, _INF)
         bi_ref[:] = jnp.full(bi_ref.shape, -1, jnp.int32)
 
-    if cull:
-        word = mask_ref[i * n_words + j // 32]
-        bit = jax.lax.shift_right_logical(word, j % 32) & 1
-        reachable = bit != 0
-    else:
-        reachable = True
-
-    @pl.when(reachable)
-    def _compute():
-        _kernel_body(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, j, K=K, eps=eps,
-                     eps_b=eps_b, t_max=t_max, transform=transform)
-
-
-def _kernel_body(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, j, *, K, eps, eps_b,
-                 t_max, transform):
+    # Hoist every ref read out of the sub-tile loop: re-reading refs inside
+    # the loop materializes fresh copies per sub-tile (measured 18% on v5e).
     w = w_ref[:]
+    o4 = o4_ref[:]
+    d4 = d4_ref[:]
+    for s in range(n_sub):
+        def _compute(s=s):
+            _kernel_body(o4, d4, w, bt_ref, bi_ref, j, s, K=K,
+                         n_sub=n_sub, eps=eps, eps_b=eps_b, t_max=t_max,
+                         transform=transform)
+
+        if cull:
+            jj = j * n_sub + s
+            word = mask_ref[i * n_words + jj // 32]
+            bit = jax.lax.shift_right_logical(word, jj % 32) & 1
+            pl.when(bit != 0)(_compute)
+        else:
+            _compute()
+
+
+def _kernel_body(o4, d4, w, bt_ref, bi_ref, j, s, *, K, n_sub,
+                 eps, eps_b, t_max, transform):
+    off = s * 3 * K
     if transform == "mxu":
         # precision=HIGHEST: full-f32 MXU passes. The default bf16
         # truncation corrupts the ill-conditioned unit transforms of skinny
         # triangles (measured: 28% power leaked through a dome's pole fan).
         hi = jax.lax.Precision.HIGHEST
-        ores = jnp.dot(o4_ref[:], w, preferred_element_type=jnp.float32,
+        wsub = w[:, off:off + 3 * K]
+        ores = jnp.dot(o4, wsub, preferred_element_type=jnp.float32,
                        precision=hi)  # (R,3K)
-        dres = jnp.dot(d4_ref[:], w, preferred_element_type=jnp.float32,
+        dres = jnp.dot(d4, wsub, preferred_element_type=jnp.float32,
                        precision=hi)
         OU, OV, OW = ores[:, :K], ores[:, K:2 * K], ores[:, 2 * K:]
         DU, DV, DW = dres[:, :K], dres[:, K:2 * K], dres[:, 2 * K:]
@@ -113,8 +127,8 @@ def _kernel_body(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, j, *, K, eps, eps_b,
         # skinny to feed the 128-deep MXU (<= 6% utilization even before
         # the 6x f32 precision passes), so ~21 true-f32 FMAs per pair on
         # the 8x128 VPU beat the matmul formulation outright.
-        ox, oy, oz = (o4_ref[:, k:k + 1] for k in range(3))
-        dx, dy, dz = (d4_ref[:, k:k + 1] for k in range(3))
+        ox, oy, oz = (o4[:, k:k + 1] for k in range(3))
+        dx, dy, dz = (d4[:, k:k + 1] for k in range(3))
 
         def tr(base):
             rx = w[0:1, base:base + K]
@@ -125,17 +139,19 @@ def _kernel_body(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, j, *, K, eps, eps_b,
             D = dx * rx + dy * ry + dz * rz
             return O, D
 
-        OU, DU = tr(0)
-        OV, DV = tr(K)
-        OW, DW = tr(2 * K)
+        OU, DU = tr(off)
+        OV, DV = tr(off + K)
+        OW, DW = tr(off + 2 * K)
 
-    denom_ok = jnp.abs(DW) > 1e-30
-    t = -OW / jnp.where(denom_ok, DW, 1.0)
+    # IEEE semantics replace the old |DW| > 1e-30 guard: DW == 0 gives
+    # t = +-inf (OW != 0) or NaN (OW == 0, incl. all-zero padding rows) and
+    # every comparison below is then false -> no hit. Saves abs+cmp+select
+    # per pair (measured ~9% on v5e).
+    t = -OW / DW
     u = OU + t * DU
     v = OV + t * DV
     hit = (
-        denom_ok
-        & (t > eps) & (t < t_max)
+        (t > eps) & (t < t_max)
         & (u >= -eps_b) & (v >= -eps_b) & (u + v <= 1.0 + eps_b)
     )
     tt = jnp.where(hit, t, _INF)
@@ -151,7 +167,7 @@ def _kernel_body(o4_ref, d4_ref, w_ref, bt_ref, bi_ref, j, *, K, eps, eps_b,
     best = bt_ref[:]
     better = t_tile < best
     bt_ref[:] = jnp.where(better, t_tile, best)
-    bi_ref[:] = jnp.where(better, i_tile + j * K, bi_ref[:])
+    bi_ref[:] = jnp.where(better, i_tile + (j * n_sub + s) * K, bi_ref[:])
 
 
 def _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max, alive=None):
@@ -234,14 +250,15 @@ def _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max, alive=None):
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "eps_b", "t_max", "ray_block", "tri_tile",
-                     "interpret", "transform", "cull"),
+                     "tri_sub", "interpret", "transform", "cull"),
 )
 def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
-                           t_max, ray_block, tri_tile, interpret,
+                           t_max, ray_block, tri_tile, tri_sub, interpret,
                            transform=TRANSFORM, cull=False):
     C = o.shape[0]
     K = tri_tile
     R = ray_block
+    n_sub = tri_sub
     Cp = _round_up(C, R)
     if Cp != C:
         o = jnp.pad(o, ((0, Cp - C), (0, 0)))
@@ -250,7 +267,8 @@ def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
     d4 = jnp.concatenate([d, jnp.zeros((Cp, 1), jnp.float32)], axis=1)
 
     n_rb = Cp // R
-    n_tt = w4.shape[1] // (3 * K)
+    n_tt = w4.shape[1] // (3 * K)  # real + pad tiles (multiple of n_sub)
+    n_groups = n_tt // n_sub
 
     n_words = -(-n_tt // 32)
     # SMEM is ~1 MB; auto-disable the cull when even the bitpacked mask
@@ -271,17 +289,18 @@ def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
 
     # eps/t_max are static python floats -> compile-time literals in the kernel
     kernel = functools.partial(
-        _kernel, K=K, n_words=n_words, cull=bool(cull), eps=float(eps),
-        eps_b=float(eps_b), t_max=float(t_max), transform=transform,
+        _kernel, K=K, n_sub=n_sub, n_words=n_words, cull=bool(cull),
+        eps=float(eps), eps_b=float(eps_b), t_max=float(t_max),
+        transform=transform,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the flat cull mask, SMEM-resident
-        grid=(n_rb, n_tt),
+        grid=(n_rb, n_groups),
         in_specs=[
             # index maps get the scalar-prefetch ref as an extra trailing arg
             pl.BlockSpec((R, 4), lambda i, j, m: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 4), lambda i, j, m: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 3 * K), lambda i, j, m: (0, j),
+            pl.BlockSpec((4, 3 * K * n_sub), lambda i, j, m: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -352,8 +371,18 @@ def pack_w4(scene: Scene, tri_tile: int = TRI_TILE) -> jnp.ndarray:
     return stacked.reshape(4, (Tt // K) * 3 * K)
 
 
+def _pick_sub(n_tiles: int, want: int) -> int:
+    """Largest divisor of n_tiles <= want: K-tiles per grid step with ZERO
+    tile padding (padding tiles would burn full compute on NaN rows)."""
+    for s in range(min(want, n_tiles), 0, -1):
+        if n_tiles % s == 0:
+            return s
+    return 1
+
+
 def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
                      ray_block: int | None = None, tri_tile: int | None = None,
+                     tri_sub: int | None = None,
                      interpret: bool | None = None, transform: str | None = None,
                      cull: bool | None = None, alive=None):
     """Nearest-hit over the scene. Returns (t (C,), tri (C,); tri == -1,
@@ -374,12 +403,14 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
         cull = bool(getattr(cfg, "cull", False))
     w4 = pack_w4(scene, K)
     aabb_lo, aabb_hi = pack_aabbs(scene, K)
+    n_tiles = w4.shape[1] // (3 * K)
+    n_sub = _pick_sub(n_tiles, int(tri_sub or TRI_SUB))
     if alive is None:
         alive = jnp.ones((o.shape[0],), bool)
     t, i = _intersect_pallas_impl(
         o, d, w4, aabb_lo, aabb_hi, alive, eps=float(cfg.eps),
         eps_b=float(cfg.eps_bary),
-        t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K,
+        t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K, tri_sub=n_sub,
         interpret=bool(interpret), transform=transform or TRANSFORM,
         cull=bool(cull),
     )

@@ -59,13 +59,14 @@ def _intersect_tile(o4, d4, wu, wv, ww, eps, eps_b, t_max):
     DV = jnp.dot(d4, wv.T, preferred_element_type=f32, precision=hi)
     DW = jnp.dot(d4, ww.T, preferred_element_type=f32, precision=hi)
 
-    denom_ok = jnp.abs(DW) > 1e-30
-    t = -OW / jnp.where(denom_ok, DW, 1.0)
+    # IEEE semantics (same as the Pallas kernel): DW == 0 gives t = +-inf
+    # (OW != 0) or NaN (OW == 0, incl. all-zero padding rows), and every
+    # comparison below is false for both -> no hit, no guard ops needed.
+    t = -OW / DW
     u = OU + t * DU
     v = OV + t * DV
     hit = (
-        denom_ok
-        & (t > eps)
+        (t > eps)
         & (t < t_max)
         & (u >= -eps_b)
         & (v >= -eps_b)
