@@ -45,14 +45,19 @@ from jax.experimental.pallas import tpu as pltpu
 from lightpycl_tpu.tracer.config import TraceConfig
 from lightpycl_tpu.tracer.scene import Scene
 
-# Block sizes (tuned on TPU v5e: benchmarks/compare_transforms.py +
-# micro_variants.py sweeps — round 2: R=128 with 8 K-tiles per grid step
-# beats round 1's R=256/1-tile by ~22% (7.6e10 vs 6.2e10) by amortizing
-# per-step grid overhead; larger R with many sub-tiles regresses on VMEM
-# pressure).
+# Block sizes (tuned on TPU v5e: benchmarks/tune_intersect.py (R, K, SUB)
+# sweep — round 2: R=64, K=1024, 16 K-tiles per grid step = 8.2e10 tests/s
+# vs round 1's R=256/K=2048/1-tile at 6.2e10. Sub-tiling amortizes
+# per-step grid overhead; larger R or K with many sub-tiles regresses on
+# VMEM pressure).
 RAY_BLOCK = int(os.environ.get("LPCL_RAY_BLOCK", 64))
-TRI_TILE = int(os.environ.get("LPCL_TRI_TILE", 2048))
+TRI_TILE = int(os.environ.get("LPCL_TRI_TILE", 1024))
 TRI_SUB = int(os.environ.get("LPCL_TRI_SUB", 16))  # K-tiles per grid step
+# cull-mode blocks (chained-rep bowl-scene sweep: R=128/SUB=8 culls 10%
+# faster than the brute-force-optimal R=64/SUB=16 — coarser ray blocks
+# trade mask selectivity for fewer mask-gated steps)
+RAY_BLOCK_CULL = int(os.environ.get("LPCL_RAY_BLOCK_CULL", 128))
+TRI_SUB_CULL = int(os.environ.get("LPCL_TRI_SUB_CULL", 8))
 # Transform engine: 'mxu' (matmul, HIGHEST-precision passes) or 'vpu'
 # (broadcast FMAs — true f32, no precision passes, and the K=4 contraction
 # is too skinny to use the MXU well anyway).
@@ -392,19 +397,19 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
     (cfg.cull by default): results are identical to brute force — the mask
     only skips (block, tile) cells that provably cannot interact — with big
     wall-clock wins for coherent ray bundles (collimated sources)."""
-    R = int(ray_block or RAY_BLOCK)
+    if cull is None:
+        cull = bool(getattr(cfg, "cull", False))
+    R = int(ray_block or (RAY_BLOCK_CULL if cull else RAY_BLOCK))
     K = int(tri_tile or TRI_TILE)
     # small scenes: don't pad the triangle stream past the scene itself
     # (build_scene pads T to a multiple of 256, so min() keeps 3K lane-exact)
     K = min(K, scene.num_triangles_padded)
     if interpret is None:
         interpret = not pallas_available()
-    if cull is None:
-        cull = bool(getattr(cfg, "cull", False))
     w4 = pack_w4(scene, K)
     aabb_lo, aabb_hi = pack_aabbs(scene, K)
     n_tiles = w4.shape[1] // (3 * K)
-    n_sub = _pick_sub(n_tiles, int(tri_sub or TRI_SUB))
+    n_sub = _pick_sub(n_tiles, int(tri_sub or (TRI_SUB_CULL if cull else TRI_SUB)))
     if alive is None:
         alive = jnp.ones((o.shape[0],), bool)
     t, i = _intersect_pallas_impl(
