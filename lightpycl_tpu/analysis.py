@@ -100,6 +100,78 @@ def beam_statistics(directions, powers) -> dict:
             "rms_divergence": rms, "count": int(len(d))}
 
 
+def spot_diagram(positions, directions, z_plane: float, powers=None):
+    """Transverse ray intersections with the plane z = z_plane (optical-
+    design spot diagram; extension beyond the reference's directivity
+    analysis). Rays are propagated analytically from their measured
+    (position, direction); rays parallel to the plane are dropped.
+
+    Returns dict with 'xy' (M, 2) intercepts, 'centroid' (2,), and
+    power-weighted 'rms_radius' about the centroid."""
+    pos = np.asarray(positions, np.float64)
+    d = np.asarray(directions, np.float64)
+    p = (np.ones(len(pos)) if powers is None
+         else np.asarray(powers, np.float64))
+    ok = np.abs(d[:, 2]) > 1e-12
+    pos, d, p = pos[ok], d[ok], p[ok]
+    t = (z_plane - pos[:, 2]) / d[:, 2]
+    xy = pos[:, :2] + t[:, None] * d[:, :2]
+    total = p.sum()
+    if total <= 0 or len(xy) == 0:
+        return {"xy": np.zeros((0, 2)), "centroid": np.zeros(2),
+                "rms_radius": 0.0}
+    c = (xy * p[:, None]).sum(axis=0) / total
+    r2 = ((xy - c) ** 2).sum(axis=1)
+    return {"xy": xy, "centroid": c,
+            "rms_radius": float(np.sqrt((p * r2).sum() / total))}
+
+
+def best_focus(positions, directions, powers=None, z_range=None,
+               n_scan: int = 101, refine: int = 3):
+    """Plane of minimum power-weighted RMS spot radius along z (coarse scan
+    + golden-ratio-free bracket refinement). `z_range` defaults to the
+    span of the ray z positions extended forward one span.
+
+    Returns (z_best, rms_at_best)."""
+    pos = np.asarray(positions, np.float64)
+    if z_range is None:
+        zlo, zhi = float(pos[:, 2].min()), float(pos[:, 2].max())
+        span = max(zhi - zlo, 1.0)
+        z_range = (zlo, zhi + span)
+    lo, hi = map(float, z_range)
+    for _ in range(refine):
+        zs = np.linspace(lo, hi, n_scan)
+        rms = np.array([spot_diagram(pos, directions, z, powers)["rms_radius"]
+                        for z in zs])
+        i = int(np.argmin(rms))
+        lo = zs[max(i - 1, 0)]
+        hi = zs[min(i + 1, n_scan - 1)]
+    return float(zs[i]), float(rms[i])
+
+
+def encircled_energy(positions, powers, center=None, radii=None,
+                     plane_normal=(0, 0, 1)):
+    """Fraction of total power within transverse radius r of `center`
+    (default: power centroid), for each r in `radii` (default: 32 radii to
+    the farthest ray). Returns (radii, fractions) — fractions are
+    monotonically nondecreasing and reach 1.0 at the last radius."""
+    pos = np.asarray(positions, np.float64)
+    p = np.asarray(powers, np.float64)
+    n = np.asarray(plane_normal, np.float64)
+    n = n / np.linalg.norm(n)
+    # transverse components: subtract the along-normal part
+    tv = pos - np.outer(pos @ n, n)
+    total = p.sum()
+    if center is None:
+        center = (tv * p[:, None]).sum(axis=0) / max(total, 1e-300)
+    r = np.linalg.norm(tv - np.asarray(center, np.float64), axis=1)
+    if radii is None:
+        radii = np.linspace(0.0, float(r.max()) if len(r) else 1.0, 32)
+    radii = np.asarray(radii, np.float64)
+    frac = np.array([p[r <= rad].sum() for rad in radii]) / max(total, 1e-300)
+    return radii, frac
+
+
 def intensity_map(positions, powers, plane_normal=(0, 0, 1), plane_point=(0, 0, 0),
                   half_extent: float = 1.0, bins: int = 128):
     """2-D intensity map of hit positions projected onto a plane — the

@@ -83,6 +83,35 @@ def _weld(V: np.ndarray, T: np.ndarray, tol: float = 1e-12) -> tuple[np.ndarray,
     return Vw, np.ascontiguousarray(Tw, dtype=np.int32)
 
 
+def _asphere_sag(r, R, k: float = 0.0, coeffs=()):
+    """Even-asphere sag (optical-design standard):
+
+        z(r) = c r^2 / (1 + sqrt(1 - (1+k) c^2 r^2)) + a4 r^4 + a6 r^6 + ...
+
+    with c = 1/R (signed like _cap_profile: R > 0 curves toward +z), conic
+    constant k (0 sphere, -1 paraboloid, < -1 hyperboloid), and `coeffs`
+    the even polynomial terms (a4, a6, ...). R None/inf -> flat."""
+    r = np.asarray(r, np.float64)
+    if R is _FLAT or R is None or np.isinf(R):
+        z = np.zeros_like(r)
+    else:
+        c = 1.0 / float(R)
+        disc = 1.0 - (1.0 + k) * c * c * r * r
+        if np.any(disc <= 0.0):
+            raise ValueError("aspheric surface undefined at the aperture rim "
+                             "(reduce aperture or |curvature|)")
+        z = c * r * r / (1.0 + np.sqrt(disc))
+    for i, a in enumerate(coeffs):
+        z = z + a * r ** (4 + 2 * i)
+    return z
+
+
+def _asphere_profile(R, aperture_radius: float, z_vertex: float,
+                     n_radial: int, k: float = 0.0, coeffs=()):
+    r = np.linspace(0.0, aperture_radius, n_radial + 1)
+    return np.stack([r, z_vertex + _asphere_sag(r, R, k, coeffs)], axis=1)
+
+
 def _cap_profile(R: float, aperture_radius: float, z_vertex: float, n_radial: int):
     """(r, z) profile of a spherical cap: curvature radius R (signed, center
     of curvature at z_vertex + R), vertex at (0, z_vertex), rim at
@@ -257,6 +286,30 @@ class OpticalElements:
     def biconvex_lens(self, r: float, aperture: float, thickness: float,
                       ior: float = 1.5, **kw) -> GeoObject:
         return self.spherical_lens(abs(r), -abs(r), aperture, thickness, ior, **kw)
+
+    def aspheric_lens(self, r1, r2, aperture: float, thickness: float,
+                      ior: float = 1.5, k1: float = 0.0, k2: float = 0.0,
+                      coeffs1=(), coeffs2=(), center=(0, 0, 0),
+                      **kw) -> GeoObject:
+        """Even-asphere lens (extension beyond the reference's spherical
+        factory — SURVEY.md §3 row 'Primitive mesh factory'): each surface is
+
+            z(r) = c r^2 / (1 + sqrt(1 - (1+k) c^2 r^2)) + a4 r^4 + ...
+
+        with the same signed-radius convention as spherical_lens (which this
+        reduces to for k = 0 and no polynomial terms). k = -1 is a
+        paraboloid; k = -n^2 on the exit surface of a plano-convex singlet
+        (flat side toward a collimated beam) gives stigmatic (aberration-
+        free) focus — tested in tests/test_asphere.py."""
+        a = aperture / 2.0
+        front = _asphere_profile(r1, a, 0.0, self.n_radial, k1, coeffs1)
+        back = _asphere_profile(r2, a, thickness, self.n_radial, k2, coeffs2)
+        z1, z2 = front[-1, 1], back[-1, 1]
+        if z2 < z1 - 1e-12:
+            raise ValueError("lens surfaces intersect: increase thickness")
+        prof = np.concatenate([front, back[::-1]], axis=0)
+        V, T = revolve_profile(prof, self.n_segments)
+        return GeoObject(V, T, Material.REFRACTIVE, ior, **kw).translate(center)
 
 
 def optical_elements(n_segments: int = 64, n_radial: int = 16) -> OpticalElements:
