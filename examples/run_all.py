@@ -22,6 +22,7 @@ SMALL = {
     "example_lens_stack.py": {"RAY_COUNT": "5000"},
     "example_prism_dispersion.py": {"RAY_COUNT": "4000"},
     "example_polarization.py": {"RAY_COUNT": "4000"},
+    "example_asphere.py": {"RAY_COUNT": "4000"},
     # sized for the CPU jnp fallback; on TPU bump via env before running
     "example_large_mesh.py": {"TOTAL_RAYS": "200000", "BATCH": "100000",
                               "MESH_SEGMENTS": "48",

@@ -304,6 +304,7 @@ class Tracer:
                       elements: Optional[Sequence[GeoObject]] = None,
                       checkpoint_path: Optional[str] = None,
                       seed: int = 0, max_batches: Optional[int] = None,
+                      mode: str = "device", mesh=None,
                       **cfg_overrides) -> TraceResult:
         """Mega-batch driver (BASELINE configs[3]): stream `total_rays`
         through the device in `batch_size` chunks generated ON DEVICE
@@ -312,6 +313,13 @@ class Tracer:
         (16M+ f32 scatter-adds drift by ~1e-3 otherwise — measured on v5e).
         With `checkpoint_path`, state snapshots after every batch and an
         interrupted run resumes at the next batch (SURVEY.md §5.4).
+
+        mode="multichip" shards every batch over the device mesh (all
+        devices, or `mesh`) exactly like Tracer.trace(mode="multichip") —
+        the production layout for >100M-ray runs on a pod slice. Each batch
+        runs the full cfg.trace_iterations (the sharded loop has no
+        early-exit); leftover live power is culled into the ledger either
+        way, so conservation stays exact.
         """
         import jax.numpy as jnp
 
@@ -321,6 +329,14 @@ class Tracer:
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
         cfg = self._tune_splitting(cfg)
+        if mode == "multichip":
+            from lightpycl_tpu.parallel.sharding import make_ray_mesh
+
+            mesh = mesh or make_ray_mesh()
+            n_shards = mesh.devices.size
+        elif mode != "device":
+            raise ValueError(f"trace_batched mode must be 'device' or "
+                             f"'multichip', got {mode!r}")
         n_batches = max(1, total_rays // batch_size)
         if total_rays != n_batches * batch_size:
             log.warning(
@@ -373,15 +389,30 @@ class Tracer:
             rays = RayBatch.from_arrays(
                 o, d, p * (1.0 / n_batches), ior_env=cfg.ior_env,
                 wavelengths=wl, stokes=getattr(source, "stokes", None))
-            det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
-                                        cfg.hist_polar_bins, n_det,
-                                        cfg.image_bins)
-            led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
-            rays, det_b, led_b, iters_b = step_mod.trace_loop_jit(
-                self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations,
-                jax.random.fold_in(k, 0x5757)  # batch-distinct roulette keys
-            )
-            batch_iters.append(int(np.asarray(iters_b)))
+            if mode == "multichip":
+                from lightpycl_tpu.parallel.sharding import (
+                    shard_rays, trace_multichip,
+                )
+
+                rays = shard_rays(
+                    rays.padded_to(-(-rays.capacity // n_shards) * n_shards),
+                    mesh)
+                key_b = (jax.random.fold_in(k, 0x5757)
+                         if cfg.roulette_threshold > 0.0 else None)
+                rays, det_b, led_b = trace_multichip(
+                    self.scene, rays, cfg, cfg.trace_iterations, mesh,
+                    n_detectors=n_det, key=key_b)
+                batch_iters.append(cfg.trace_iterations)
+            else:
+                det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
+                                            cfg.hist_polar_bins, n_det,
+                                            cfg.image_bins)
+                led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
+                rays, det_b, led_b, iters_b = step_mod.trace_loop_jit(
+                    self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations,
+                    jax.random.fold_in(k, 0x5757)  # batch-distinct roulette keys
+                )
+                batch_iters.append(int(np.asarray(iters_b)))
             # rays still alive when the batch retires are culled so the
             # conservation ledger stays exact across batches
             leftover = jnp.sum(jnp.where(rays.alive, rays.power, 0.0))

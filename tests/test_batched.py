@@ -51,3 +51,28 @@ def test_checkpoint_resume_no_double_count(tmp_path):
         res_full.ledger["measured"], rel=1e-5)
     assert res_resumed.ledger["emitted"] == pytest.approx(
         res_full.ledger["emitted"], rel=1e-5)
+
+
+def test_batched_multichip_matches_device():
+    """trace_batched(mode='multichip') shards each mega-batch over the
+    virtual 8-device mesh; detector/ledger aggregates must match the
+    single-device batched run (same on-device ray generation keys)."""
+    src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                           diameter=1.5, ray_count=256)
+    tr1 = Tracer(TraceConfig(trace_iterations=4))
+    res1 = tr1.trace_batched(src, total_rays=1024, batch_size=256,
+                             elements=els(), seed=5)
+    tr8 = Tracer(TraceConfig(trace_iterations=4))
+    res8 = tr8.trace_batched(src, total_rays=1024, batch_size=256,
+                             elements=els(), seed=5, mode="multichip")
+    assert res8.ledger["emitted"] == pytest.approx(res1.ledger["emitted"],
+                                                   rel=1e-6)
+    assert res8.ledger["measured"] == pytest.approx(res1.ledger["measured"],
+                                                    rel=1e-4)
+    np.testing.assert_allclose(res8.hist, res1.hist, atol=1e-5)
+    np.testing.assert_allclose(res8.per_detector, res1.per_detector,
+                               atol=1e-5)
+    # conservation: emitted == accounted (leftover live is culled per batch)
+    acc8 = sum(res8.ledger[key] for key in
+               ("measured", "absorbed", "escaped", "culled"))
+    assert acc8 == pytest.approx(res8.ledger["emitted"], rel=1e-5)
