@@ -1,0 +1,82 @@
+"""Property test: randomly-generated scenes must conserve power exactly and
+match the float64 oracle on detected power (SURVEY.md §6 parity discipline,
+extended from the three fixed configs to randomized geometry)."""
+
+import numpy as np
+import pytest
+
+import lightpycl_tpu as L
+from lightpycl_tpu.sources import CollimatedSource, light_source
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.engine import Tracer
+from lightpycl_tpu.tracer.oracle import trace_oracle
+from lightpycl_tpu.tracer.rays import RayBatch
+
+
+def random_scene(rng):
+    """2-4 random primitives around the origin plus an enclosing measure
+    sphere so power has somewhere to land."""
+    oe = L.optical_elements(n_segments=20, n_radial=7)
+    makers = [
+        lambda: oe.parabolic_mirror(rng.uniform(0.3, 1.0),
+                                    rng.uniform(1.0, 2.5),
+                                    reflectivity=rng.uniform(0.7, 1.0)),
+        lambda: oe.biconvex_lens(rng.uniform(0.6, 1.5), 0.6,
+                                 rng.uniform(0.08, 0.2),
+                                 ior=rng.uniform(1.3, 1.8)),
+        lambda: oe.cube(rng.uniform(0.3, 0.8), material="refractive",
+                        ior=rng.uniform(1.3, 1.8)),
+        lambda: oe.disc(rng.uniform(0.3, 0.9), material="terminator"),
+        lambda: oe.cylinder(rng.uniform(0.2, 0.5), rng.uniform(0.3, 0.8),
+                            material="mirror"),
+        lambda: oe.rectangle(rng.uniform(0.5, 1.5), rng.uniform(0.5, 1.5),
+                             material="measure", name="panel"),
+    ]
+    els = []
+    for _ in range(rng.integers(2, 5)):
+        el = makers[rng.integers(len(makers))]()
+        el.rotate(rng.normal(size=3) + 1e-3, rng.uniform(0, np.pi))
+        el.translate(rng.uniform(-0.8, 0.8, 3))
+        els.append(el)
+    els.append(oe.sphere(radius=12.0, material="measure", name="enclosure"))
+    return els
+
+
+def random_source(rng):
+    if rng.uniform() < 0.5:
+        return CollimatedSource(center=tuple(rng.uniform(-0.5, 0.5, 3)),
+                                direction=tuple(rng.normal(size=3) + 1e-3),
+                                diameter=rng.uniform(0.3, 1.0),
+                                power=float(rng.uniform(0.5, 2.0)),
+                                ray_count=384, seed=int(rng.integers(1e6)))
+    return light_source(center=tuple(rng.uniform(-0.5, 0.5, 3)),
+                        direction=tuple(rng.normal(size=3) + 1e-3),
+                        power=float(rng.uniform(0.5, 2.0)),
+                        ray_count=384, seed=int(rng.integers(1e6)))
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 59])
+def test_random_scene_conserves_and_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    els = random_scene(rng)
+    src = random_source(rng)
+    o, d, p = src.sample()
+    iters = 6
+    res = Tracer(TraceConfig()).trace(
+        src, els, trace_iterations=iters,
+        rays=RayBatch.from_arrays(o, d, p, capacity=8 * len(p)))
+    # exact conservation, whatever the geometry
+    assert res.power_conservation_error() < 1e-4
+    # histogram total equals measured power
+    assert res.hist.sum() == pytest.approx(res.ledger["measured"], abs=1e-4)
+    # f64 oracle parity on detected power (<= 0.1% target, BASELINE)
+    ora = trace_oracle(els, o, d, p, trace_iterations=iters)
+    if ora["measured"] > 1e-6:
+        rel = abs(res.ledger["measured"] - ora["measured"]) / ora["measured"]
+        assert rel < 1e-3, (res.ledger["measured"], ora["measured"])
+    # per-detector totals match the oracle too (same detector ordering:
+    # measure elements in scene order)
+    per_det = np.zeros(len(ora["detector_names"]))
+    np.add.at(per_det, ora["measured_det"].astype(int),
+              ora["measured_power"])
+    np.testing.assert_allclose(res.per_detector, per_det, atol=2e-4)
