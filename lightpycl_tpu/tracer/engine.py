@@ -144,6 +144,10 @@ class Tracer:
         replicated, and psums the detector state + ledger back — same
         TraceResult as a single-device run, detector histograms exactly
         equal. Measured-ray lists and record_paths need mode="host".
+
+        mode="mesh2d" additionally shards the TRIANGLES over the first axis
+        of a 2-axis ("tris", "rays") mesh (required) — for scenes too large
+        to replicate per chip. Same TraceResult contract as multichip.
         """
         cfg = self.cfg
         if trace_iterations is not None:
@@ -172,6 +176,19 @@ class Tracer:
 
             mesh = mesh or make_ray_mesh()
             n_shards = mesh.devices.size
+            rays = rays.padded_to(-(-rays.capacity // n_shards) * n_shards)
+        elif mode == "mesh2d":
+            from lightpycl_tpu.parallel.mesh2d import RAY_AXIS, TRI_AXIS
+
+            if mesh is None:
+                raise ValueError(
+                    "mode='mesh2d' needs mesh=make_mesh2d(n_tris, n_rays)")
+            if self.scene.num_triangles_padded % mesh.shape[TRI_AXIS]:
+                raise ValueError(
+                    f"padded triangle count {self.scene.num_triangles_padded}"
+                    f" not divisible by the {mesh.shape[TRI_AXIS]}-way "
+                    "triangle axis")
+            n_shards = mesh.shape[RAY_AXIS]
             rays = rays.padded_to(-(-rays.capacity // n_shards) * n_shards)
         C = rays.capacity
         emitted = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
@@ -227,6 +244,25 @@ class Tracer:
                    if cfg.roulette_threshold > 0.0 else None)
             rays_out, det, led = trace_multichip(
                 self.scene, rays, cfg, cfg.trace_iterations, mesh,
+                n_detectors=max(len(self.detector_names), 1), key=key,
+            )
+            jax.block_until_ready(led)
+            wall = time.perf_counter() - t0
+            result = self._package(
+                rays_out, det, led, [], [], cfg.trace_iterations, C, wall,
+                record_paths=False,
+            )
+        elif mode == "mesh2d":
+            from lightpycl_tpu.parallel.mesh2d import place, trace_mesh2d
+
+            if record_paths:
+                log.warning("record_paths requires mode='host'; mesh2d "
+                            "mode returns no path segments")
+            scene_sh, rays = place(self.scene, rays, mesh)
+            key = (jax.random.key(cfg.seed)
+                   if cfg.roulette_threshold > 0.0 else None)
+            rays_out, det, led = trace_mesh2d(
+                scene_sh, rays, cfg, cfg.trace_iterations, mesh,
                 n_detectors=max(len(self.detector_names), 1), key=key,
             )
             jax.block_until_ready(led)

@@ -104,3 +104,26 @@ def test_mesh2d_many_detectors():
     assert (res1.per_detector > 0).all()
     np.testing.assert_allclose(np.asarray(det.per_detector),
                                res1.per_detector, atol=1e-5)
+
+
+def test_engine_mesh2d_mode():
+    """Tracer.trace(mode='mesh2d', mesh=...) returns the same TraceResult
+    as the single-device run."""
+    els, src, rays = setup_case()
+    cfg = TraceConfig(hist_azimuth_bins=16, hist_polar_bins=8)
+    tr = Tracer(cfg)
+    res1 = tr.trace(src, els, trace_iterations=5, mode="device")
+    res2 = tr.trace(src, els, trace_iterations=5, mode="mesh2d",
+                    mesh=make_mesh2d(2, 4))
+    assert res2.ledger["measured"] == pytest.approx(res1.ledger["measured"],
+                                                    rel=1e-4)
+    np.testing.assert_allclose(res2.hist, res1.hist, atol=1e-5)
+    assert res2.per_detector.shape == res1.per_detector.shape
+    assert res2.power_conservation_error() < 1e-5
+
+
+def test_engine_mesh2d_requires_mesh():
+    els, src, rays = setup_case()
+    with pytest.raises(ValueError, match="mesh2d"):
+        Tracer(TraceConfig()).trace(src, els, trace_iterations=2,
+                                    mode="mesh2d")
