@@ -74,15 +74,18 @@ class CL_Tracer(Tracer):
         SURVEY.md §4.3). Measured rays are harvested per iteration (host
         mode), matching reference semantics. `power_dissipated` is the
         reference's early-exit fraction (alias of dissipation_target)."""
-        if record_paths is None:
-            record_paths = self._record_paths_default
         if power_dissipated is not None:
             kw.setdefault("dissipation_target", float(power_dissipated))
+        # mode='host' keeps reference semantics (per-iteration measured-ray
+        # harvest); 'device'/'multichip'/'mesh2d' scale the same script up
+        mode = kw.pop("mode", "host")
+        if record_paths is None:
+            record_paths = self._record_paths_default and mode == "host"
         return self.trace(
             light_source, elements=meshes,
             trace_iterations=int(trace_iterations),
             max_ray_len=float(max_ray_len), ior_env=float(ior_env),
-            mode="host", record_paths=record_paths, **kw,
+            mode=mode, record_paths=record_paths, **kw,
         )
 
     # -- analysis / plotting (reference: SURVEY.md §3 L5) -------------------

@@ -84,3 +84,20 @@ class TestReferenceFlow:
         assert Material.from_any(2) == Material.TERMINATOR
         with pytest.raises(ValueError):
             Material.from_any("unobtainium")
+
+
+def test_iterative_tracer_multichip_mode():
+    """The reference-shaped entry point scales to the device mesh with one
+    kwarg: iterative_tracer(..., mode='multichip')."""
+    oe = optical_elements(n_segments=24, n_radial=8)
+    els = [oe.parabolic_mirror(0.5, 2.0, reflectivity=0.9),
+           oe.hemisphere(10.0, name="dome")]
+    ls = light_source(center=(0, 0, 0.4), direction=(0, 0, -1),
+                      power=1.0, ray_count=1024, seed=2)
+    t1 = CL_Tracer()
+    r1 = t1.iterative_tracer(ls, els, trace_iterations=4, mode="device")
+    t8 = CL_Tracer()
+    r8 = t8.iterative_tracer(ls, els, trace_iterations=4, mode="multichip")
+    assert r8.ledger["measured"] == pytest.approx(r1.ledger["measured"],
+                                                  rel=1e-4)
+    assert t8.get_trace_performance()["iterations"] == 4
