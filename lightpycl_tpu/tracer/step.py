@@ -217,15 +217,27 @@ class ShadeOut(NamedTuple):
 def gather_hit_attrs(scene: Scene, safe_tri):
     """Per-hit triangle attributes (the gathers shade needs). Separated so
     triangle-sharded tracing can substitute collectively-gathered values
-    (parallel/mesh2d.py)."""
+    (parallel/mesh2d.py).
+
+    One fused (T, 9) gather instead of seven separate gathers — stacking
+    the per-triangle columns is O(T) elementwise (cheap, fused by XLA);
+    the per-ray gather is the expensive part and now runs once. mat and
+    detector_id ride along as f32 (both are tiny ints, exact in f32)."""
+    packed = jnp.concatenate(
+        [scene.mat.astype(jnp.float32)[:, None], scene.normal,
+         scene.ior[:, None], scene.ior_b[:, None],
+         scene.reflectivity[:, None],
+         scene.detector_id.astype(jnp.float32)[:, None],
+         scene.absorb[:, None]], axis=1)
+    g = packed[safe_tri]
     return {
-        "mat": scene.mat[safe_tri],
-        "normal": scene.normal[safe_tri],
-        "ior": scene.ior[safe_tri],
-        "ior_b": scene.ior_b[safe_tri],
-        "reflectivity": scene.reflectivity[safe_tri],
-        "detector_id": scene.detector_id[safe_tri],
-        "absorb": scene.absorb[safe_tri],
+        "mat": g[:, 0].astype(jnp.int32),
+        "normal": g[:, 1:4],
+        "ior": g[:, 4],
+        "ior_b": g[:, 5],
+        "reflectivity": g[:, 6],
+        "detector_id": g[:, 7].astype(jnp.int32),
+        "absorb": g[:, 8],
     }
 
 
