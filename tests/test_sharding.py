@@ -162,3 +162,21 @@ class TestEngineMultichip:
         rays = shard_rays(RayBatch.from_arrays(o, d, p), mesh)
         with pytest.raises(ValueError, match="PRNG key"):
             trace_multichip(scene, rays, cfg, 4, mesh)
+
+
+class TestCullUnderSharding:
+    def test_cull_multichip_matches_brute(self):
+        """cfg.cull inside the sharded path (per-shard Morton reorder +
+        reachability mask) must not change the physics."""
+        els = scene_els()
+        src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                               diameter=1.5, ray_count=2048, power=1.0,
+                               seed=9)
+        res_b = Tracer(TraceConfig()).trace(src, els, trace_iterations=5,
+                                            mode="multichip")
+        res_c = Tracer(TraceConfig(cull=True)).trace(
+            src, els, trace_iterations=5, mode="multichip")
+        assert res_c.ledger["measured"] == pytest.approx(
+            res_b.ledger["measured"], rel=1e-5)
+        np.testing.assert_allclose(res_c.hist, res_b.hist, atol=1e-5)
+        assert res_c.power_conservation_error() < 1e-5
