@@ -194,12 +194,39 @@ class CollimatedSource:
     wavelength: object = D_LINE_UM  # um, or (wavelengths, weights) spectrum
     stokes: object = None  # (s1, s2, s3) fractions for polarized emission
     divergence: float = 0.0  # half-angle [rad]: directions uniform in a cone
+    sampling: str = "random"  # or 'hexapolar': deterministic ring grid
+    #   (chief ray + rings of 6k points at radii ~sqrt-spaced for equal
+    #    area per point — the optical-design layout for spot diagrams)
+
+    def _hexapolar(self, n):
+        """Deterministic (r, phi) hexapolar grid covering the aperture:
+        ring j of 6j points; radii sqrt-spaced so each point covers equal
+        area. Total points >= n; truncated to exactly n (outermost-last)."""
+        rs, phis = [0.0], [0.0]
+        j = 0
+        while len(rs) < n:
+            j += 1
+            for i in range(6 * j):
+                rs.append(j)
+                phis.append(2.0 * np.pi * i / (6 * j) + (j % 2) * np.pi / (6 * j))
+        rs = np.asarray(rs[:n], np.float64)
+        phis = np.asarray(phis[:n], np.float64)
+        # equal-area radial spacing: ring j -> R * sqrt(j (j+1)) / sqrt(J (J+1))
+        rmax = rs.max() if rs.max() > 0 else 1.0
+        r = (self.diameter / 2.0) * np.sqrt(rs * (rs + 1.0)) / np.sqrt(
+            rmax * (rmax + 1.0))
+        return r, phis
 
     def sample(self, rng: Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng(self.seed)
         n = self.ray_count
-        r = (self.diameter / 2.0) * np.sqrt(rng.uniform(0.0, 1.0, n))
-        phi = rng.uniform(0.0, 2.0 * np.pi, n)
+        if self.sampling == "hexapolar":
+            r, phi = self._hexapolar(n)
+        elif self.sampling == "random":
+            r = (self.diameter / 2.0) * np.sqrt(rng.uniform(0.0, 1.0, n))
+            phi = rng.uniform(0.0, 2.0 * np.pi, n)
+        else:
+            raise ValueError(f"unknown sampling {self.sampling!r}")
         F = _frame(self.direction)
         u, v, w = F
         origins = (

@@ -119,3 +119,22 @@ class TestDivergence:
         frac = in_spike.mean()
         # flat density would put ~sin(0.31)*0.024/(1-cos(1.5)) ~ 0.8% here
         assert frac > 0.02
+
+
+class TestHexapolar:
+    def test_grid_is_deterministic_and_in_aperture(self):
+        cs = CollimatedSource(diameter=2.0, ray_count=200,
+                              sampling="hexapolar")
+        o1, d1, p1 = cs.sample()
+        o2, d2, p2 = cs.sample()
+        np.testing.assert_array_equal(o1, o2)
+        r = np.linalg.norm(o1[:, :2], axis=1)
+        assert (r <= 1.0 + 1e-12).all()
+        assert r.min() == 0.0  # chief ray
+        assert p1.sum() == pytest.approx(1.0)
+        # roughly uniform areal density: mean r^2 ~ R^2/2 like the random disc
+        assert (r ** 2).mean() == pytest.approx(0.5, abs=0.08)
+
+    def test_unknown_sampling_rejected(self):
+        with pytest.raises(ValueError, match="sampling"):
+            CollimatedSource(sampling="spiral").sample()
