@@ -9,6 +9,11 @@ iterative_tracer.py flattening [recalled]). Four behaviors:
                   split (both children continue), total internal reflection
   * TERMINATOR  — absorbs the ray (power accounted as absorbed)
   * MEASURE     — records the ray (power into detector bins) and absorbs it
+  * BEAMSPLITTER — extension beyond the reference: angle-independent
+                  coating split — reflected child carries `reflectivity`
+                  of the power, a straight-through transmitted child
+                  carries the rest (no refraction, no medium change) —
+                  the Michelson/Mach-Zehnder bench element
 
 The integer codes are what the device kernels switch on (branchlessly).
 """
@@ -23,6 +28,7 @@ class Material(enum.IntEnum):
     REFRACTIVE = 1
     TERMINATOR = 2
     MEASURE = 3
+    BEAMSPLITTER = 4
 
     @staticmethod
     def from_any(value) -> "Material":
@@ -45,6 +51,8 @@ class Material(enum.IntEnum):
                 "measure": Material.MEASURE,
                 "measurement": Material.MEASURE,
                 "detector": Material.MEASURE,
+                "beamsplitter": Material.BEAMSPLITTER,
+                "splitter": Material.BEAMSPLITTER,
             }
             if key in aliases:
                 return aliases[key]
@@ -57,6 +65,7 @@ MIRROR = Material.MIRROR
 REFRACTIVE = Material.REFRACTIVE
 TERMINATOR = Material.TERMINATOR
 MEASURE = Material.MEASURE
+BEAMSPLITTER = Material.BEAMSPLITTER
 
 
 # Wavelengths of the standard Fraunhofer lines used for dispersion specs [um]

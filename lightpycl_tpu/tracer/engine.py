@@ -110,7 +110,8 @@ class Tracer:
             self.elements, spatial_sort=spatial_sort)
         self._scene_sorted = spatial_sort
         self._has_refractive = any(
-            e.material == Material.REFRACTIVE for e in self.elements
+            e.material in (Material.REFRACTIVE, Material.BEAMSPLITTER)
+            for e in self.elements
         )
         return self
 

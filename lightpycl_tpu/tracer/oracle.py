@@ -135,6 +135,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         is_refr = m == int(Material.REFRACTIVE)
         is_term = m == int(Material.TERMINATOR)
         is_meas = m == int(Material.MEASURE)
+        is_bs = m == int(Material.BEAMSPLITTER)
 
         absorbed += p[is_term].sum()
         if is_meas.any():
@@ -156,6 +157,21 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])
             new_ab.append(ab[i])
+
+        # beamsplitters: mirror-style reflected child (R) + straight-through
+        # transmitted child (1 - R), no refraction or medium change
+        if is_bs.any():
+            i = is_bs
+            ng = n_geom[ti[i]]
+            cos = np.sum(d[i] * ng, axis=1)
+            n = np.where(cos[:, None] < 0, ng, -ng)
+            r = refl[ti[i]]
+            new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
+            new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])
+            new_ab.append(ab[i])
+            new_o.append(hp[i]); new_d.append(d[i])
+            new_p.append(p[i] * (1.0 - r)); new_ior.append(ior[i])
+            new_wl.append(wl[i]); new_ab.append(ab[i])
 
         # dielectrics: Fresnel split into reflected + refracted children
         if is_refr.any():

@@ -278,11 +278,14 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     is_refr = hit_valid & (mat == int(Material.REFRACTIVE))
     is_term = hit_valid & (mat == int(Material.TERMINATOR))
     is_meas = hit_valid & (mat == int(Material.MEASURE))
+    is_bs = hit_valid & (mat == int(Material.BEAMSPLITTER))
     is_miss = rays.alive & ~hit_valid
 
-    # child A: the reflected branch (mirror or dielectric), at slot i
+    # child A: the reflected branch (mirror / dielectric / beamsplitter,
+    # which reflects `reflectivity` of the power mirror-style), at slot i
     pa = jnp.where(
-        is_mirror, live_p * refl, jnp.where(is_refr, live_p * sn["R"], 0.0)
+        is_mirror | is_bs, live_p * refl,
+        jnp.where(is_refr, live_p * sn["R"], 0.0)
     )
     da = sn["refl_dir"]
 
@@ -301,37 +304,49 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         def frac(num, den):
             return num / jnp.maximum(den, 1e-30)
 
-        pa = jnp.where(is_mirror, live_p * refl, jnp.where(is_refr, r0, 0.0))
-        pb_pol = jnp.where(is_refr, t0, 0.0)
-        # reflected-child fractions: an ideal mirror imposes rs = 1,
-        # rp = -1 (Mueller diag(1, 1, -1, -1)) — S2 and S3 flip sign, so
-        # circular polarization inverts handedness on reflection
+        pa = jnp.where(is_mirror | is_bs, live_p * refl,
+                       jnp.where(is_refr, r0, 0.0))
+        pb_pol = jnp.where(is_refr, t0,
+                           jnp.where(is_bs, live_p * (1.0 - refl), 0.0))
+        # reflected-child fractions: an ideal mirror (and the non-polarizing
+        # beamsplitter's reflected arm) imposes rs = 1, rp = -1 (Mueller
+        # diag(1, 1, -1, -1)) — S2 and S3 flip sign, so circular
+        # polarization inverts handedness on reflection
+        flip = is_mirror | is_bs
         a_s1 = jnp.where(is_refr, frac(r1, r0), s1f)
         a_s2 = jnp.where(is_refr, frac(r2, r0),
-                         jnp.where(is_mirror, -s2f, s2f))
+                         jnp.where(flip, -s2f, s2f))
         a_s3 = jnp.where(is_refr, frac(r3, r0),
-                         jnp.where(is_mirror, -rays.s3, rays.s3))
-        b_s1, b_s2, b_s3 = frac(t1, t0), frac(t2, t0), frac(t3, t0)
+                         jnp.where(flip, -rays.s3, rays.s3))
+        # transmitted fractions: beamsplitter passes the rotated state
+        b_s1 = jnp.where(is_bs, s1f, frac(t1, t0))
+        b_s2 = jnp.where(is_bs, s2f, frac(t2, t0))
+        b_s3 = jnp.where(is_bs, rays.s3, frac(t3, t0))
         new_basis = jnp.where(hit_valid[:, None], s_dir, rays.basis)
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
     policy_dropped = jnp.float32(0.0)
     if cfg.allow_splitting:
-        # child B: the refracted branch (dielectric only), at slot C + i
+        # child B at slot C + i: refracted branch (dielectric) or the
+        # straight-through transmitted branch (beamsplitter: direction and
+        # medium unchanged)
         if cfg.polarization:
             pb = pb_pol
         else:
-            pb = jnp.where(is_refr, live_p * (1.0 - sn["R"]), 0.0)
-        db = sn["refr_dir"]
+            pb = jnp.where(is_refr, live_p * (1.0 - sn["R"]),
+                           jnp.where(is_bs, live_p * (1.0 - refl), 0.0))
+        db = jnp.where(is_bs[:, None], rays.d, sn["refr_dir"])
         child_o = jnp.concatenate([hit_point, hit_point], axis=0)
         child_d = jnp.concatenate([da, db], axis=0)
         child_power = jnp.concatenate([pa, pb], axis=0)
-        child_ior = jnp.concatenate([rays.ior, sn["new_ior"]], axis=0)
+        b_ior = jnp.where(is_bs, rays.ior, sn["new_ior"])
+        child_ior = jnp.concatenate([rays.ior, b_ior], axis=0)
         child_wl = jnp.concatenate([rays.wavelength, rays.wavelength], axis=0)
         # refracted child changes medium: entering -> element's bulk
-        # absorption, exiting -> ambient (0)
-        refr_absorb = jnp.where(sn["entering"], tri_absorb, 0.0)
+        # absorption, exiting -> ambient (0); beamsplitter stays in medium
+        refr_absorb = jnp.where(is_bs, rays.absorb,
+                                jnp.where(sn["entering"], tri_absorb, 0.0))
         child_ab = jnp.concatenate([rays.absorb, refr_absorb], axis=0)
         if cfg.polarization:
             child_s1 = jnp.concatenate([a_s1, b_s1])
@@ -350,10 +365,12 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_o, child_d, child_power, child_ior = hit_point, da, pa, rays.ior
         child_wl = rays.wavelength
         child_ab = rays.absorb
-        # direct step-level users can reach this path with refractive
-        # triangles present (the engine forbids it); account the dropped
-        # refracted power so the conservation ledger still balances
-        policy_dropped = jnp.sum(jnp.where(is_refr, live_p * (1.0 - sn["R"]), 0.0))
+        # direct step-level users can reach this path with refractive or
+        # beamsplitter triangles present (the engine forbids it); account
+        # the dropped transmitted power so the ledger still balances
+        policy_dropped = jnp.sum(
+            jnp.where(is_refr, live_p * (1.0 - sn["R"]),
+                      jnp.where(is_bs, live_p * (1.0 - refl), 0.0)))
         if cfg.polarization:
             child_s1, child_s2, child_s3 = a_s1, a_s2, a_s3
             child_basis = new_basis
