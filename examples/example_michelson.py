@@ -1,0 +1,47 @@
+"""Michelson interferometer bench (beamsplitter extension).
+
+A 50/50 beamsplitter at 45 degrees, perfect mirrors in both arms, and a
+measurement panel on the output port: ray optics delivers exactly
+2 R T = 0.5 of the source power there (0.25 via each arm); the other half
+returns toward the source and escapes.
+
+    LPCL_FORCE_CPU=1 python examples/example_michelson.py
+"""
+
+import os
+
+if os.environ.get("LPCL_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from lightpycl_tpu import optical_elements
+from lightpycl_tpu.sources import CollimatedSource
+from lightpycl_tpu.tracer.engine import Tracer
+from lightpycl_tpu.utils import setup_logging
+
+setup_logging()
+RAY_COUNT = int(os.environ.get("RAY_COUNT", 20_000))
+R = float(os.environ.get("SPLIT_R", 0.5))
+
+oe = optical_elements(n_segments=16, n_radial=6)
+els = [
+    oe.rectangle(2.0, 2.0, material="beamsplitter",
+                 reflectivity=R).rotate((0, 1, 0), np.pi / 4),
+    oe.rectangle(2.0, 2.0, material="mirror").rotate(
+        (0, 1, 0), np.pi / 2).translate((-1.5, 0, 0)),
+    oe.rectangle(2.0, 2.0, material="mirror").rotate(
+        (0, 1, 0), np.pi).translate((0, 0, 1.5)),
+    oe.rectangle(2.0, 2.0, material="measure", name="output").rotate(
+        (0, 1, 0), -np.pi / 2).translate((1.5, 0, 0)),
+]
+src = CollimatedSource(center=(0, 0, -2.0), direction=(0, 0, 1),
+                       diameter=0.5, power=1.0, ray_count=RAY_COUNT, seed=1)
+
+res = Tracer().trace(src, els, trace_iterations=6, capacity=8 * RAY_COUNT)
+print(f"output port power: {res.detector_power('output'):.6f} "
+      f"(theory 2RT = {2 * R * (1 - R):.6f})")
+print(f"returned to source (escaped): {res.ledger['escaped']:.6f}")
+print(f"conservation error: {res.power_conservation_error():.2e}")

@@ -63,6 +63,9 @@ class GeoObject:
     name: Optional[str] = None
     dispersion_b: float = 0.0  # Cauchy B [um^2]: n(wl) = ior + B / wl^2
     absorption: float = 0.0    # Beer-Lambert bulk absorption inside [1/len]
+    axis: Optional[np.ndarray] = None  # polarizer transmission / waveplate
+    #   fast axis (world frame, unit); rotates with the element
+    retardance: float = 0.0    # waveplate retardance [rad]; pi/2 = quarter
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -74,6 +77,15 @@ class GeoObject:
         if self.triangles.size and self.triangles.max() >= len(self.vertices):
             raise ValueError("triangle index out of range")
         self.material = Material.from_any(self.material)
+        if self.axis is not None:
+            a = np.asarray(self.axis, np.float64)
+            n = np.linalg.norm(a)
+            if n <= 0:
+                raise ValueError("axis must be a nonzero vector")
+            self.axis = a / n
+        elif self.material in (Material.POLARIZER, Material.WAVEPLATE):
+            raise ValueError(
+                f"{self.material.name} elements need an `axis` vector")
 
     # ---- transforms (in place, chainable — reference style) -------------
 
@@ -86,6 +98,8 @@ class GeoObject:
         R = rotation_matrix(axis, angle)
         pivot = np.asarray(pivot, dtype=np.float64)
         self.vertices = (self.vertices - pivot) @ R.T + pivot
+        if self.axis is not None:
+            self.axis = R @ self.axis
         return self
 
     def scale(self, factor) -> "GeoObject":
@@ -98,6 +112,9 @@ class GeoObject:
         if f.ndim == 0:
             f = np.full(3, float(f))
         self.vertices = self.vertices * f
+        if self.axis is not None:
+            a = self.axis * f
+            self.axis = a / np.linalg.norm(a)
         if np.prod(np.sign(f)) < 0:
             self.triangles = self.triangles[:, ::-1].copy()
         return self
@@ -108,6 +125,9 @@ class GeoObject:
         out.vertices = out.vertices @ np.asarray(matrix, np.float64).T + np.asarray(
             offset, np.float64
         )
+        if out.axis is not None:
+            a = np.asarray(matrix, np.float64) @ out.axis
+            out.axis = a / np.linalg.norm(a)
         if np.linalg.det(matrix) < 0:
             out.triangles = out.triangles[:, ::-1].copy()
         return out
@@ -122,6 +142,8 @@ class GeoObject:
             self.name,
             self.dispersion_b,
             self.absorption,
+            None if self.axis is None else self.axis.copy(),
+            self.retardance,
         )
 
     # ---- derived quantities ---------------------------------------------
@@ -170,6 +192,8 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         name=objs[0].name,
         dispersion_b=objs[0].dispersion_b,
         absorption=objs[0].absorption,
+        axis=objs[0].axis,
+        retardance=objs[0].retardance,
     )
     base.update(overrides)
     return GeoObject(np.concatenate(verts), np.concatenate(tris), **base)

@@ -9,6 +9,10 @@ iterative_tracer.py flattening [recalled]). Four behaviors:
                   split (both children continue), total internal reflection
   * TERMINATOR  — absorbs the ray (power accounted as absorbed)
   * MEASURE     — records the ray (power into detector bins) and absorbs it
+  * POLARIZER / WAVEPLATE — extensions: ideal linear polarizer (Malus) and
+                  linear retarder along a per-element `axis`; both require
+                  TraceConfig(polarization=True) since they act on Stokes
+                  state
   * BEAMSPLITTER — extension beyond the reference: angle-independent
                   coating split — reflected child carries `reflectivity`
                   of the power, a straight-through transmitted child
@@ -29,6 +33,8 @@ class Material(enum.IntEnum):
     TERMINATOR = 2
     MEASURE = 3
     BEAMSPLITTER = 4
+    POLARIZER = 5   # ideal linear polarizer along the element's `axis`
+    WAVEPLATE = 6   # linear retarder: fast axis = `axis`, delta = retardance
 
     @staticmethod
     def from_any(value) -> "Material":
@@ -53,6 +59,9 @@ class Material(enum.IntEnum):
                 "detector": Material.MEASURE,
                 "beamsplitter": Material.BEAMSPLITTER,
                 "splitter": Material.BEAMSPLITTER,
+                "polarizer": Material.POLARIZER,
+                "waveplate": Material.WAVEPLATE,
+                "retarder": Material.WAVEPLATE,
             }
             if key in aliases:
                 return aliases[key]
@@ -66,6 +75,8 @@ REFRACTIVE = Material.REFRACTIVE
 TERMINATOR = Material.TERMINATOR
 MEASURE = Material.MEASURE
 BEAMSPLITTER = Material.BEAMSPLITTER
+POLARIZER = Material.POLARIZER
+WAVEPLATE = Material.WAVEPLATE
 
 
 # Wavelengths of the standard Fraunhofer lines used for dispersion specs [um]

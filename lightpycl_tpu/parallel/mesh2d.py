@@ -105,6 +105,8 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 "detector_id": jax.lax.psum(
                     (a["detector_id"] + 1) * mine.astype(jnp.int32), TRI_AXIS) - 1,
                 "absorb": jax.lax.psum(a["absorb"] * mf, TRI_AXIS),
+                "axis": jax.lax.psum(a["axis"] * mf[:, None], TRI_AXIS),
+                "retardance": jax.lax.psum(a["retardance"] * mf, TRI_AXIS),
             }
             # misses have no winner: psum of zeros -> ior 0; force sane values
             miss = tri < 0

@@ -160,6 +160,7 @@ class Tracer:
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
         cfg = self._tune_splitting(cfg)
+        self._check_polarization(cfg)
         if cfg.cull and not getattr(self, "_scene_sorted", False):
             # spatially-sorted triangle tiles are what make the cull bite
             self.set_elements(self.elements, spatial_sort=True)
@@ -215,6 +216,17 @@ class Tracer:
             result.wall_time, result.tests_per_second, result.rays_per_second,
         )
         return result
+
+    def _check_polarization(self, cfg: TraceConfig) -> None:
+        from lightpycl_tpu.materials import Material
+
+        needs = [e for e in self.elements
+                 if e.material in (Material.POLARIZER, Material.WAVEPLATE)]
+        if needs and not cfg.polarization:
+            raise ValueError(
+                f"{needs[0].material.name} elements act on Stokes state: "
+                "set TraceConfig(polarization=True) (and give the source a "
+                "`stokes` tuple if the input is polarized)")
 
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:
         """Auto-disable the 2C split buffer + compaction when the scene has
@@ -366,6 +378,7 @@ class Tracer:
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
         cfg = self._tune_splitting(cfg)
+        self._check_polarization(cfg)
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import make_ray_mesh
 

@@ -80,6 +80,11 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     absorbs = []
     det_names = []
     for el in elements:
+        if el.material in (Material.POLARIZER, Material.WAVEPLATE):
+            raise ValueError(
+                "the f64 oracle is unpolarized scalar optics; polarizer/"
+                "waveplate scenes are validated against analytic Mueller "
+                "anchors instead (tests/test_polarizer.py)")
         tv = el.triangle_vertices()
         t = len(tv)
         if t == 0:

@@ -49,6 +49,8 @@ class Scene(NamedTuple):
     absorb: jnp.ndarray        # (T_pad,) f32 bulk absorption inside [1/len]
     reflectivity: jnp.ndarray  # (T_pad,) f32 mirror reflectivity
     detector_id: jnp.ndarray   # (T_pad,) i32 measure-surface index, -1 else
+    axis: jnp.ndarray          # (T_pad, 3) f32 polarizer/waveplate axis
+    retardance: jnp.ndarray    # (T_pad,) f32 waveplate retardance [rad]
 
     @property
     def num_triangles_padded(self) -> int:
@@ -91,6 +93,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     tv_list, mat_list, ior_list, refl_list, det_list = [], [], [], [], []
     iorb_list = []
     absorb_list = []
+    axis_list, ret_list = [], []
     detector_names: list[str] = []
     for obj in objects:
         t = obj.num_triangles
@@ -104,6 +107,11 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         absorb_list.append(np.full(t, float(getattr(obj, "absorption", 0.0)),
                                    np.float64))
         refl_list.append(np.full(t, float(obj.reflectivity), np.float64))
+        ax = (np.zeros(3) if getattr(obj, "axis", None) is None
+              else np.asarray(obj.axis, np.float64))
+        axis_list.append(np.tile(ax, (t, 1)))
+        ret_list.append(np.full(t, float(getattr(obj, "retardance", 0.0)),
+                                np.float64))
         if obj.material == Material.MEASURE:
             det_id = len(detector_names)
             detector_names.append(obj.name or f"detector_{det_id}")
@@ -118,6 +126,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     absorb_np = np.concatenate(absorb_list)
     refl_np = np.concatenate(refl_list)
     det_np = np.concatenate(det_list)
+    axis_np = np.concatenate(axis_list)
+    ret_np = np.concatenate(ret_list)
     if spatial_sort:
         c = tv.mean(axis=1)
         lo, hi = c.min(axis=0), c.max(axis=0)
@@ -127,6 +137,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         mat_np, ior_np, iorb_np = mat_np[order], ior_np[order], iorb_np[order]
         absorb_np, refl_np, det_np = (absorb_np[order], refl_np[order],
                                       det_np[order])
+        axis_np, ret_np = axis_np[order], ret_np[order]
     T = len(tv)
     v0 = tv[:, 0]
     e1 = tv[:, 1] - tv[:, 0]
@@ -169,5 +180,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         absorb=jnp.asarray(_p(absorb_np, fill=0.0), jnp.float32),
         reflectivity=jnp.asarray(_p(refl_np, fill=0.0), jnp.float32),
         detector_id=jnp.asarray(_p(det_np, fill=-1), jnp.int32),
+        axis=jnp.asarray(_p(axis_np, fill=0.0), jnp.float32),
+        retardance=jnp.asarray(_p(ret_np, fill=0.0), jnp.float32),
     )
     return scene, detector_names

@@ -228,7 +228,8 @@ def gather_hit_attrs(scene: Scene, safe_tri):
          scene.ior[:, None], scene.ior_b[:, None],
          scene.reflectivity[:, None],
          scene.detector_id.astype(jnp.float32)[:, None],
-         scene.absorb[:, None]], axis=1)
+         scene.absorb[:, None], scene.axis,
+         scene.retardance[:, None]], axis=1)
     g = packed[safe_tri]
     return {
         "mat": g[:, 0].astype(jnp.int32),
@@ -238,6 +239,8 @@ def gather_hit_attrs(scene: Scene, safe_tri):
         "reflectivity": g[:, 6],
         "detector_id": g[:, 7].astype(jnp.int32),
         "absorb": g[:, 8],
+        "axis": g[:, 9:12],
+        "retardance": g[:, 12],
     }
 
 
@@ -279,16 +282,22 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     is_term = hit_valid & (mat == int(Material.TERMINATOR))
     is_meas = hit_valid & (mat == int(Material.MEASURE))
     is_bs = hit_valid & (mat == int(Material.BEAMSPLITTER))
+    is_pol = hit_valid & (mat == int(Material.POLARIZER))
+    is_wp = hit_valid & (mat == int(Material.WAVEPLATE))
+    is_optic = is_pol | is_wp  # straight-through Stokes elements
     is_miss = rays.alive & ~hit_valid
 
     # child A: the reflected branch (mirror / dielectric / beamsplitter,
-    # which reflects `reflectivity` of the power mirror-style), at slot i
+    # which reflects `reflectivity` of the power mirror-style), at slot i.
+    # Polarizer/waveplate children also live in slot A, continuing straight
+    # through (their power is set in the polarized branch below).
     pa = jnp.where(
         is_mirror | is_bs, live_p * refl,
         jnp.where(is_refr, live_p * sn["R"], 0.0)
     )
-    da = sn["refl_dir"]
+    da = jnp.where(is_optic[:, None], rays.d, sn["refl_dir"])
 
+    pol_absorbed = jnp.float32(0.0)
     if cfg.polarization:
         # Stokes-Mueller path: rotate the frame into the incidence plane,
         # apply the polarized Fresnel/TIR Mueller split, re-derive the
@@ -304,8 +313,28 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         def frac(num, den):
             return num / jnp.maximum(den, 1e-30)
 
+        # polarizer / waveplate: rotate the Stokes frame onto the element's
+        # transmission / fast axis projected perpendicular to the ray
+        ax = attrs["axis"]
+        ax_perp = ax - physics.dot(ax, rays.d)[:, None] * rays.d
+        ax_len = jnp.linalg.norm(ax_perp, axis=1, keepdims=True)
+        ax_ok = ax_len[:, 0] > 1e-6
+        ax_perp = jnp.where(ax_ok[:, None],
+                            ax_perp / jnp.maximum(ax_len, 1e-20), rays.basis)
+        cos_e = physics.dot(rays.basis, ax_perp)
+        sin_e = physics.dot(jnp.cross(rays.basis, ax_perp), rays.d)
+        e1f, e2f = physics.rotate_stokes(rays.s1, rays.s2, cos_e, sin_e)
+        f_pol = 0.5 * (1.0 + e1f)          # Malus: ideal linear polarizer
+        delta = attrs["retardance"]        # linear retarder about fast axis
+        w2 = e2f * jnp.cos(delta) + rays.s3 * jnp.sin(delta)
+        w3 = -e2f * jnp.sin(delta) + rays.s3 * jnp.cos(delta)
+        pol_absorbed = jnp.sum(
+            jnp.where(is_pol, live_p * (1.0 - f_pol), 0.0))
+
         pa = jnp.where(is_mirror | is_bs, live_p * refl,
-                       jnp.where(is_refr, r0, 0.0))
+                       jnp.where(is_refr, r0,
+                                 jnp.where(is_pol, live_p * f_pol,
+                                           jnp.where(is_wp, live_p, 0.0))))
         pb_pol = jnp.where(is_refr, t0,
                            jnp.where(is_bs, live_p * (1.0 - refl), 0.0))
         # reflected-child fractions: an ideal mirror (and the non-polarizing
@@ -318,11 +347,18 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
                          jnp.where(flip, -s2f, s2f))
         a_s3 = jnp.where(is_refr, frac(r3, r0),
                          jnp.where(flip, -rays.s3, rays.s3))
+        # polarizer output is fully polarized along its axis; the waveplate
+        # applies the retarder Mueller in its fast-axis frame
+        a_s1 = jnp.where(is_pol, 1.0, jnp.where(is_wp, e1f, a_s1))
+        a_s2 = jnp.where(is_pol, 0.0, jnp.where(is_wp, w2, a_s2))
+        a_s3 = jnp.where(is_pol, 0.0, jnp.where(is_wp, w3, a_s3))
         # transmitted fractions: beamsplitter passes the rotated state
         b_s1 = jnp.where(is_bs, s1f, frac(t1, t0))
         b_s2 = jnp.where(is_bs, s2f, frac(t2, t0))
         b_s3 = jnp.where(is_bs, rays.s3, frac(t3, t0))
-        new_basis = jnp.where(hit_valid[:, None], s_dir, rays.basis)
+        new_basis = jnp.where(is_optic[:, None], ax_perp,
+                              jnp.where(hit_valid[:, None], s_dir,
+                                        rays.basis))
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
@@ -382,6 +418,13 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     absorbed = bulk_absorbed + jnp.sum(
         jnp.where(is_term, live_p, 0.0)
     ) + jnp.sum(jnp.where(is_mirror, live_p * (1.0 - refl), 0.0))
+    if cfg.polarization:
+        absorbed = absorbed + pol_absorbed
+    else:
+        # polarizer/waveplate act on Stokes state, which the unpolarized
+        # model does not carry: the engine refuses such scenes; direct
+        # step users get full absorption so the ledger still balances
+        absorbed = absorbed + jnp.sum(jnp.where(is_optic, live_p, 0.0))
     escaped = jnp.sum(jnp.where(is_miss, live_p, 0.0))
     measured_power = jnp.where(is_meas, live_p, 0.0)
 
