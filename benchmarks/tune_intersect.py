@@ -50,6 +50,11 @@ def main():
         r_list, k_list, s_list = [64, 128], [2048], [8, 16]
     for R, K, S in itertools.product(r_list, k_list, s_list):
         try:
+            # report the EFFECTIVE sub count (the wrapper clamps to the
+            # largest divisor of the tile count) so labels match what ran
+            K_eff = min(K, scene.num_triangles_padded)
+            n_tiles = -(-scene.num_triangles_padded // K_eff)
+            S = ip._pick_sub(n_tiles, S)
             @jax.jit
             def bench_loop(o_in, d_in, R=R, K=K, S=S):
                 def body(carry, _):

@@ -134,6 +134,9 @@ def best_focus(positions, directions, powers=None, z_range=None,
 
     Returns (z_best, rms_at_best)."""
     pos = np.asarray(positions, np.float64)
+    if len(pos) == 0:
+        raise ValueError("best_focus needs at least one ray (did a "
+                         "direction/detector filter drop everything?)")
     if z_range is None:
         zlo, zhi = float(pos[:, 2].min()), float(pos[:, 2].max())
         span = max(zhi - zlo, 1.0)

@@ -50,16 +50,10 @@ def save_state(path: str, rays: Optional[RayBatch] = None,
     return path
 
 
-def _default_basis(d: jnp.ndarray) -> jnp.ndarray:
-    """Valid polarization frame for rays whose checkpoint predates the
-    `basis` field: unit vector perpendicular to each direction (same
-    construction as RayBatch.from_arrays). A zero fill would silently
-    corrupt Stokes rotation on resume into a polarization=True run."""
-    a = jnp.where(jnp.abs(d[:, :1]) < 0.9,
-                  jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), d.shape),
-                  jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32), d.shape))
-    b = jnp.cross(d, a)
-    return b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-20)
+from lightpycl_tpu.tracer.rays import default_basis as _default_basis
+# ^ rays whose checkpoint predates the `basis` field get the SAME frame
+#   RayBatch.from_arrays builds (a zero fill would silently corrupt Stokes
+#   rotation on resume into a polarization=True run)
 
 
 def load_state(path: str):

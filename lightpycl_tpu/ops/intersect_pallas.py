@@ -272,7 +272,12 @@ def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
     d4 = jnp.concatenate([d, jnp.zeros((Cp, 1), jnp.float32)], axis=1)
 
     n_rb = Cp // R
-    n_tt = w4.shape[1] // (3 * K)  # real + pad tiles (multiple of n_sub)
+    n_tt = w4.shape[1] // (3 * K)
+    if n_tt % n_sub:
+        raise ValueError(
+            f"tri_sub={n_sub} does not divide the {n_tt}-tile triangle "
+            "stream — trailing tiles would be silently skipped. Use "
+            "intersect_pallas() (it picks a divisor) or pass a divisor.")
     n_groups = n_tt // n_sub
 
     n_words = -(-n_tt // 32)

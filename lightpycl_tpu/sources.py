@@ -253,8 +253,17 @@ class CollimatedSource:
     def rays_on_device(self, key: jax.Array, n: Optional[int] = None):
         n = int(n or self.ray_count)
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        r = (self.diameter / 2.0) * jnp.sqrt(jax.random.uniform(k1, (n,)))
-        phi = jax.random.uniform(k2, (n,), minval=0.0, maxval=2.0 * jnp.pi)
+        if self.sampling == "hexapolar":
+            # deterministic grid: host-computed, enters the jit as constants
+            r_np, phi_np = self._hexapolar(n)
+            r = jnp.asarray(r_np, jnp.float32)
+            phi = jnp.asarray(phi_np, jnp.float32)
+        elif self.sampling == "random":
+            r = (self.diameter / 2.0) * jnp.sqrt(jax.random.uniform(k1, (n,)))
+            phi = jax.random.uniform(k2, (n,), minval=0.0,
+                                     maxval=2.0 * jnp.pi)
+        else:
+            raise ValueError(f"unknown sampling {self.sampling!r}")
         F = jnp.asarray(_frame(self.direction), dtype=jnp.float32)
         u, v, w = F[0], F[1], F[2]
         origins = (
@@ -263,14 +272,19 @@ class CollimatedSource:
             + r[:, None] * jnp.sin(phi)[:, None] * v
         )
         if self.divergence > 0.0:
-            # uniform in the divergence cone, same physics as sample()
+            # uniform in the divergence cone, same physics as sample().
+            # NOTE: built elementwise, not `dloc @ F` — TPU matmuls default
+            # to bf16 operand truncation (CLAUDE.md precision rule)
             z = jax.random.uniform(k3, (n,), minval=jnp.cos(self.divergence),
                                    maxval=1.0)
             ph = jax.random.uniform(k4, (n,), minval=0.0,
                                     maxval=2.0 * jnp.pi)
             s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-            dloc = jnp.stack([s * jnp.cos(ph), s * jnp.sin(ph), z], axis=1)
-            dirs = (dloc @ F).astype(jnp.float32)
+            dirs = (
+                (s * jnp.cos(ph))[:, None] * u
+                + (s * jnp.sin(ph))[:, None] * v
+                + z[:, None] * w
+            ).astype(jnp.float32)
         else:
             dirs = jnp.broadcast_to(w, (n, 3))
         powers = jnp.full((n,), self.power / n, jnp.float32)

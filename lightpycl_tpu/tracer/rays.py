@@ -23,6 +23,20 @@ import numpy as np
 D_LINE_UM = 0.5876
 
 
+def default_basis(d: jnp.ndarray) -> jnp.ndarray:
+    """Default polarization frame: unit s-direction perpendicular to each
+    ray direction (the horizontal-ish choice). Single source of truth —
+    checkpoint forward-fill must produce bit-identical frames to
+    RayBatch.from_arrays."""
+    a = jnp.where(jnp.abs(d[:, :1]) < 0.9,
+                  jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+                                   d.shape),
+                  jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+                                   d.shape))
+    b = jnp.cross(d, a)
+    return b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-20)
+
+
 class RayBatch(NamedTuple):
     """SoA ray state, capacity C (static). `wavelength` (micrometers)
     drives dispersive materials; with the default constant wavelength and
@@ -100,12 +114,7 @@ class RayBatch(NamedTuple):
             p = jnp.concatenate([p, jnp.zeros((pad,), jnp.float32)])
             w = jnp.concatenate([w, jnp.full((pad,), D_LINE_UM, jnp.float32)])
         alive = (jnp.arange(c) < n) & (p > 0)
-        # default polarization basis: unit vector perpendicular to d
-        a = jnp.where(jnp.abs(d[:, :1]) < 0.9,
-                      jnp.broadcast_to(jnp.asarray([1.0, 0, 0], jnp.float32), d.shape),
-                      jnp.broadcast_to(jnp.asarray([0, 1.0, 0], jnp.float32), d.shape))
-        b = jnp.cross(d, a)
-        b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-20)
+        b = default_basis(d)
         if stokes is None:
             # three DISTINCT buffers: the trace step donates the batch, and
             # aliased leaves trip "donate the same buffer twice"

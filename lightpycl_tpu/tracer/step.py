@@ -219,7 +219,7 @@ def gather_hit_attrs(scene: Scene, safe_tri):
     triangle-sharded tracing can substitute collectively-gathered values
     (parallel/mesh2d.py).
 
-    One fused (T, 9) gather instead of seven separate gathers — stacking
+    One fused (T, 13) gather instead of nine separate gathers — stacking
     the per-triangle columns is O(T) elementwise (cheap, fused by XLA);
     the per-ray gather is the expensive part and now runs once. mat and
     detector_id ride along as f32 (both are tiny ints, exact in f32)."""
@@ -403,10 +403,16 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_ab = rays.absorb
         # direct step-level users can reach this path with refractive or
         # beamsplitter triangles present (the engine forbids it); account
-        # the dropped transmitted power so the ledger still balances
-        policy_dropped = jnp.sum(
-            jnp.where(is_refr, live_p * (1.0 - sn["R"]),
-                      jnp.where(is_bs, live_p * (1.0 - refl), 0.0)))
+        # the dropped transmitted power so the ledger still balances. The
+        # polarized path must use the polarized transmitted power (pb_pol),
+        # not the unpolarized Fresnel split, or conservation breaks by
+        # (R_pol - R_unpol) per ray.
+        if cfg.polarization:
+            policy_dropped = jnp.sum(pb_pol)
+        else:
+            policy_dropped = jnp.sum(
+                jnp.where(is_refr, live_p * (1.0 - sn["R"]),
+                          jnp.where(is_bs, live_p * (1.0 - refl), 0.0)))
         if cfg.polarization:
             child_s1, child_s2, child_s3 = a_s1, a_s2, a_s3
             child_basis = new_basis

@@ -180,3 +180,26 @@ class TestMirrorHandedness:
                                        atol=1e-5)
             np.testing.assert_allclose(np.asarray(r.s3)[alive], expect[2],
                                        atol=1e-5)
+
+
+def test_no_split_polarized_ledger_balances():
+    """Step-level allow_splitting=False with polarization=True: the dropped
+    refracted power must be the POLARIZED transmitted power (regression:
+    it used the unpolarized Fresnel split, off by (R_pol - R_unpol))."""
+    slab = oe.cube((4, 4, 0.2), center=(0, 0, 0.1)).rotate(
+        (0, 1, 0), np.radians(60.0))
+    slab.material = L.Material.REFRACTIVE
+    slab.ior = 1.5
+    scene, _ = L.build_scene([slab])
+    cfg = TraceConfig(polarization=True, allow_splitting=False)
+    n = 16
+    rays = RayBatch.from_arrays(
+        np.tile([0, 0, -2.0], (n, 1)), np.tile([0, 0, 1.0], (n, 1)),
+        np.full(n, 1.0 / n), stokes=(1.0, 0.0, 0.0))  # pure s
+    det = DetectorState.zeros(4, 4, 1)
+    led = Ledger.start(1.0)
+    r, det, led, _ = trace_step(scene, rays, det, led, cfg)
+    live = float(np.asarray((r.power * r.alive).sum()))
+    acc = float(np.asarray(led.measured + led.absorbed + led.escaped
+                           + led.culled))
+    assert acc + live == pytest.approx(1.0, abs=1e-5)

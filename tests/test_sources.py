@@ -138,3 +138,23 @@ class TestHexapolar:
     def test_unknown_sampling_rejected(self):
         with pytest.raises(ValueError, match="sampling"):
             CollimatedSource(sampling="spiral").sample()
+
+    def test_hexapolar_on_device_matches_host(self):
+        """rays_on_device must honor the deterministic hexapolar grid
+        (regression: it used to silently fall back to random sampling)."""
+        cs = CollimatedSource(diameter=2.0, ray_count=100,
+                              sampling="hexapolar")
+        oh, dh, ph = cs.sample()
+        od, dd, pd = cs.rays_on_device(jax.random.key(3))
+        np.testing.assert_allclose(np.asarray(od), oh, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dd), dh, atol=1e-6)
+
+    def test_divergence_on_device_unit_norm(self):
+        """device-side divergent directions must be unit vectors (the
+        elementwise frame construction; a bf16-truncated matmul here
+        would break unit norm and leak power)."""
+        cs = CollimatedSource(direction=(0, 1, 1), diameter=0.5,
+                              ray_count=4096, divergence=0.2, seed=3)
+        _, dd, _ = cs.rays_on_device(jax.random.key(5))
+        norms = np.linalg.norm(np.asarray(dd, np.float64), axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=2e-6)
