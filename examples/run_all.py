@@ -24,6 +24,7 @@ SMALL = {
     "example_polarization.py": {"RAY_COUNT": "4000"},
     "example_asphere.py": {"RAY_COUNT": "4000"},
     "example_michelson.py": {"RAY_COUNT": "4000"},
+    "example_spectrometer.py": {"RAY_COUNT": "4000"},
     # sized for the CPU jnp fallback; on TPU bump via env before running
     "example_large_mesh.py": {"TOTAL_RAYS": "200000", "BATCH": "100000",
                               "MESH_SEGMENTS": "48",

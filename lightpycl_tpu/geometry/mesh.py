@@ -66,6 +66,9 @@ class GeoObject:
     axis: Optional[np.ndarray] = None  # polarizer transmission / waveplate
     #   fast axis (world frame, unit); rotates with the element
     retardance: float = 0.0    # waveplate retardance [rad]; pi/2 = quarter
+    grating_period: float = 0.0  # groove period [um] (same units as
+    #   wavelength); GRATING elements require > 0
+    grating_order: int = 1     # fixed diffraction order m
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -83,9 +86,12 @@ class GeoObject:
             if n <= 0:
                 raise ValueError("axis must be a nonzero vector")
             self.axis = a / n
-        elif self.material in (Material.POLARIZER, Material.WAVEPLATE):
+        elif self.material in (Material.POLARIZER, Material.WAVEPLATE,
+                               Material.GRATING):
             raise ValueError(
                 f"{self.material.name} elements need an `axis` vector")
+        if self.material == Material.GRATING and self.grating_period <= 0:
+            raise ValueError("GRATING elements need grating_period > 0 [um]")
 
     # ---- transforms (in place, chainable — reference style) -------------
 
@@ -144,6 +150,8 @@ class GeoObject:
             self.absorption,
             None if self.axis is None else self.axis.copy(),
             self.retardance,
+            self.grating_period,
+            self.grating_order,
         )
 
     # ---- derived quantities ---------------------------------------------
@@ -194,6 +202,8 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         absorption=objs[0].absorption,
         axis=objs[0].axis,
         retardance=objs[0].retardance,
+        grating_period=objs[0].grating_period,
+        grating_order=objs[0].grating_order,
     )
     base.update(overrides)
     return GeoObject(np.concatenate(verts), np.concatenate(tris), **base)

@@ -35,6 +35,8 @@ class Material(enum.IntEnum):
     BEAMSPLITTER = 4
     POLARIZER = 5   # ideal linear polarizer along the element's `axis`
     WAVEPLATE = 6   # linear retarder: fast axis = `axis`, delta = retardance
+    GRATING = 7     # reflection grating: groove-perpendicular = `axis`,
+    #                 period = grating_period [um], fixed grating_order
 
     @staticmethod
     def from_any(value) -> "Material":
@@ -62,6 +64,7 @@ class Material(enum.IntEnum):
                 "polarizer": Material.POLARIZER,
                 "waveplate": Material.WAVEPLATE,
                 "retarder": Material.WAVEPLATE,
+                "grating": Material.GRATING,
             }
             if key in aliases:
                 return aliases[key]
@@ -77,6 +80,7 @@ MEASURE = Material.MEASURE
 BEAMSPLITTER = Material.BEAMSPLITTER
 POLARIZER = Material.POLARIZER
 WAVEPLATE = Material.WAVEPLATE
+GRATING = Material.GRATING
 
 
 # Wavelengths of the standard Fraunhofer lines used for dispersion specs [um]

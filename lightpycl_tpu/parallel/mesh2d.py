@@ -107,6 +107,7 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 "absorb": jax.lax.psum(a["absorb"] * mf, TRI_AXIS),
                 "axis": jax.lax.psum(a["axis"] * mf[:, None], TRI_AXIS),
                 "retardance": jax.lax.psum(a["retardance"] * mf, TRI_AXIS),
+                "grating_mlp": jax.lax.psum(a["grating_mlp"] * mf, TRI_AXIS),
             }
             # misses have no winner: psum of zeros -> ior 0; force sane values
             miss = tri < 0

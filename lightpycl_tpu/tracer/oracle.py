@@ -78,6 +78,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     v0s, e1s, e2s, mats, iors, refls, dets = [], [], [], [], [], [], []
     iorbs = []
     absorbs = []
+    axes, mlps = [], []
     det_names = []
     for el in elements:
         if el.material in (Material.POLARIZER, Material.WAVEPLATE):
@@ -95,6 +96,12 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         iorbs.append(np.full(t, float(getattr(el, "dispersion_b", 0.0))))
         absorbs.append(np.full(t, float(getattr(el, "absorption", 0.0))))
         refls.append(np.full(t, el.reflectivity))
+        ax = (np.zeros(3) if getattr(el, "axis", None) is None
+              else np.asarray(el.axis, np.float64))
+        axes.append(np.tile(ax, (t, 1)))
+        period = float(getattr(el, "grating_period", 0.0))
+        mlps.append(np.full(t, (float(getattr(el, "grating_order", 1)) / period
+                                if period > 0 else 0.0)))
         if el.material == Material.MEASURE:
             dets.append(np.full(t, len(det_names)))
             det_names.append(el.name or f"detector_{len(det_names)}")
@@ -105,6 +112,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     ior_b = np.concatenate(iorbs)
     tri_absorb = np.concatenate(absorbs)
     refl = np.concatenate(refls); det_id = np.concatenate(dets)
+    g_axis = np.concatenate(axes); g_mlp = np.concatenate(mlps)
     n_geom = np.cross(e1, e2)
     n_geom /= np.maximum(np.linalg.norm(n_geom, axis=1, keepdims=True), 1e-300)
 
@@ -141,6 +149,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         is_term = m == int(Material.TERMINATOR)
         is_meas = m == int(Material.MEASURE)
         is_bs = m == int(Material.BEAMSPLITTER)
+        is_gr = m == int(Material.GRATING)
 
         absorbed += p[is_term].sum()
         if is_meas.any():
@@ -162,6 +171,28 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])
             new_ab.append(ab[i])
+
+        # reflection gratings: tangential shift by m*lambda/period along the
+        # projected groove-perpendicular; evanescent orders absorbed
+        if is_gr.any():
+            i = is_gr
+            ng = n_geom[ti[i]]
+            cos = np.sum(d[i] * ng, axis=1)
+            n = np.where(cos[:, None] < 0, ng, -ng)
+            ax = g_axis[ti[i]]
+            g = ax - np.sum(ax * n, axis=1)[:, None] * n
+            g /= np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-300)
+            t_in = d[i] - np.sum(d[i] * n, axis=1)[:, None] * n
+            t_out = t_in + (wl[i] * g_mlp[ti[i]])[:, None] * g
+            s2 = np.sum(t_out * t_out, axis=1)
+            prop = s2 <= 1.0
+            dd = t_out + np.sqrt(np.maximum(1.0 - s2, 0.0))[:, None] * n
+            dd /= np.maximum(np.linalg.norm(dd, axis=1, keepdims=True), 1e-300)
+            r = refl[ti[i]]
+            absorbed += (p[i] * np.where(prop, 1.0 - r, 1.0)).sum()
+            new_o.append(hp[i]); new_d.append(dd)
+            new_p.append(p[i] * np.where(prop, r, 0.0))
+            new_ior.append(ior[i]); new_wl.append(wl[i]); new_ab.append(ab[i])
 
         # beamsplitters: mirror-style reflected child (R) + straight-through
         # transmitted child (1 - R), no refraction or medium change

@@ -49,8 +49,9 @@ class Scene(NamedTuple):
     absorb: jnp.ndarray        # (T_pad,) f32 bulk absorption inside [1/len]
     reflectivity: jnp.ndarray  # (T_pad,) f32 mirror reflectivity
     detector_id: jnp.ndarray   # (T_pad,) i32 measure-surface index, -1 else
-    axis: jnp.ndarray          # (T_pad, 3) f32 polarizer/waveplate axis
+    axis: jnp.ndarray          # (T_pad, 3) f32 polarizer/waveplate/grating axis
     retardance: jnp.ndarray    # (T_pad,) f32 waveplate retardance [rad]
+    grating_mlp: jnp.ndarray   # (T_pad,) f32 m / period [1/um], 0 = no grating
 
     @property
     def num_triangles_padded(self) -> int:
@@ -93,7 +94,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     tv_list, mat_list, ior_list, refl_list, det_list = [], [], [], [], []
     iorb_list = []
     absorb_list = []
-    axis_list, ret_list = [], []
+    axis_list, ret_list, gr_list = [], [], []
     detector_names: list[str] = []
     for obj in objects:
         t = obj.num_triangles
@@ -112,6 +113,10 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         axis_list.append(np.tile(ax, (t, 1)))
         ret_list.append(np.full(t, float(getattr(obj, "retardance", 0.0)),
                                 np.float64))
+        period = float(getattr(obj, "grating_period", 0.0))
+        mlp = (float(getattr(obj, "grating_order", 1)) / period
+               if period > 0 else 0.0)
+        gr_list.append(np.full(t, mlp, np.float64))
         if obj.material == Material.MEASURE:
             det_id = len(detector_names)
             detector_names.append(obj.name or f"detector_{det_id}")
@@ -128,6 +133,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     det_np = np.concatenate(det_list)
     axis_np = np.concatenate(axis_list)
     ret_np = np.concatenate(ret_list)
+    gr_np = np.concatenate(gr_list)
     if spatial_sort:
         c = tv.mean(axis=1)
         lo, hi = c.min(axis=0), c.max(axis=0)
@@ -138,6 +144,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         absorb_np, refl_np, det_np = (absorb_np[order], refl_np[order],
                                       det_np[order])
         axis_np, ret_np = axis_np[order], ret_np[order]
+        gr_np = gr_np[order]
     T = len(tv)
     v0 = tv[:, 0]
     e1 = tv[:, 1] - tv[:, 0]
@@ -182,5 +189,6 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         detector_id=jnp.asarray(_p(det_np, fill=-1), jnp.int32),
         axis=jnp.asarray(_p(axis_np, fill=0.0), jnp.float32),
         retardance=jnp.asarray(_p(ret_np, fill=0.0), jnp.float32),
+        grating_mlp=jnp.asarray(_p(gr_np, fill=0.0), jnp.float32),
     )
     return scene, detector_names

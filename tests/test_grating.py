@@ -1,0 +1,127 @@
+"""Reflection diffraction grating (extension): fixed-order tangential
+wavevector shift, validated against the grating equation
+sin(theta_out) = sin(theta_in) + m * lambda / period."""
+
+import numpy as np
+import pytest
+
+import lightpycl_tpu as L
+from lightpycl_tpu.materials import Material
+from lightpycl_tpu.sources import CollimatedSource
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.engine import Tracer
+from lightpycl_tpu.tracer.oracle import trace_oracle
+from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
+from lightpycl_tpu.tracer.step import trace_step
+
+oe = L.optical_elements(n_segments=16, n_radial=6)
+
+
+def grating_el(period, order=1, reflectivity=1.0):
+    """Plane grating in z=0 (normal +z), grooves along y (dispersion
+    direction = +x)."""
+    return oe.rectangle(4.0, 4.0, material="grating", axis=(1, 0, 0),
+                        grating_period=period, grating_order=order,
+                        reflectivity=reflectivity)
+
+
+def one_step(els, d_in, wl, n=8, cfg=None):
+    scene, _ = L.build_scene(els)
+    cfg = cfg or TraceConfig(allow_splitting=False)
+    rays = RayBatch.from_arrays(
+        np.tile([0.0, 0.0, 2.0], (n, 1)), np.tile(d_in, (n, 1)),
+        np.full(n, 1.0 / n), wavelengths=np.full(n, wl))
+    det = DetectorState.zeros(4, 4, 1)
+    led = Ledger.start(1.0)
+    return trace_step(scene, rays, det, led, cfg)
+
+
+class TestGratingEquation:
+    def test_normal_incidence_first_order(self):
+        wl, period = 0.5876, 1.0
+        r, det, led, _ = one_step([grating_el(period)], [0, 0, -1.0], wl)
+        alive = np.asarray(r.alive)
+        d = np.asarray(r.d)[alive]
+        s = wl / period
+        np.testing.assert_allclose(d[:, 0], s, atol=1e-6)
+        np.testing.assert_allclose(d[:, 2], np.sqrt(1 - s * s), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r.power)[alive].sum(), 1.0,
+                                   atol=1e-6)
+
+    def test_oblique_incidence(self):
+        wl, period = 0.5, 1.2
+        th_in = np.radians(20.0)
+        d_in = [np.sin(th_in), 0.0, -np.cos(th_in)]
+        r, det, led, _ = one_step([grating_el(period)], d_in, wl)
+        alive = np.asarray(r.alive)
+        d = np.asarray(r.d)[alive]
+        # t_in has +x component sin(th_in); shift adds m lambda / period
+        s_out = np.sin(th_in) + wl / period
+        np.testing.assert_allclose(d[:, 0], s_out, atol=1e-6)
+
+    def test_order_zero_is_mirror(self):
+        r, _, _, _ = one_step([grating_el(1.0, order=0)], [0, 0, -1.0], 0.55)
+        alive = np.asarray(r.alive)
+        d = np.asarray(r.d)[alive]
+        np.testing.assert_allclose(d, np.tile([0.0, 0.0, 1.0], (len(d), 1)),
+                                   atol=1e-6)
+
+    def test_negative_order(self):
+        wl, period = 0.5, 1.0
+        r, _, _, _ = one_step([grating_el(period, order=-1)], [0, 0, -1.0], wl)
+        alive = np.asarray(r.alive)
+        np.testing.assert_allclose(np.asarray(r.d)[alive][:, 0],
+                                   -wl / period, atol=1e-6)
+
+    def test_evanescent_order_absorbed(self):
+        # lambda > period: |sin| > 1, no propagating first order
+        r, det, led, _ = one_step([grating_el(0.4)], [0, 0, -1.0], 0.6)
+        assert not np.asarray(r.alive).any()
+        assert float(led.absorbed) == pytest.approx(1.0, abs=1e-6)
+
+    def test_efficiency_accounted(self):
+        r, det, led, _ = one_step([grating_el(1.0, reflectivity=0.7)],
+                                  [0, 0, -1.0], 0.5)
+        alive = np.asarray(r.alive)
+        assert np.asarray(r.power)[alive].sum() == pytest.approx(0.7, 1e-6)
+        assert float(led.absorbed) == pytest.approx(0.3, abs=1e-6)
+
+
+class TestSpectrometer:
+    def test_two_lines_resolved_and_oracle_parity(self):
+        """Two spectral lines diffract to distinct detector spots; engine
+        matches the f64 oracle on measured power."""
+        els = [grating_el(1.2),
+               oe.sphere(radius=5.0, material="measure", name="dome")]
+        n = 256
+        rng = np.random.default_rng(3)
+        o = np.tile([0.0, 0.0, 2.0], (n, 1))
+        d = np.tile([0.0, 0.0, -1.0], (n, 1))
+        p = np.full(n, 1.0 / n)
+        wl = np.where(rng.uniform(size=n) < 0.5, 0.45, 0.65)
+        res = Tracer(TraceConfig()).trace(
+            None, els, trace_iterations=3,
+            rays=RayBatch.from_arrays(o, d, p, wavelengths=wl))
+        # measured positions: x/|r| = sin(theta) = lambda / period per line
+        pos = res.measured_pos
+        wls = res.measured_wavelength
+        for line in (0.45, 0.65):
+            sel = np.isclose(wls, line, atol=1e-3)
+            assert sel.any()
+            sin_th = pos[sel, 0] / np.linalg.norm(pos[sel], axis=1)
+            np.testing.assert_allclose(sin_th, line / 1.2, atol=1e-4)
+        ora = trace_oracle(els, o, d, p, trace_iterations=3, wavelengths=wl)
+        assert res.ledger["measured"] == pytest.approx(ora["measured"],
+                                                       rel=1e-5)
+        assert res.power_conservation_error() < 1e-5
+
+
+class TestPlumbing:
+    def test_requires_axis_and_period(self):
+        with pytest.raises(ValueError, match="axis"):
+            oe.rectangle(1.0, 1.0, material="grating", grating_period=1.0)
+        with pytest.raises(ValueError, match="grating_period"):
+            oe.rectangle(1.0, 1.0, material="grating", axis=(1, 0, 0))
+
+    def test_string_alias(self):
+        assert Material.from_any("grating") == Material.GRATING
