@@ -48,13 +48,18 @@ def main():
     s_list = [1, 4, 8, 16]
     if quick:
         r_list, k_list, s_list = [64, 128], [2048], [8, 16]
+    seen = set()
     for R, K, S in itertools.product(r_list, k_list, s_list):
         try:
-            # report the EFFECTIVE sub count (the wrapper clamps to the
-            # largest divisor of the tile count) so labels match what ran
-            K_eff = min(K, scene.num_triangles_padded)
-            n_tiles = -(-scene.num_triangles_padded // K_eff)
+            # report the EFFECTIVE configuration (the wrapper clamps K to
+            # the scene and SUB to the largest tile-count divisor) and skip
+            # duplicates — distinct requested SUBs can collapse to one
+            K = min(K, scene.num_triangles_padded)
+            n_tiles = -(-scene.num_triangles_padded // K)
             S = ip._pick_sub(n_tiles, S)
+            if (R, K, S) in seen:
+                continue
+            seen.add((R, K, S))
             @jax.jit
             def bench_loop(o_in, d_in, R=R, K=K, S=S):
                 def body(carry, _):

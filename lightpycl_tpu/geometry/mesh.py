@@ -90,8 +90,18 @@ class GeoObject:
                                Material.GRATING):
             raise ValueError(
                 f"{self.material.name} elements need an `axis` vector")
-        if self.material == Material.GRATING and self.grating_period <= 0:
-            raise ValueError("GRATING elements need grating_period > 0 [um]")
+        if self.material == Material.GRATING:
+            if self.grating_period <= 0:
+                raise ValueError(
+                    "GRATING elements need grating_period > 0 [um]")
+            # an axis parallel to every face normal has no tangential
+            # component: the grating would silently act as a mirror
+            fn = self.face_normals()
+            tang = self.axis - (fn @ self.axis)[:, None] * fn
+            if len(fn) and np.linalg.norm(tang, axis=1).max() < 1e-6:
+                raise ValueError(
+                    "grating axis is parallel to the surface normal — it "
+                    "must have a tangential (in-surface) component")
 
     # ---- transforms (in place, chainable — reference style) -------------
 

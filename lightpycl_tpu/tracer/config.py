@@ -77,6 +77,11 @@ class TraceConfig:
     # the threshold) — unbiased, unlike power_cutoff. `seed` feeds the
     # per-bounce PRNG.
     roulette_threshold: float = 0.0
+    # True computes the reflection-grating branch in shade for every ray
+    # (safe default for direct step users); the engine sets it False when
+    # the scene has no GRATING elements — the branchless math costs ~7% of
+    # a full trace otherwise
+    has_gratings: bool = True
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an

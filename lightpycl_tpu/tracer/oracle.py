@@ -172,21 +172,27 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])
             new_ab.append(ab[i])
 
-        # reflection gratings: tangential shift by m*lambda/period along the
-        # projected groove-perpendicular; evanescent orders absorbed
+        # reflection gratings, computed in an explicit local orthonormal
+        # frame (g, q, n) — a DIFFERENT construction from the device path's
+        # projection-subtraction form, per this module's independence
+        # principle: decompose d into frame components, shift the
+        # g-component by m*lambda0/(n_medium*period) (conical diffraction
+        # leaves the groove component untouched), re-assemble.
         if is_gr.any():
             i = is_gr
             ng = n_geom[ti[i]]
             cos = np.sum(d[i] * ng, axis=1)
             n = np.where(cos[:, None] < 0, ng, -ng)
-            ax = g_axis[ti[i]]
-            g = ax - np.sum(ax * n, axis=1)[:, None] * n
+            g = np.cross(np.cross(n, g_axis[ti[i]]), n)   # tangential axis
             g /= np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-300)
-            t_in = d[i] - np.sum(d[i] * n, axis=1)[:, None] * n
-            t_out = t_in + (wl[i] * g_mlp[ti[i]])[:, None] * g
-            s2 = np.sum(t_out * t_out, axis=1)
+            q = np.cross(n, g)                            # groove direction
+            alpha = np.sum(d[i] * g, axis=1)              # frame components
+            beta = np.sum(d[i] * q, axis=1)
+            alpha2 = alpha + wl[i] / ior[i] * g_mlp[ti[i]]
+            s2 = alpha2**2 + beta**2
             prop = s2 <= 1.0
-            dd = t_out + np.sqrt(np.maximum(1.0 - s2, 0.0))[:, None] * n
+            gamma = np.sqrt(np.maximum(1.0 - s2, 0.0))    # reflected side
+            dd = alpha2[:, None] * g + beta[:, None] * q + gamma[:, None] * n
             dd /= np.maximum(np.linalg.norm(dd, axis=1, keepdims=True), 1e-300)
             r = refl[ti[i]]
             absorbed += (p[i] * np.where(prop, 1.0 - r, 1.0)).sum()

@@ -214,24 +214,28 @@ class ShadeOut(NamedTuple):
     escaped: jnp.ndarray       # () power escaped (miss) this step
 
 
-def gather_hit_attrs(scene: Scene, safe_tri):
+def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True):
     """Per-hit triangle attributes (the gathers shade needs). Separated so
     triangle-sharded tracing can substitute collectively-gathered values
     (parallel/mesh2d.py).
 
-    One fused (T, 14) gather instead of ten separate gathers — stacking
-    the per-triangle columns is O(T) elementwise (cheap, fused by XLA);
-    the per-ray gather is the expensive part and now runs once. mat and
-    detector_id ride along as f32 (both are tiny ints, exact in f32)."""
-    packed = jnp.concatenate(
-        [scene.mat.astype(jnp.float32)[:, None], scene.normal,
-         scene.ior[:, None], scene.ior_b[:, None],
-         scene.reflectivity[:, None],
-         scene.detector_id.astype(jnp.float32)[:, None],
-         scene.absorb[:, None], scene.axis,
-         scene.retardance[:, None], scene.grating_mlp[:, None]], axis=1)
-    g = packed[safe_tri]
-    return {
+    One fused (T, 9) or (T, 14) gather instead of up-to-ten separate
+    gathers — stacking the per-triangle columns is O(T) elementwise
+    (cheap, fused by XLA); the per-ray gather is the expensive part and
+    runs once. mat and detector_id ride along as f32 (tiny ints, exact).
+    `with_optics` adds the polarizer/waveplate/grating columns (axis,
+    retardance, m/period); shade skips them when the static config says no
+    such elements exist."""
+    cols = [scene.mat.astype(jnp.float32)[:, None], scene.normal,
+            scene.ior[:, None], scene.ior_b[:, None],
+            scene.reflectivity[:, None],
+            scene.detector_id.astype(jnp.float32)[:, None],
+            scene.absorb[:, None]]
+    if with_optics:
+        cols += [scene.axis, scene.retardance[:, None],
+                 scene.grating_mlp[:, None]]
+    g = jnp.concatenate(cols, axis=1)[safe_tri]
+    out = {
         "mat": g[:, 0].astype(jnp.int32),
         "normal": g[:, 1:4],
         "ior": g[:, 4],
@@ -239,10 +243,12 @@ def gather_hit_attrs(scene: Scene, safe_tri):
         "reflectivity": g[:, 6],
         "detector_id": g[:, 7].astype(jnp.int32),
         "absorb": g[:, 8],
-        "axis": g[:, 9:12],
-        "retardance": g[:, 12],
-        "grating_mlp": g[:, 13],
     }
+    if with_optics:
+        out["axis"] = g[:, 9:12]
+        out["retardance"] = g[:, 12]
+        out["grating_mlp"] = g[:, 13]
+    return out
 
 
 def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
@@ -267,7 +273,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     live_p = live_p * atten
 
     if attrs is None:
-        attrs = gather_hit_attrs(scene, safe_tri)
+        attrs = gather_hit_attrs(
+            scene, safe_tri,
+            with_optics=cfg.polarization or cfg.has_gratings)
     mat = attrs["mat"]
     n_geom = attrs["normal"]
     # dispersive glass: Cauchy n(lambda) = A + B / lambda^2 (lambda in um);
@@ -286,36 +294,47 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     is_pol = hit_valid & (mat == int(Material.POLARIZER))
     is_wp = hit_valid & (mat == int(Material.WAVEPLATE))
     is_optic = is_pol | is_wp  # straight-through Stokes elements
-    is_gr = hit_valid & (mat == int(Material.GRATING))
     is_miss = rays.alive & ~hit_valid
 
-    # reflection grating (extension): tangential wavevector shift by
-    # m * lambda / period along the groove-perpendicular (element `axis`
-    # projected into the surface); m = 0 reduces to the mirror direction.
-    # Evanescent orders (|t_out| > 1) are absorbed.
-    nvec = sn["n"]
-    g_t = attrs["axis"] - physics.dot(attrs["axis"], nvec)[:, None] * nvec
-    g_t = g_t / jnp.maximum(jnp.linalg.norm(g_t, axis=1, keepdims=True),
-                            1e-20)
-    t_in = rays.d - physics.dot(rays.d, nvec)[:, None] * nvec
-    t_out = t_in + (rays.wavelength * attrs["grating_mlp"])[:, None] * g_t
-    s2_gr = jnp.sum(t_out * t_out, axis=1)
-    gr_prop = s2_gr <= 1.0
-    d_gr = t_out + jnp.sqrt(jnp.maximum(1.0 - s2_gr, 0.0))[:, None] * nvec
-    d_gr = d_gr / jnp.maximum(jnp.linalg.norm(d_gr, axis=1, keepdims=True),
-                              1e-20)
+    if cfg.has_gratings:
+        is_gr = hit_valid & (mat == int(Material.GRATING))
+        # reflection grating (extension): tangential wavevector shift by
+        # m * lambda0 / (n_medium * period) along the groove-perpendicular
+        # (element `axis` projected into the surface); m = 0 reduces to the
+        # mirror direction. Evanescent orders (|t_out| > 1) are absorbed.
+        # lambda0 is the VACUUM wavelength; an immersed grating sees the
+        # medium wavelength lambda0 / n (rays.ior).
+        nvec = sn["n"]
+        g_t = attrs["axis"] - physics.dot(attrs["axis"], nvec)[:, None] * nvec
+        g_t = g_t / jnp.maximum(jnp.linalg.norm(g_t, axis=1, keepdims=True),
+                                1e-20)
+        t_in = rays.d - physics.dot(rays.d, nvec)[:, None] * nvec
+        shift = rays.wavelength / rays.ior * attrs["grating_mlp"]
+        t_out = t_in + shift[:, None] * g_t
+        s2_gr = jnp.sum(t_out * t_out, axis=1)
+        gr_prop = s2_gr <= 1.0
+        d_gr = t_out + jnp.sqrt(jnp.maximum(1.0 - s2_gr, 0.0))[:, None] * nvec
+        d_gr = d_gr / jnp.maximum(
+            jnp.linalg.norm(d_gr, axis=1, keepdims=True), 1e-20)
+    else:
+        is_gr = gr_prop = None
+        d_gr = rays.d
 
     # child A: the reflected branch (mirror / dielectric / beamsplitter,
     # which reflects `reflectivity` of the power mirror-style), at slot i.
     # Polarizer/waveplate children also live in slot A, continuing straight
     # through (their power is set in the polarized branch below), as does
     # the grating's diffracted child (`reflectivity` = efficiency).
+    refl_like = is_mirror | is_bs
+    if cfg.has_gratings:
+        refl_like = refl_like | (is_gr & gr_prop)
     pa = jnp.where(
-        is_mirror | is_bs | (is_gr & gr_prop), live_p * refl,
+        refl_like, live_p * refl,
         jnp.where(is_refr, live_p * sn["R"], 0.0)
     )
-    da = jnp.where(is_optic[:, None], rays.d,
-                   jnp.where(is_gr[:, None], d_gr, sn["refl_dir"]))
+    da = jnp.where(is_optic[:, None], rays.d, sn["refl_dir"])
+    if cfg.has_gratings:
+        da = jnp.where(is_gr[:, None], d_gr, da)
 
     pol_absorbed = jnp.float32(0.0)
     if cfg.polarization:
@@ -351,7 +370,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         pol_absorbed = jnp.sum(
             jnp.where(is_pol, live_p * (1.0 - f_pol), 0.0))
 
-        pa = jnp.where(is_mirror | is_bs | (is_gr & gr_prop), live_p * refl,
+        pa = jnp.where(refl_like, live_p * refl,
                        jnp.where(is_refr, r0,
                                  jnp.where(is_pol, live_p * f_pol,
                                            jnp.where(is_wp, live_p, 0.0))))
@@ -364,7 +383,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # grating: non-polarizing-reflection approximation (like the
         # mirror); the child frame is rebuilt perpendicular to the
         # diffracted direction (exact for in-plane diffraction)
-        flip = is_mirror | is_bs | is_gr
+        flip = (is_mirror | is_bs) if not cfg.has_gratings else (
+            is_mirror | is_bs | is_gr)
         a_s1 = jnp.where(is_refr, frac(r1, r0), s1f)
         a_s2 = jnp.where(is_refr, frac(r2, r0),
                          jnp.where(flip, -s2f, s2f))
@@ -379,14 +399,15 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         b_s1 = jnp.where(is_bs, s1f, frac(t1, t0))
         b_s2 = jnp.where(is_bs, s2f, frac(t2, t0))
         b_s3 = jnp.where(is_bs, rays.s3, frac(t3, t0))
-        gr_basis = jnp.cross(nvec, d_gr)
-        gr_len = jnp.linalg.norm(gr_basis, axis=1, keepdims=True)
-        gr_basis = jnp.where(gr_len > 1e-6,
-                             gr_basis / jnp.maximum(gr_len, 1e-20), s_dir)
         new_basis = jnp.where(is_optic[:, None], ax_perp,
-                              jnp.where(is_gr[:, None], gr_basis,
-                                        jnp.where(hit_valid[:, None], s_dir,
-                                                  rays.basis)))
+                              jnp.where(hit_valid[:, None], s_dir,
+                                        rays.basis))
+        if cfg.has_gratings:
+            gr_basis = jnp.cross(nvec, d_gr)
+            gr_len = jnp.linalg.norm(gr_basis, axis=1, keepdims=True)
+            gr_basis = jnp.where(gr_len > 1e-6,
+                                 gr_basis / jnp.maximum(gr_len, 1e-20), s_dir)
+            new_basis = jnp.where(is_gr[:, None], gr_basis, new_basis)
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
@@ -451,9 +472,11 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
 
     absorbed = bulk_absorbed + jnp.sum(
         jnp.where(is_term, live_p, 0.0)
-    ) + jnp.sum(jnp.where(is_mirror, live_p * (1.0 - refl), 0.0)) + jnp.sum(
-        jnp.where(is_gr,
-                  jnp.where(gr_prop, live_p * (1.0 - refl), live_p), 0.0))
+    ) + jnp.sum(jnp.where(is_mirror, live_p * (1.0 - refl), 0.0))
+    if cfg.has_gratings:
+        absorbed = absorbed + jnp.sum(
+            jnp.where(is_gr,
+                      jnp.where(gr_prop, live_p * (1.0 - refl), live_p), 0.0))
     if cfg.polarization:
         absorbed = absorbed + pol_absorbed
     else:

@@ -125,3 +125,28 @@ class TestPlumbing:
 
     def test_string_alias(self):
         assert Material.from_any("grating") == Material.GRATING
+
+
+class TestImmersedGrating:
+    def test_medium_index_scales_the_shift(self):
+        """An immersed grating sees the medium wavelength lambda0/n:
+        sin(theta_out) = m lambda0 / (n period) at normal incidence."""
+        wl, period, n_med = 0.6, 1.0, 1.33
+        cfg = TraceConfig(allow_splitting=False, ior_env=n_med)
+        scene, _ = L.build_scene([grating_el(period)])
+        m = 8
+        rays = RayBatch.from_arrays(
+            np.tile([0.0, 0.0, 2.0], (m, 1)), np.tile([0, 0, -1.0], (m, 1)),
+            np.full(m, 1.0 / m), ior_env=n_med,
+            wavelengths=np.full(m, wl))
+        det = DetectorState.zeros(4, 4, 1)
+        led = Ledger.start(1.0)
+        r, det, led, _ = trace_step(scene, rays, det, led, cfg)
+        alive = np.asarray(r.alive)
+        np.testing.assert_allclose(np.asarray(r.d)[alive][:, 0],
+                                   wl / (n_med * period), atol=1e-6)
+
+    def test_axis_parallel_to_normal_rejected(self):
+        with pytest.raises(ValueError, match="tangential"):
+            oe.rectangle(1.0, 1.0, material="grating", axis=(0, 0, 1),
+                         grating_period=1.0)
