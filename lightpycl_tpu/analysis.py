@@ -152,6 +152,30 @@ def best_focus(positions, directions, powers=None, z_range=None,
     return float(zs[i]), float(rms[i])
 
 
+def wavefront_error(opl, powers=None, wavelength=None):
+    """RMS optical-path-difference of a measured bundle (extension): OPD is
+    each ray's accumulated optical path length minus the power-weighted
+    mean. For a stigmatic system sampled on a sphere centered at the focus,
+    OPD -> 0 (Fermat); aberrations show up directly in length units.
+
+    Returns dict with 'opd' (per-ray, mean-removed), 'rms' and 'pv'
+    (peak-to-valley) in length units, plus 'rms_waves' when `wavelength`
+    (same units) is given — the standard wavefront-error metric."""
+    opl = np.asarray(opl, np.float64)
+    p = (np.ones(len(opl)) if powers is None
+         else np.asarray(powers, np.float64))
+    total = p.sum()
+    if total <= 0 or len(opl) == 0:
+        return {"opd": np.zeros(0), "rms": 0.0, "pv": 0.0}
+    opd = opl - (opl * p).sum() / total
+    rms = float(np.sqrt((p * opd**2).sum() / total))
+    out = {"opd": opd, "rms": rms,
+           "pv": float(opd.max() - opd.min())}
+    if wavelength is not None:
+        out["rms_waves"] = rms / float(wavelength)
+    return out
+
+
 def encircled_energy(positions, powers, center=None, radii=None,
                      plane_normal=(0, 0, 1)):
     """Fraction of total power within transverse radius r of `center`

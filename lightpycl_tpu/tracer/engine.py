@@ -45,6 +45,7 @@ class TraceResult:
     measured_det: np.ndarray      # (M,) detector ids
     measured_wavelength: np.ndarray  # (M,) vacuum wavelengths [um]
     measured_stokes: np.ndarray   # (M, 3) Stokes fractions (polarization)
+    measured_opl: np.ndarray      # (M,) optical path lengths (n * length)
     hist: np.ndarray              # (n_az, n_pol) power histogram
     per_detector: np.ndarray      # (D,)
     image: np.ndarray             # (image_bins, image_bins) planar map
@@ -326,6 +327,7 @@ class Tracer:
                             np.asarray(aux.m_det[:m]),
                             np.asarray(aux.m_wl[:m]),
                             np.asarray(aux.m_stokes[:m]),
+                            np.asarray(aux.m_opl[:m]),
                         )
                     )
                 if record_paths:
@@ -492,6 +494,7 @@ class Tracer:
             measured_det=np.zeros((0,), np.int32),
             measured_wavelength=np.zeros((0,), np.float32),
             measured_stokes=np.zeros((0, 3), np.float32),
+            measured_opl=np.zeros((0,), np.float32),
             hist=hist64,
             per_detector=per_det64,
             image=image64,
@@ -526,6 +529,7 @@ class Tracer:
             dd = np.concatenate([h[3] for h in harvested])
             wls = np.concatenate([h[4] for h in harvested])
             stk = np.concatenate([h[5] for h in harvested])
+            opl = np.concatenate([h[6] for h in harvested])
         else:
             pos = np.zeros((0, 3), np.float32)
             dirs = np.zeros((0, 3), np.float32)
@@ -533,6 +537,7 @@ class Tracer:
             dd = np.zeros((0,), np.int32)
             wls = np.zeros((0,), np.float32)
             stk = np.zeros((0, 3), np.float32)
+            opl = np.zeros((0,), np.float32)
         live_power = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         real_tris = self.num_triangles
         return TraceResult(
@@ -542,6 +547,7 @@ class Tracer:
             measured_det=dd,
             measured_wavelength=wls,
             measured_stokes=stk,
+            measured_opl=opl,
             hist=np.asarray(det.hist),
             per_detector=np.asarray(det.per_detector),
             image=np.asarray(det.image),

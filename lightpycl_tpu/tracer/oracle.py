@@ -124,9 +124,11 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     wl = (np.full(len(o), 0.5876) if wavelengths is None
           else np.asarray(wavelengths, np.float64))
     ab = np.zeros(len(o))
+    opl = np.zeros(len(o))
 
     emitted = p.sum()
     measured_pos, measured_dir, measured_pow, measured_det = [], [], [], []
+    measured_opl = []
     absorbed = escaped = culled = 0.0
 
     for _ in range(trace_iterations):
@@ -135,6 +137,8 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         t, ti = _mt_nearest_hit(o, d, v0, e1, e2, eps, eps_bary, max_ray_len)
         hit = ti >= 0
         hp = o + np.where(hit, t, max_ray_len)[:, None] * d
+
+        opl = opl + ior * np.where(hit, t, max_ray_len)
 
         # Beer-Lambert bulk attenuation over the segment just traveled
         atten = np.exp(-ab * np.where(hit, t, max_ray_len))
@@ -157,8 +161,10 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             measured_dir.append(d[is_meas])
             measured_pow.append(p[is_meas])
             measured_det.append(det_id[ti[is_meas]])
+            measured_opl.append(opl[is_meas])
 
         new_o, new_d, new_p, new_ior, new_wl, new_ab = [], [], [], [], [], []
+        new_opl = []
 
         # mirrors: one reflected child
         if is_mirror.any():
@@ -170,7 +176,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             absorbed += (p[i] * (1.0 - r)).sum()
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])
-            new_ab.append(ab[i])
+            new_ab.append(ab[i]); new_opl.append(opl[i])
 
         # reflection gratings, computed in an explicit local orthonormal
         # frame (g, q, n) — a DIFFERENT construction from the device path's
@@ -199,6 +205,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             new_o.append(hp[i]); new_d.append(dd)
             new_p.append(p[i] * np.where(prop, r, 0.0))
             new_ior.append(ior[i]); new_wl.append(wl[i]); new_ab.append(ab[i])
+            new_opl.append(opl[i])
 
         # beamsplitters: mirror-style reflected child (R) + straight-through
         # transmitted child (1 - R), no refraction or medium change
@@ -210,10 +217,10 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             r = refl[ti[i]]
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])
-            new_ab.append(ab[i])
+            new_ab.append(ab[i]); new_opl.append(opl[i])
             new_o.append(hp[i]); new_d.append(d[i])
             new_p.append(p[i] * (1.0 - r)); new_ior.append(ior[i])
-            new_wl.append(wl[i]); new_ab.append(ab[i])
+            new_wl.append(wl[i]); new_ab.append(ab[i]); new_opl.append(opl[i])
 
         # dielectrics: Fresnel split into reflected + refracted children
         if is_refr.any():
@@ -237,7 +244,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             # reflected child
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * R); new_ior.append(n1); new_wl.append(wl[i])
-            new_ab.append(ab[i])
+            new_ab.append(ab[i]); new_opl.append(opl[i])
             # refracted child (zero power under TIR)
             tdir = eta[:, None] * d[i] + (eta * cos_i - cos_t)[:, None] * n
             tlen = np.maximum(np.linalg.norm(tdir, axis=1, keepdims=True), 1e-300)
@@ -246,19 +253,22 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             new_wl.append(wl[i])
             new_ab.append(np.where(tir, ab[i],
                                    np.where(entering, tri_absorb[ti[i]], 0.0)))
+            new_opl.append(opl[i])
 
         if not new_o:
             o = np.zeros((0, 3)); d = np.zeros((0, 3))
             p = np.zeros(0); ior = np.zeros(0); wl = np.zeros(0); ab = np.zeros(0)
+            opl = np.zeros(0)
             continue
         o = np.concatenate(new_o); d = np.concatenate(new_d)
         p = np.concatenate(new_p); ior = np.concatenate(new_ior)
         wl = np.concatenate(new_wl)
         ab = np.concatenate(new_ab)
+        opl = np.concatenate(new_opl)
         keep = p > power_cutoff
         culled += p[~keep].sum()
-        o, d, p, ior, wl, ab = (o[keep], d[keep], p[keep], ior[keep],
-                                wl[keep], ab[keep])
+        o, d, p, ior, wl, ab, opl = (o[keep], d[keep], p[keep], ior[keep],
+                                     wl[keep], ab[keep], opl[keep])
 
     live = p.sum() if len(p) else 0.0
     return {
@@ -266,6 +276,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         "measured_dir": np.concatenate(measured_dir) if measured_dir else np.zeros((0, 3)),
         "measured_power": np.concatenate(measured_pow) if measured_pow else np.zeros(0),
         "measured_det": np.concatenate(measured_det) if measured_det else np.zeros(0, np.int64),
+        "measured_opl": np.concatenate(measured_opl) if measured_opl else np.zeros(0),
         "detector_names": det_names,
         "emitted": emitted,
         "measured": float(sum(x.sum() for x in measured_pow)) if measured_pow else 0.0,

@@ -53,6 +53,8 @@ class RayBatch(NamedTuple):
     s2: jnp.ndarray          # (C,)  f32 Stokes fraction S2/S0
     s3: jnp.ndarray          # (C,)  f32 Stokes fraction S3/S0
     basis: jnp.ndarray       # (C,3) f32 s-direction reference (unit, perp d)
+    opl: jnp.ndarray         # (C,)  f32 accumulated optical path length
+    #   (sum of n_medium * geometric length; drives OPD / wavefront maps)
 
     @property
     def capacity(self) -> int:
@@ -85,6 +87,7 @@ class RayBatch(NamedTuple):
             s2=ext(self.s2, 0.0),
             s3=ext(self.s3, 0.0),
             basis=jnp.concatenate([self.basis, unit_x]),
+            opl=ext(self.opl, 0.0),
         )
 
     @staticmethod
@@ -123,7 +126,8 @@ class RayBatch(NamedTuple):
             sf = [jnp.broadcast_to(jnp.asarray(x, jnp.float32), (c,))
                   for x in stokes]
         return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive, w,
-                        jnp.zeros((c,), jnp.float32), sf[0], sf[1], sf[2], b)
+                        jnp.zeros((c,), jnp.float32), sf[0], sf[1], sf[2], b,
+                        jnp.zeros((c,), jnp.float32))
 
 
 class DetectorState(NamedTuple):

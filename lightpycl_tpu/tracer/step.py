@@ -205,6 +205,7 @@ class ShadeOut(NamedTuple):
     child_s2: jnp.ndarray      # (2C,)
     child_s3: jnp.ndarray      # (2C,)
     child_basis: jnp.ndarray   # (2C,3) polarization frame s-direction
+    child_opl: jnp.ndarray     # (2C,) accumulated optical path length
     child_alive: jnp.ndarray   # (2C,) bool
     hit_point: jnp.ndarray     # (C, 3) parent hit / termination point
     measured: jnp.ndarray      # (C,) bool parent measured this step
@@ -264,6 +265,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
 
     t_draw = jnp.where(hit_valid, t, cfg.max_ray_len)
     hit_point = rays.o + t_draw[:, None] * rays.d
+    # optical path length through the segment just traveled (n * length);
+    # both children inherit it (same hit point)
+    opl_new = rays.opl + rays.ior * t_draw
 
     # Beer-Lambert bulk attenuation over the segment just traveled
     # (rays.absorb == 0 in vacuum/air -> no-op; extension over the
@@ -433,6 +437,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         refr_absorb = jnp.where(is_bs, rays.absorb,
                                 jnp.where(sn["entering"], tri_absorb, 0.0))
         child_ab = jnp.concatenate([rays.absorb, refr_absorb], axis=0)
+        child_opl = jnp.concatenate([opl_new, opl_new], axis=0)
         if cfg.polarization:
             child_s1 = jnp.concatenate([a_s1, b_s1])
             child_s2 = jnp.concatenate([a_s2, b_s2])
@@ -450,6 +455,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_o, child_d, child_power, child_ior = hit_point, da, pa, rays.ior
         child_wl = rays.wavelength
         child_ab = rays.absorb
+        child_opl = opl_new
         # direct step-level users can reach this path with refractive or
         # beamsplitter triangles present (the engine forbids it); account
         # the dropped transmitted power so the ledger still balances. The
@@ -490,7 +496,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     return ShadeOut(
         child_o, child_d, child_power, child_ior, child_wl, child_ab,
         policy_dropped,
-        child_s1, child_s2, child_s3, child_basis,
+        child_s1, child_s2, child_s3, child_basis, child_opl,
         child_alive,
         hit_point, is_meas, measured_power, det_id,
         absorbed, escaped,
@@ -588,7 +594,8 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         power = jnp.where(live, sh.child_power, 0.0)
         rays = RayBatch(sh.child_o, sh.child_d, power, sh.child_ior, live,
                         sh.child_wavelength, sh.child_absorb,
-                        sh.child_s1, sh.child_s2, sh.child_s3, sh.child_basis)
+                        sh.child_s1, sh.child_s2, sh.child_s3, sh.child_basis,
+                        sh.child_opl)
         return rays, below
 
     total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
@@ -608,8 +615,10 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         ab = scat(sh.child_absorb)
         ps1, ps2, ps3 = (scat(x) for x in (sh.child_s1, sh.child_s2, sh.child_s3))
         pbasis = scat(sh.child_basis)
+        popl = scat(sh.child_opl)
         alive = scat(live, fill=False)
-        rays = RayBatch(o, d, power, ior, alive, wl, ab, ps1, ps2, ps3, pbasis)
+        rays = RayBatch(o, d, power, ior, alive, wl, ab, ps1, ps2, ps3,
+                        pbasis, popl)
         culled = total_live - jnp.sum(power) + below
         return rays, culled
 
@@ -630,6 +639,7 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         s2=sh.child_s2[idx],
         s3=sh.child_s3[idx],
         basis=sh.child_basis[idx],
+        opl=sh.child_opl[idx],
     )
     return rays, culled
 
@@ -656,6 +666,7 @@ class StepAux(NamedTuple):
     m_det: jnp.ndarray           # (C,) detector ids, compacted
     m_wl: jnp.ndarray            # (C,) wavelengths [um], compacted
     m_stokes: jnp.ndarray        # (C,3) Stokes fractions, compacted
+    m_opl: jnp.ndarray           # (C,) optical path lengths, compacted
     measured_count: jnp.ndarray  # () i32
     live_count: jnp.ndarray      # () i32 live rays AFTER the step
 
@@ -684,7 +695,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         culled=led.culled + culled,
     )
     # stream-compact measured rays to the array front with ONE fused
-    # (C, 12) cumsum scatter — six separate scatters cost ~14 ms/bounce
+    # (C, 13) cumsum scatter — separate scatters cost ~14 ms/bounce
     # more at 524k rays on v5e. det_id rides along as f32 (exact below
     # 2^24 detectors); device mode never pays any of this (aux is dead
     # code there and XLA removes it).
@@ -695,8 +706,9 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
     stacked = jnp.concatenate(
         [sh.hit_point, rays.d, sh.measured_power[:, None],
          rays.wavelength[:, None], rays.s1[:, None], rays.s2[:, None],
-         rays.s3[:, None], sh.det_id.astype(jnp.float32)[:, None]], axis=1)
-    m = jnp.zeros((C + 1, 12), jnp.float32).at[slot].set(
+         rays.s3[:, None], sh.det_id.astype(jnp.float32)[:, None],
+         sh.child_opl[:C, None]], axis=1)
+    m = jnp.zeros((C + 1, 13), jnp.float32).at[slot].set(
         stacked, mode="drop")[:C]
     m_det = jnp.where(jnp.arange(C) < m_count,
                       m[:, 11].astype(jnp.int32), -1)
@@ -711,6 +723,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         m_det=m_det,
         m_wl=m[:, 7],
         m_stokes=m[:, 8:11],
+        m_opl=m[:, 12],
         measured_count=m_count,
         live_count=jnp.sum(new_rays.alive.astype(jnp.int32)),
     )
