@@ -22,7 +22,8 @@ Architecture (TPU-first, not a port):
 """
 
 from lightpycl_tpu.materials import Material, glass
-from lightpycl_tpu.geometry.mesh import GeoObject
+from lightpycl_tpu.geometry.mesh import (GeoObject, instance_grid, instances,
+                                         merge)
 from lightpycl_tpu.geometry.primitives import OpticalElements, optical_elements
 from lightpycl_tpu.sources import LightSource, light_source
 from lightpycl_tpu.tracer.config import TraceConfig
@@ -37,6 +38,9 @@ __all__ = [
     "Material",
     "glass",
     "GeoObject",
+    "merge",
+    "instances",
+    "instance_grid",
     "OpticalElements",
     "optical_elements",
     "LightSource",

@@ -69,6 +69,10 @@ class GeoObject:
     grating_period: float = 0.0  # groove period [um] (same units as
     #   wavelength); GRATING elements require > 0
     grating_order: int = 1     # fixed diffraction order m
+    coat_ior: float = 0.0      # single-layer thin-film coating index
+    coat_thickness: float = 0.0  # coating thickness [um]; 0 = uncoated.
+    #   REFRACTIVE elements only: replaces the bare Fresnel split with the
+    #   film's R(lambda, theta) (AR / HR coatings)
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -90,6 +94,16 @@ class GeoObject:
                                Material.GRATING):
             raise ValueError(
                 f"{self.material.name} elements need an `axis` vector")
+        if self.coat_thickness > 0:
+            if self.material != Material.REFRACTIVE:
+                raise ValueError(
+                    "thin-film coatings (coat_thickness > 0) apply to "
+                    "REFRACTIVE elements only")
+            if self.coat_ior <= 1e-6:
+                raise ValueError(
+                    "coated elements need coat_ior > 0 (the film index)")
+        elif self.coat_thickness < 0:
+            raise ValueError("coat_thickness must be >= 0")
         if self.material == Material.GRATING:
             if self.grating_period <= 0:
                 raise ValueError(
@@ -162,6 +176,8 @@ class GeoObject:
             self.retardance,
             self.grating_period,
             self.grating_order,
+            self.coat_ior,
+            self.coat_thickness,
         )
 
     # ---- derived quantities ---------------------------------------------
@@ -192,6 +208,55 @@ class GeoObject:
         return self.vertices.min(axis=0), self.vertices.max(axis=0)
 
 
+def instances(obj: GeoObject, offsets, rotations=None,
+              **overrides) -> GeoObject:
+    """Replicate an element at many placements, merged into ONE GeoObject
+    (extension over the reference: lens/mirror arrays without re-tessellating
+    per copy — the tracer's flat triangle soup makes instancing free at
+    trace time, it is purely a build-time vertex transform).
+
+    offsets:   (N, 3) per-instance translations
+    rotations: optional list of (axis, angle) per instance (applied about
+               the instance's own origin, before translation)
+    """
+    offsets = np.asarray(offsets, np.float64).reshape(-1, 3)
+    if rotations is not None and len(rotations) != len(offsets):
+        raise ValueError("rotations must match offsets length")
+    copies = []
+    for i, off in enumerate(offsets):
+        c = obj.copy()
+        if rotations is not None and rotations[i] is not None:
+            axis, angle = rotations[i]
+            c.rotate(axis, angle)
+        copies.append(c.translate(off))
+    return merge(copies, **overrides)
+
+
+def instance_grid(obj: GeoObject, nx: int, ny: int, pitch,
+                  plane: str = "xy", centered: bool = True,
+                  **overrides) -> GeoObject:
+    """nx x ny rectangular array of an element (microlens arrays, mirror
+    facets). `pitch` is a scalar or (pitch_x, pitch_y); `plane` picks the
+    array plane ('xy', 'xz', 'yz'); `centered` places the grid centroid at
+    the prototype's position."""
+    if nx < 1 or ny < 1:
+        raise ValueError("grid needs nx, ny >= 1")
+    p = np.broadcast_to(np.asarray(pitch, np.float64), (2,))
+    ij = np.stack(np.meshgrid(np.arange(nx), np.arange(ny),
+                              indexing="ij"), axis=-1).reshape(-1, 2)
+    uv = ij * p
+    if centered:
+        uv = uv - np.array([(nx - 1) * p[0], (ny - 1) * p[1]]) / 2.0
+    axes = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}
+    if plane not in axes:
+        raise ValueError(f"plane must be one of {sorted(axes)}")
+    offsets = np.zeros((len(uv), 3))
+    a, b = axes[plane]
+    offsets[:, a] = uv[:, 0]
+    offsets[:, b] = uv[:, 1]
+    return instances(obj, offsets, **overrides)
+
+
 def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
     """Concatenate meshes into one GeoObject (material etc. from the first
     unless overridden)."""
@@ -214,6 +279,8 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         retardance=objs[0].retardance,
         grating_period=objs[0].grating_period,
         grating_order=objs[0].grating_order,
+        coat_ior=objs[0].coat_ior,
+        coat_thickness=objs[0].coat_thickness,
     )
     base.update(overrides)
     return GeoObject(np.concatenate(verts), np.concatenate(tris), **base)

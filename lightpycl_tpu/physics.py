@@ -160,6 +160,63 @@ def polarized_split(s0, s1, s2, s3, cos_i, cos_t, n1, n2, tir):
     return (r0, r1, r2, r3), (t0, t1, t2, t3)
 
 
+def thin_film_rs_rp(cos_i, n1, nf, n2, h, wl):
+    """Complex reflection amplitudes (rs, rp) of a single lossless thin film
+    on a substrate: medium n1 | film nf (thickness h) | substrate n2.
+
+    Airy summation of the two-interface multiple reflections,
+        r = (r12 + r23 e^{2i delta}) / (1 + r12 r23 e^{2i delta}),
+        delta = 2 pi nf h cos(theta_f) / wl,
+    evaluated in complex64 so evanescent regimes fall out automatically:
+    cos(theta_f) and cos(theta_2) come from principal-branch complex sqrt,
+    making e^{2i delta} DECAY when the film wave is evanescent and |r| = 1
+    exactly when the substrate wave is (TIR through the coated interface).
+    h = 0 reduces to the bare n1 -> n2 Fresnel amplitudes exactly.
+
+    Extension over the reference (which has uncoated surfaces only); the
+    f64 parity oracle implements the same physics via the characteristic-
+    matrix method (tracer/oracle.py) — agreement is evidence of correctness,
+    not shared bugs. All args are per-ray f32 arrays/scalars; h and wl share
+    units (micrometers throughout the package).
+    """
+    one = jnp.complex64(1.0)
+    sin2 = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    c1 = cos_i.astype(jnp.complex64)
+    nf_ = jnp.maximum(nf, _TINY)
+    n2_ = jnp.maximum(n2, _TINY)
+    cf = jnp.sqrt(one - ((n1 / nf_) ** 2 * sin2).astype(jnp.complex64))
+    c2 = jnp.sqrt(one - ((n1 / n2_) ** 2 * sin2).astype(jnp.complex64))
+
+    def _r(a, b):
+        den = a + b
+        den = jnp.where(jnp.abs(den) > _TINY, den, one)
+        return (a - b) / den
+
+    r12s = _r(n1 * c1, nf * cf)
+    r23s = _r(nf * cf, n2 * c2)
+    r12p = _r(nf * c1, n1 * cf)
+    r23p = _r(n2 * cf, nf * c2)
+    # e^{2i delta}: principal-branch cf has Im >= 0, so the exponent's real
+    # part is <= 0 — evanescent film waves decay instead of overflowing
+    phase = jnp.exp(2.0j * (2.0 * jnp.pi * nf * h / jnp.maximum(wl, _TINY))
+                    .astype(jnp.complex64) * cf)
+
+    def _airy(r12, r23):
+        den = one + r12 * r23 * phase
+        den = jnp.where(jnp.abs(den) > _TINY, den, one)
+        return (r12 + r23 * phase) / den
+
+    return _airy(r12s, r23s), _airy(r12p, r23p)
+
+
+def thin_film_reflectance(cos_i, n1, nf, n2, h, wl):
+    """Unpolarized power reflectance R = (|rs|^2 + |rp|^2) / 2 of a single
+    lossless film (see thin_film_rs_rp). Clipped to [0, 1]."""
+    rs, rp = thin_film_rs_rp(cos_i, n1, nf, n2, h, wl)
+    r = 0.5 * (jnp.abs(rs) ** 2 + jnp.abs(rp) ** 2)
+    return jnp.clip(r.astype(jnp.float32), 0.0, 1.0)
+
+
 def incidence_s_direction(d, n, fallback_basis):
     """Unit s-direction (perpendicular to the incidence plane): d x n
     normalized; at ~normal incidence (plane undefined) fall back to the

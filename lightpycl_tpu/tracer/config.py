@@ -82,6 +82,12 @@ class TraceConfig:
     # the scene has no GRATING elements — the branchless math costs ~7% of
     # a full trace otherwise
     has_gratings: bool = True
+    # True computes the single-layer thin-film R(lambda, theta) branch for
+    # every dielectric hit (safe default for direct step users with coated
+    # elements); the engine sets it False when no element has a coating.
+    # The POLARIZED path ignores coatings (the engine refuses the
+    # combination — thin films are unpolarized-model only for now).
+    has_coatings: bool = True
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an

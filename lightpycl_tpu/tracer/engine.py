@@ -233,6 +233,16 @@ class Tracer:
         has_gr = any(e.material == Material.GRATING for e in self.elements)
         if cfg.has_gratings != has_gr:
             cfg = cfg.replace(has_gratings=has_gr)
+        # same gating for the thin-film branch; coatings are implemented in
+        # the unpolarized scalar model only
+        has_coat = any(getattr(e, "coat_thickness", 0.0) > 0.0
+                       for e in self.elements)
+        if has_coat and cfg.polarization:
+            raise ValueError(
+                "thin-film coatings are supported in the unpolarized model "
+                "only; drop polarization=True or remove the coatings")
+        if cfg.has_coatings != has_coat:
+            cfg = cfg.replace(has_coatings=has_coat)
         return cfg
 
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:

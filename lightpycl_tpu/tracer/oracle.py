@@ -67,6 +67,35 @@ def _reflect(d, n):
     return d - 2.0 * np.sum(d * n, axis=1, keepdims=True) * n
 
 
+def _film_reflectance_matrix(cos_i, n1, nf, n2, h, wl):
+    """Unpolarized R of a single lossless film via the CHARACTERISTIC-MATRIX
+    method (Abeles/Macleod), complex128 — deliberately a different
+    formulation from the device path's Airy summation (physics.py
+    thin_film_rs_rp), per this module's independence principle.
+
+    [B, C]^T = M_film @ [1, eta_2]^T with
+    M = [[cos d, i sin d / eta_f], [i eta_f sin d, cos d]],
+    d = 2 pi nf h cos(theta_f) / wl;  r = (eta_1 B - C) / (eta_1 B + C).
+    Tilted admittances: eta_s = n cos(theta), eta_p = n / cos(theta).
+    """
+    nf = np.maximum(nf, 1e-9)   # uncoated lanes ride along masked-out
+    n2 = np.maximum(n2, 1e-9)
+    sin2 = np.maximum(0.0, 1.0 - cos_i**2)
+    cf = np.sqrt(1.0 - (n1 / nf) ** 2 * sin2 + 0j)
+    c2 = np.sqrt(1.0 - (n1 / n2) ** 2 * sin2 + 0j)
+    delta = 2.0 * np.pi * nf * h * cf / wl
+    cd, sd = np.cos(delta), np.sin(delta)
+
+    def _r(eta1, etaf, eta2):
+        B = cd + 1j * sd / etaf * eta2
+        C = 1j * etaf * sd + cd * eta2
+        return np.abs((eta1 * B - C) / (eta1 * B + C)) ** 2
+
+    Rs = _r(n1 * cos_i, nf * cf, n2 * c2)
+    Rp = _r(n1 / cos_i, nf / cf, n2 / c2)
+    return np.clip(0.5 * (Rs + Rp), 0.0, 1.0)
+
+
 def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
                  max_ray_len=1e3, ior_env=1.0, eps=1e-4, eps_bary=1e-6,
                  power_cutoff=0.0, wavelengths=None):
@@ -79,6 +108,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     iorbs = []
     absorbs = []
     axes, mlps = [], []
+    coat_ns, coat_hs = [], []
     det_names = []
     for el in elements:
         if el.material in (Material.POLARIZER, Material.WAVEPLATE):
@@ -102,6 +132,8 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         period = float(getattr(el, "grating_period", 0.0))
         mlps.append(np.full(t, (float(getattr(el, "grating_order", 1)) / period
                                 if period > 0 else 0.0)))
+        coat_ns.append(np.full(t, float(getattr(el, "coat_ior", 0.0))))
+        coat_hs.append(np.full(t, float(getattr(el, "coat_thickness", 0.0))))
         if el.material == Material.MEASURE:
             dets.append(np.full(t, len(det_names)))
             det_names.append(el.name or f"detector_{len(det_names)}")
@@ -113,6 +145,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     tri_absorb = np.concatenate(absorbs)
     refl = np.concatenate(refls); det_id = np.concatenate(dets)
     g_axis = np.concatenate(axes); g_mlp = np.concatenate(mlps)
+    coat_n = np.concatenate(coat_ns); coat_h = np.concatenate(coat_hs)
     n_geom = np.cross(e1, e2)
     n_geom /= np.maximum(np.linalg.norm(n_geom, axis=1, keepdims=True), 1e-300)
 
@@ -241,6 +274,12 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             rs = ((n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)) ** 2
             rp = ((n1 * cos_t - n2 * cos_i) / (n1 * cos_t + n2 * cos_i)) ** 2
             R = np.where(tir, 1.0, 0.5 * (rs + rp))
+            # single-layer thin-film coating overrides the bare Fresnel R
+            ch = coat_h[ti[i]]
+            if (ch > 0).any():
+                Rf = _film_reflectance_matrix(
+                    np.maximum(cos_i, 1e-12), n1, coat_n[ti[i]], n2, ch, wl[i])
+                R = np.where(ch > 0, np.where(tir, 1.0, Rf), R)
             # reflected child
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * R); new_ior.append(n1); new_wl.append(wl[i])

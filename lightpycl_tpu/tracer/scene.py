@@ -52,6 +52,8 @@ class Scene(NamedTuple):
     axis: jnp.ndarray          # (T_pad, 3) f32 polarizer/waveplate/grating axis
     retardance: jnp.ndarray    # (T_pad,) f32 waveplate retardance [rad]
     grating_mlp: jnp.ndarray   # (T_pad,) f32 m / period [1/um], 0 = no grating
+    coat_ior: jnp.ndarray      # (T_pad,) f32 thin-film coating index
+    coat_thickness: jnp.ndarray  # (T_pad,) f32 coating thickness [um], 0=bare
 
     @property
     def num_triangles_padded(self) -> int:
@@ -95,6 +97,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     iorb_list = []
     absorb_list = []
     axis_list, ret_list, gr_list = [], [], []
+    cior_list, cth_list = [], []
     detector_names: list[str] = []
     for obj in objects:
         t = obj.num_triangles
@@ -117,6 +120,10 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         mlp = (float(getattr(obj, "grating_order", 1)) / period
                if period > 0 else 0.0)
         gr_list.append(np.full(t, mlp, np.float64))
+        cior_list.append(np.full(t, float(getattr(obj, "coat_ior", 0.0)),
+                                 np.float64))
+        cth_list.append(np.full(t, float(getattr(obj, "coat_thickness", 0.0)),
+                                np.float64))
         if obj.material == Material.MEASURE:
             det_id = len(detector_names)
             detector_names.append(obj.name or f"detector_{det_id}")
@@ -134,6 +141,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     axis_np = np.concatenate(axis_list)
     ret_np = np.concatenate(ret_list)
     gr_np = np.concatenate(gr_list)
+    cior_np = np.concatenate(cior_list)
+    cth_np = np.concatenate(cth_list)
     if spatial_sort:
         c = tv.mean(axis=1)
         lo, hi = c.min(axis=0), c.max(axis=0)
@@ -145,6 +154,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
                                       det_np[order])
         axis_np, ret_np = axis_np[order], ret_np[order]
         gr_np = gr_np[order]
+        cior_np, cth_np = cior_np[order], cth_np[order]
     T = len(tv)
     v0 = tv[:, 0]
     e1 = tv[:, 1] - tv[:, 0]
@@ -190,5 +200,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         axis=jnp.asarray(_p(axis_np, fill=0.0), jnp.float32),
         retardance=jnp.asarray(_p(ret_np, fill=0.0), jnp.float32),
         grating_mlp=jnp.asarray(_p(gr_np, fill=0.0), jnp.float32),
+        coat_ior=jnp.asarray(_p(cior_np, fill=0.0), jnp.float32),
+        coat_thickness=jnp.asarray(_p(cth_np, fill=0.0), jnp.float32),
     )
     return scene, detector_names

@@ -215,7 +215,8 @@ class ShadeOut(NamedTuple):
     escaped: jnp.ndarray       # () power escaped (miss) this step
 
 
-def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True):
+def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
+                     with_coatings: bool = True):
     """Per-hit triangle attributes (the gathers shade needs). Separated so
     triangle-sharded tracing can substitute collectively-gathered values
     (parallel/mesh2d.py).
@@ -235,6 +236,8 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True):
     if with_optics:
         cols += [scene.axis, scene.retardance[:, None],
                  scene.grating_mlp[:, None]]
+    if with_coatings:
+        cols += [scene.coat_ior[:, None], scene.coat_thickness[:, None]]
     g = jnp.concatenate(cols, axis=1)[safe_tri]
     out = {
         "mat": g[:, 0].astype(jnp.int32),
@@ -245,10 +248,15 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True):
         "detector_id": g[:, 7].astype(jnp.int32),
         "absorb": g[:, 8],
     }
+    k = 9
     if with_optics:
         out["axis"] = g[:, 9:12]
         out["retardance"] = g[:, 12]
         out["grating_mlp"] = g[:, 13]
+        k = 14
+    if with_coatings:
+        out["coat_ior"] = g[:, k]
+        out["coat_thickness"] = g[:, k + 1]
     return out
 
 
@@ -279,7 +287,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     if attrs is None:
         attrs = gather_hit_attrs(
             scene, safe_tri,
-            with_optics=cfg.polarization or cfg.has_gratings)
+            with_optics=cfg.polarization or cfg.has_gratings,
+            with_coatings=cfg.has_coatings and not cfg.polarization)
     mat = attrs["mat"]
     n_geom = attrs["normal"]
     # dispersive glass: Cauchy n(lambda) = A + B / lambda^2 (lambda in um);
@@ -289,6 +298,22 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     det_id = attrs["detector_id"]
     tri_absorb = attrs["absorb"]
     sn = physics.snell_interaction(rays.d, n_geom, rays.ior, tri_ior, cfg.ior_env)
+
+    # dielectric reflectance: bare Fresnel, or the single-layer thin-film
+    # R(lambda, theta) where the triangle is coated (extension over the
+    # reference). Directions and medium bookkeeping are unchanged — Snell
+    # n1 -> n2 holds across a thin film. Polarized path: unsupported, the
+    # engine refuses coated scenes with polarization=True.
+    R_diel = sn["R"]
+    if cfg.has_coatings and not cfg.polarization:
+        R_film = physics.thin_film_reflectance(
+            sn["cos_i"], sn["n1"], attrs["coat_ior"], sn["n2"],
+            attrs["coat_thickness"], rays.wavelength)
+        # under substrate TIR the film analysis gives |r| = 1; force it
+        # exactly so complex64 roundoff can't leak power into the
+        # (garbage-direction) refracted slot
+        R_film = jnp.where(sn["tir"], 1.0, R_film)
+        R_diel = jnp.where(attrs["coat_thickness"] > 0.0, R_film, R_diel)
 
     is_mirror = hit_valid & (mat == int(Material.MIRROR))
     is_refr = hit_valid & (mat == int(Material.REFRACTIVE))
@@ -334,7 +359,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         refl_like = refl_like | (is_gr & gr_prop)
     pa = jnp.where(
         refl_like, live_p * refl,
-        jnp.where(is_refr, live_p * sn["R"], 0.0)
+        jnp.where(is_refr, live_p * R_diel, 0.0)
     )
     da = jnp.where(is_optic[:, None], rays.d, sn["refl_dir"])
     if cfg.has_gratings:
@@ -423,7 +448,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         if cfg.polarization:
             pb = pb_pol
         else:
-            pb = jnp.where(is_refr, live_p * (1.0 - sn["R"]),
+            pb = jnp.where(is_refr, live_p * (1.0 - R_diel),
                            jnp.where(is_bs, live_p * (1.0 - refl), 0.0))
         db = jnp.where(is_bs[:, None], rays.d, sn["refr_dir"])
         child_o = jnp.concatenate([hit_point, hit_point], axis=0)
@@ -466,7 +491,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             policy_dropped = jnp.sum(pb_pol)
         else:
             policy_dropped = jnp.sum(
-                jnp.where(is_refr, live_p * (1.0 - sn["R"]),
+                jnp.where(is_refr, live_p * (1.0 - R_diel),
                           jnp.where(is_bs, live_p * (1.0 - refl), 0.0)))
         if cfg.polarization:
             child_s1, child_s2, child_s3 = a_s1, a_s2, a_s3

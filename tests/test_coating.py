@@ -1,0 +1,200 @@
+"""Single-layer thin-film coating tests (extension over the reference,
+which has bare Fresnel surfaces only; coat_thickness = 0 reproduces the
+reference physics exactly).
+
+Anchors: quarter-wave AR minimum R = ((n1 n2 - nf^2)/(n1 n2 + nf^2))^2 at
+normal incidence, half-wave "absentee" layer R = bare Fresnel, TIR through
+a coated interface (R = 1), and device-vs-oracle parity — the device path
+uses complex Airy summation (physics.thin_film_rs_rp) while the f64 oracle
+uses the characteristic-matrix method, so agreement is two independent
+derivations of the same film.
+"""
+
+import numpy as np
+import pytest
+
+import lightpycl_tpu as L
+from lightpycl_tpu.geometry.mesh import GeoObject
+from lightpycl_tpu.materials import Material
+from lightpycl_tpu.sources import CollimatedSource
+from lightpycl_tpu.tracer.engine import Tracer
+from lightpycl_tpu.tracer.oracle import trace_oracle
+from lightpycl_tpu.tracer.rays import RayBatch
+
+oe = L.optical_elements(n_segments=32, n_radial=12)
+
+N_GLASS = 1.52
+N_FILM = 1.38     # MgF2-ish
+WL = 0.55         # design wavelength [um]
+H_QW = WL / (4.0 * N_FILM)
+
+R_BARE = ((1.0 - N_GLASS) / (1.0 + N_GLASS)) ** 2
+R_QW = ((1.0 * N_GLASS - N_FILM**2) / (1.0 * N_GLASS + N_FILM**2)) ** 2
+
+
+def _film_R(cos_i, n1, nf, n2, h, wl):
+    import jax.numpy as jnp
+
+    from lightpycl_tpu.physics import thin_film_reflectance
+
+    arr = lambda x: jnp.atleast_1d(jnp.asarray(x, jnp.float32))
+    return float(thin_film_reflectance(arr(cos_i), arr(n1), arr(nf),
+                                       arr(n2), arr(h), arr(wl))[0])
+
+
+class TestFilmFormula:
+    def test_quarter_wave_minimum(self):
+        assert _film_R(1.0, 1.0, N_FILM, N_GLASS, H_QW, WL) == pytest.approx(
+            R_QW, abs=1e-6)
+        assert R_QW < R_BARE / 3  # it is actually antireflective
+
+    def test_half_wave_absentee(self):
+        assert _film_R(1.0, 1.0, N_FILM, N_GLASS, WL / (2 * N_FILM), WL) == \
+            pytest.approx(R_BARE, abs=1e-6)
+
+    def test_zero_thickness_is_bare_fresnel(self):
+        for deg in (0.0, 30.0, 60.0):
+            ci = np.cos(np.radians(deg))
+            ct = np.sqrt(1 - (1 / N_GLASS) ** 2 * (1 - ci * ci))
+            rs = ((ci - N_GLASS * ct) / (ci + N_GLASS * ct)) ** 2
+            rp = ((ct - N_GLASS * ci) / (ct + N_GLASS * ci)) ** 2
+            assert _film_R(ci, 1.0, N_FILM, N_GLASS, 0.0, WL) == pytest.approx(
+                0.5 * (rs + rp), abs=1e-6)
+
+    def test_tir_through_coated_interface(self):
+        # glass -> air beyond the 41.8 deg critical angle: film or not, all
+        # power reflects
+        ci = np.cos(np.radians(60.0))
+        assert _film_R(ci, N_GLASS, N_FILM, 1.0, H_QW, WL) == pytest.approx(
+            1.0, abs=1e-6)
+
+    def test_spectral_selectivity(self):
+        # the quarter-wave AR designed for 0.55 um reflects more in the blue
+        # and red than at design
+        r_design = _film_R(1.0, 1.0, N_FILM, N_GLASS, H_QW, WL)
+        assert _film_R(1.0, 1.0, N_FILM, N_GLASS, H_QW, 0.40) > 1.5 * r_design
+        assert _film_R(1.0, 1.0, N_FILM, N_GLASS, H_QW, 0.80) > 1.2 * r_design
+
+    def test_oracle_matrix_matches_device_airy(self):
+        from lightpycl_tpu.tracer.oracle import _film_reflectance_matrix
+
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            deg = rng.uniform(0, 88)
+            n1, nf, n2 = rng.uniform(1.0, 1.8, 3)
+            h = rng.uniform(0.0, 0.5)
+            wl = rng.uniform(0.4, 0.8)
+            ci = np.cos(np.radians(deg))
+            dev = _film_R(ci, n1, nf, n2, h, wl)
+            ora = float(_film_reflectance_matrix(
+                np.array([ci]), np.array([n1]), np.array([nf]),
+                np.array([n2]), np.array([h]), np.array([wl]))[0])
+            assert dev == pytest.approx(ora, abs=2e-5), (deg, n1, nf, n2, h)
+
+
+def _window_scene(coated: bool):
+    """Plane-parallel glass window normal to the beam, disc detectors fore
+    and aft, absorbing enclosure."""
+    win = oe.cube(size=(0.8, 0.8, 0.2), center=(0, 0, 0.0),
+                  material="refractive", ior=N_GLASS, name="window",
+                  **(dict(coat_ior=N_FILM, coat_thickness=H_QW) if coated
+                     else {}))
+    fwd = oe.disc(radius=1.2, center=(0, 0, 2.0), material="measure",
+                  name="fwd")
+    back = oe.disc(radius=1.2, material="measure",
+                   name="back").rotate((1, 0, 0), np.pi).translate((0, 0, -2.0))
+    shell = oe.sphere(radius=6.0, material="terminator")
+    return [win, fwd, back, shell]
+
+
+def _trace_window(coated, wavelength=WL, n_rays=256):
+    src = CollimatedSource(center=(0, 0, -1.0), direction=(0, 0, 1),
+                           diameter=0.3, ray_count=n_rays, power=1.0,
+                           seed=11, wavelength=wavelength)
+    return Tracer().trace(src, _window_scene(coated), trace_iterations=10,
+                          capacity=4 * n_rays)
+
+
+class TestCoatedWindowTrace:
+    def test_normal_incidence_transmission_series(self):
+        """Two coated surfaces at normal incidence: the multi-bounce
+        transmitted sum is T^2 / (1 - R^2) with R the quarter-wave value
+        (the exit pass sees the reversed lossless stack: same R)."""
+        res = _trace_window(coated=True)
+        R = R_QW
+        T_pred = (1 - R) ** 2 / (1 - R * R)
+        assert res.detector_power("fwd") == pytest.approx(T_pred, abs=2e-4)
+        # reflected series back out the front
+        R_pred = R + (1 - R) ** 2 * R / (1 - R * R)
+        assert res.detector_power("back") == pytest.approx(R_pred, abs=2e-4)
+        assert res.power_conservation_error() < 1e-5
+
+    def test_ar_coating_beats_bare_window(self):
+        t_bare = _trace_window(coated=False).detector_power("fwd")
+        t_coat = _trace_window(coated=True).detector_power("fwd")
+        # bare: T^2/(1-R^2) with R ~ 4.3% -> ~0.918; coated ~ 0.975
+        assert t_coat > t_bare + 0.04
+        R = R_BARE
+        assert t_bare == pytest.approx((1 - R) ** 2 / (1 - R * R), abs=2e-4)
+
+    def test_off_design_wavelength_transmits_less(self):
+        t_design = _trace_window(True, wavelength=WL).detector_power("fwd")
+        t_blue = _trace_window(True, wavelength=0.40).detector_power("fwd")
+        assert t_blue < t_design - 0.005
+
+
+class TestCoatedParity:
+    def test_coated_lens_matches_oracle(self):
+        lens = oe.biconvex_lens(0.8, 0.5, 0.1, ior=N_GLASS,
+                                coat_ior=N_FILM, coat_thickness=H_QW)
+        dome = L.optical_elements(24, 8).sphere(8.0, material="measure",
+                                                name="dome")
+        src = CollimatedSource(center=(0, 0, -0.6), direction=(0, 0, 1),
+                               diameter=0.4, ray_count=512, power=1.0,
+                               seed=5, wavelength=([0.45, 0.55, 0.65],
+                                                   [1, 2, 1]))
+        o, d, p = src.sample()
+        wl = src.sample_wavelengths()
+        res = Tracer().trace(src, [lens, dome], trace_iterations=7,
+                             rays=RayBatch.from_arrays(o, d, p,
+                                                       wavelengths=wl,
+                                                       capacity=8192))
+        ora = trace_oracle([lens, dome], o, d, p, trace_iterations=7,
+                           wavelengths=wl)
+        assert res.ledger["measured"] == pytest.approx(ora["measured"],
+                                                       rel=1e-3)
+        assert res.ledger["absorbed"] == pytest.approx(ora["absorbed"],
+                                                       rel=1e-3, abs=1e-6)
+        assert res.power_conservation_error() < 1e-5
+
+
+class TestCoatingValidation:
+    def test_coating_on_mirror_rejected(self):
+        with pytest.raises(ValueError, match="REFRACTIVE"):
+            oe.disc(radius=1.0, material="mirror", coat_ior=N_FILM,
+                    coat_thickness=H_QW)
+
+    def test_coating_needs_film_index(self):
+        with pytest.raises(ValueError, match="coat_ior"):
+            oe.cube(material="refractive", coat_thickness=H_QW)
+
+    def test_polarization_plus_coating_refused(self):
+        win = oe.cube(size=0.4, material="refractive", ior=N_GLASS,
+                      coat_ior=N_FILM, coat_thickness=H_QW)
+        shell = oe.sphere(radius=4.0, material="terminator")
+        src = CollimatedSource(center=(0, 0, -1.0), direction=(0, 0, 1),
+                               diameter=0.2, ray_count=16, seed=0)
+        with pytest.raises(ValueError, match="unpolarized"):
+            Tracer().trace(src, [win, shell], trace_iterations=2,
+                           polarization=True)
+
+    def test_uncoated_scene_bit_identical_to_before(self):
+        """has_coatings gating: an uncoated trace must not change at all."""
+        lens = oe.biconvex_lens(0.8, 0.5, 0.1, ior=N_GLASS)
+        dome = L.optical_elements(24, 8).sphere(8.0, material="measure")
+        src = CollimatedSource(center=(0, 0, -0.6), direction=(0, 0, 1),
+                               diameter=0.4, ray_count=128, seed=5)
+        r1 = Tracer().trace(src, [lens, dome], trace_iterations=5)
+        r2 = Tracer().trace(src, [lens, dome], trace_iterations=5)
+        np.testing.assert_array_equal(r1.hist, r2.hist)
+        assert r1.ledger == r2.ledger
