@@ -37,6 +37,8 @@ class Material(enum.IntEnum):
     WAVEPLATE = 6   # linear retarder: fast axis = `axis`, delta = retardance
     GRATING = 7     # reflection grating: groove-perpendicular = `axis`,
     #                 period = grating_period [um], fixed grating_order
+    DIFFUSE = 8     # Lambertian scatterer: cosine-weighted reflection,
+    #                 albedo = `reflectivity` (stray-light analysis)
 
     @staticmethod
     def from_any(value) -> "Material":
@@ -65,6 +67,9 @@ class Material(enum.IntEnum):
                 "waveplate": Material.WAVEPLATE,
                 "retarder": Material.WAVEPLATE,
                 "grating": Material.GRATING,
+                "diffuse": Material.DIFFUSE,
+                "lambertian": Material.DIFFUSE,
+                "scatterer": Material.DIFFUSE,
             }
             if key in aliases:
                 return aliases[key]
@@ -81,6 +86,7 @@ BEAMSPLITTER = Material.BEAMSPLITTER
 POLARIZER = Material.POLARIZER
 WAVEPLATE = Material.WAVEPLATE
 GRATING = Material.GRATING
+DIFFUSE = Material.DIFFUSE
 
 
 # Wavelengths of the standard Fraunhofer lines used for dispersion specs [um]

@@ -55,17 +55,18 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
     """Fixed-depth trace over the 2-D mesh. Returns (rays sharded over
     "rays", DetectorState global, Ledger global).
 
-    `n_detectors` must cover every measure surface in the scene. Roulette
-    (cfg.roulette_threshold > 0) needs `key`; the per-step key folds in the
-    RAY axis index only — shade/compact run replicated across the TRI axis,
-    so the draws must be identical on every triangle rank."""
+    `n_detectors` must cover every measure surface in the scene. RNG
+    consumers (cfg.needs_rng: roulette and/or Lambertian scattering) need
+    `key`; the per-step key folds in the RAY axis index only —
+    shade/compact run replicated across the TRI axis, so the draws must
+    be identical on every triangle rank."""
     n_tris = mesh.shape[TRI_AXIS]
     Tp = scene.num_triangles_padded
     assert Tp % n_tris == 0
     shard_size = Tp // n_tris
-    if cfg.roulette_threshold > 0.0 and key is None:
+    if cfg.needs_rng and key is None:
         raise ValueError(
-            "cfg.roulette_threshold > 0 requires a PRNG key "
+            "cfg.needs_rng (roulette / diffuse) requires a PRNG key "
             "(pass key=jax.random.key(seed) to trace_mesh2d)")
 
     def local(scene_shard, rays, key):
@@ -75,7 +76,7 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                                   n_detectors, cfg.image_bins)
         led = Ledger.start(
             jnp.sum(jnp.where(rays.alive, rays.power, 0.0)) * is_rank0)
-        if cfg.roulette_threshold > 0.0:
+        if cfg.needs_rng:
             shard_key = jax.random.fold_in(
                 key, jax.lax.axis_index(RAY_AXIS))
 
@@ -119,7 +120,10 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
 
             # 3. replicated shade/measure/compact (inputs identical across
             # the tris axis); ledger/detector increments gated to rank 0
-            sh = step_mod.shade(scene_shard, rays, t_min, tri, cfg, attrs=attrs)
+            k_step = (jax.random.fold_in(shard_key, i)
+                      if cfg.needs_rng else None)
+            sh = step_mod.shade(scene_shard, rays, t_min, tri, cfg,
+                                attrs=attrs, key=k_step)
             sh0 = sh._replace(
                 measured_power=sh.measured_power * is_rank0,
                 absorbed=sh.absorbed * is_rank0,
@@ -129,8 +133,7 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
             rr_delta = jnp.float32(0.0)
             if cfg.roulette_threshold > 0.0:
                 # identical across the TRI axis (sh is replicated there)
-                sh, rr_delta = step_mod.roulette(
-                    sh, cfg, jax.random.fold_in(shard_key, i))
+                sh, rr_delta = step_mod.roulette(sh, cfg, k_step)
             new_rays, culled = step_mod.compact(sh, rays.capacity, cfg)
             led = Ledger(
                 emitted=led.emitted,

@@ -59,13 +59,14 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
 
     `n_detectors` sizes the per-detector accumulator — it must be >= the
     number of measure surfaces in the scene (the engine passes
-    len(detector_names)). `key` is required iff cfg.roulette_threshold > 0:
-    each shard folds its axis index in, so roulette draws are independent
-    across chips and deterministic for a fixed mesh.
+    len(detector_names)). `key` is required iff cfg.needs_rng (roulette
+    and/or Lambertian scattering): each shard folds its axis index in,
+    so draws are independent across chips and deterministic for a fixed
+    mesh.
     """
-    if cfg.roulette_threshold > 0.0 and key is None:
+    if cfg.needs_rng and key is None:
         raise ValueError(
-            "cfg.roulette_threshold > 0 requires a PRNG key "
+            "cfg.needs_rng (roulette / diffuse) requires a PRNG key "
             "(pass key=jax.random.key(seed) to trace_multichip)")
 
     def local(scene, rays, key):
@@ -74,14 +75,14 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
             cfg.hist_azimuth_bins, cfg.hist_polar_bins, n_detectors,
             cfg.image_bins
         )
-        if cfg.roulette_threshold > 0.0:
+        if cfg.needs_rng:
             shard_key = jax.random.fold_in(
                 key, jax.lax.axis_index(RAY_AXIS))
 
         def body(i, st):
             rays, det, led = st
             k = (jax.random.fold_in(shard_key, i)
-                 if cfg.roulette_threshold > 0.0 else None)
+                 if cfg.needs_rng else None)
             rays, det, led, _ = trace_step(scene, rays, det, led, cfg, key=k)
             return rays, det, led
 

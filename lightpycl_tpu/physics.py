@@ -160,6 +160,35 @@ def polarized_split(s0, s1, s2, s3, cos_i, cos_t, n1, n2, tir):
     return (r0, r1, r2, r3), (t0, t1, t2, t3)
 
 
+def orthonormal_basis(n):
+    """Branchless orthonormal tangents (t1, t2) for unit normals n (..., 3)
+    (Duff et al., "Building an Orthonormal Basis, Revisited" — sign trick
+    avoids the near-pole branch, so it vectorizes on the VPU)."""
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    s = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + nz)
+    b = nx * ny * a
+    t1 = jnp.stack([1.0 + s * nx * nx * a, s * b, -s * nx], axis=-1)
+    t2 = jnp.stack([b, s + ny * ny * a, -ny], axis=-1)
+    return t1, t2
+
+
+def sample_lambertian(key, n):
+    """Cosine-weighted hemisphere directions about unit normals n (C, 3):
+    pdf(theta) = cos(theta) / pi — the Lambertian scatter law. Standard
+    concentric construction: radius sqrt(u1), height sqrt(1 - u1)."""
+    import jax
+
+    C = n.shape[0]
+    u = jax.random.uniform(key, (C, 2))
+    r = jnp.sqrt(u[:, 0])
+    phi = (2.0 * jnp.pi) * u[:, 1]
+    t1, t2 = orthonormal_basis(n)
+    return (r * jnp.cos(phi))[:, None] * t1 \
+        + (r * jnp.sin(phi))[:, None] * t2 \
+        + jnp.sqrt(jnp.maximum(1.0 - u[:, 0], 0.0))[:, None] * n
+
+
 def thin_film_rs_rp(cos_i, n1, nf, n2, h, wl):
     """Complex reflection amplitudes (rs, rp) of a single lossless thin film
     on a substrate: medium n1 | film nf (thickness h) | substrate n2.

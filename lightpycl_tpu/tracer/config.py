@@ -88,6 +88,11 @@ class TraceConfig:
     # The POLARIZED path ignores coatings (the engine refuses the
     # combination — thin films are unpolarized-model only for now).
     has_coatings: bool = True
+    # True enables the Lambertian-scatter branch (Material.DIFFUSE), which
+    # DRAWS RANDOM NUMBERS: trace_step then requires a PRNG key, so unlike
+    # the other has_* flags this one defaults OFF and the engine switches
+    # it on when the scene contains diffuse elements.
+    has_diffuse: bool = False
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an
@@ -97,6 +102,12 @@ class TraceConfig:
     image_center: tuple = (0.0, 0.0, 0.0)
     image_normal: tuple = (0.0, 0.0, 1.0)
     image_halfwidth: float = 1.0
+
+    @property
+    def needs_rng(self) -> bool:
+        """True when the trace step draws random numbers (roulette and/or
+        Lambertian scattering) and therefore needs a PRNG key per bounce."""
+        return self.roulette_threshold > 0.0 or self.has_diffuse
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

@@ -243,6 +243,11 @@ class Tracer:
                 "only; drop polarization=True or remove the coatings")
         if cfg.has_coatings != has_coat:
             cfg = cfg.replace(has_coatings=has_coat)
+        # Lambertian scatterers draw random numbers: enable the branch (and
+        # thereby per-bounce PRNG keys) exactly when the scene has them
+        has_diff = any(e.material == Material.DIFFUSE for e in self.elements)
+        if cfg.has_diffuse != has_diff:
+            cfg = cfg.replace(has_diffuse=has_diff)
         return cfg
 
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:
@@ -271,7 +276,7 @@ class Tracer:
                             "mode returns no path segments")
             rays = shard_rays(rays, mesh)
             key = (jax.random.key(cfg.seed)
-                   if cfg.roulette_threshold > 0.0 else None)
+                   if cfg.needs_rng else None)
             rays_out, det, led = trace_multichip(
                 self.scene, rays, cfg, cfg.trace_iterations, mesh,
                 n_detectors=max(len(self.detector_names), 1), key=key,
@@ -290,7 +295,7 @@ class Tracer:
                             "mode returns no path segments")
             scene_sh, rays = place(self.scene, rays, mesh)
             key = (jax.random.key(cfg.seed)
-                   if cfg.roulette_threshold > 0.0 else None)
+                   if cfg.needs_rng else None)
             rays_out, det, led = trace_mesh2d(
                 scene_sh, rays, cfg, cfg.trace_iterations, mesh,
                 n_detectors=max(len(self.detector_names), 1), key=key,
@@ -320,7 +325,7 @@ class Tracer:
             iters = 0
             for it in range(cfg.trace_iterations):
                 key = (jax.random.fold_in(jax.random.key(cfg.seed), it)
-                       if cfg.roulette_threshold > 0.0 else None)
+                       if cfg.needs_rng else None)
                 rays, det, led, aux = step_mod.trace_step_jit(
                     self.scene, rays, det, led, cfg, key
                 )
@@ -466,7 +471,7 @@ class Tracer:
                     rays.padded_to(-(-rays.capacity // n_shards) * n_shards),
                     mesh)
                 key_b = (jax.random.fold_in(k, 0x5757)
-                         if cfg.roulette_threshold > 0.0 else None)
+                         if cfg.needs_rng else None)
                 rays, det_b, led_b = trace_multichip(
                     self.scene, rays, cfg, cfg.trace_iterations, mesh,
                     n_detectors=n_det, key=key_b)

@@ -116,6 +116,11 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
                 "the f64 oracle is unpolarized scalar optics; polarizer/"
                 "waveplate scenes are validated against analytic Mueller "
                 "anchors instead (tests/test_polarizer.py)")
+        if el.material == Material.DIFFUSE:
+            raise ValueError(
+                "the f64 oracle is deterministic; Lambertian scatterers are "
+                "validated against analytic cosine-law statistics instead "
+                "(tests/test_diffuse.py)")
         tv = el.triangle_vertices()
         t = len(tv)
         if t == 0:

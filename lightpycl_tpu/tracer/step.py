@@ -261,11 +261,12 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
 
 
 def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
-          attrs=None) -> ShadeOut:
+          attrs=None, key=None) -> ShadeOut:
     """Apply surface interaction at the nearest hit (reference:
     `reflect_refract` kernel, SURVEY.md §3). Branchless: every ray computes
     all material outcomes; masks select. `attrs` overrides the per-hit
-    triangle gathers (triangle-sharded tracing)."""
+    triangle gathers (triangle-sharded tracing). `key` is required iff
+    cfg.has_diffuse (Lambertian scatter draws)."""
     C = rays.capacity
     hit_valid = (tri >= 0) & rays.alive
     safe_tri = jnp.maximum(tri, 0)
@@ -325,6 +326,21 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     is_optic = is_pol | is_wp  # straight-through Stokes elements
     is_miss = rays.alive & ~hit_valid
 
+    if cfg.has_diffuse:
+        # Lambertian scatterer (extension over the reference): one child,
+        # cosine-weighted direction about the oriented normal, power scaled
+        # by the albedo (`reflectivity`); remainder absorbed. Scattering
+        # fully depolarizes (Stokes fractions reset to zero).
+        if key is None:
+            raise ValueError("cfg.has_diffuse requires a PRNG key "
+                             "(trace_step/shade key=...)")
+        is_diff = hit_valid & (mat == int(Material.DIFFUSE))
+        d_diff = physics.sample_lambertian(
+            jax.random.fold_in(key, 0x5D1F), sn["n"])
+    else:
+        is_diff = None
+        d_diff = rays.d
+
     if cfg.has_gratings:
         is_gr = hit_valid & (mat == int(Material.GRATING))
         # reflection grating (extension): tangential wavevector shift by
@@ -357,6 +373,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     refl_like = is_mirror | is_bs
     if cfg.has_gratings:
         refl_like = refl_like | (is_gr & gr_prop)
+    if cfg.has_diffuse:
+        refl_like = refl_like | is_diff
     pa = jnp.where(
         refl_like, live_p * refl,
         jnp.where(is_refr, live_p * R_diel, 0.0)
@@ -364,6 +382,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     da = jnp.where(is_optic[:, None], rays.d, sn["refl_dir"])
     if cfg.has_gratings:
         da = jnp.where(is_gr[:, None], d_gr, da)
+    if cfg.has_diffuse:
+        da = jnp.where(is_diff[:, None], d_diff, da)
 
     pol_absorbed = jnp.float32(0.0)
     if cfg.polarization:
@@ -437,6 +457,15 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             gr_basis = jnp.where(gr_len > 1e-6,
                                  gr_basis / jnp.maximum(gr_len, 1e-20), s_dir)
             new_basis = jnp.where(is_gr[:, None], gr_basis, new_basis)
+        if cfg.has_diffuse:
+            # scattering depolarizes: Stokes fractions reset, frame rebuilt
+            # perpendicular to the scattered direction
+            a_s1 = jnp.where(is_diff, 0.0, a_s1)
+            a_s2 = jnp.where(is_diff, 0.0, a_s2)
+            a_s3 = jnp.where(is_diff, 0.0, a_s3)
+            diff_basis = physics.incidence_s_direction(
+                d_diff, sn["n"], rays.basis)
+            new_basis = jnp.where(is_diff[:, None], diff_basis, new_basis)
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
@@ -504,6 +533,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     absorbed = bulk_absorbed + jnp.sum(
         jnp.where(is_term, live_p, 0.0)
     ) + jnp.sum(jnp.where(is_mirror, live_p * (1.0 - refl), 0.0))
+    if cfg.has_diffuse:
+        absorbed = absorbed + jnp.sum(
+            jnp.where(is_diff, live_p * (1.0 - refl), 0.0))
     if cfg.has_gratings:
         absorbed = absorbed + jnp.sum(
             jnp.where(is_gr,
@@ -699,11 +731,12 @@ class StepAux(NamedTuple):
 def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
                cfg: TraceConfig, key=None):
     """One bounce: (reorder,) intersect, shade, measure, (roulette,)
-    compact. `key` is only needed when cfg.roulette_threshold > 0."""
+    compact. `key` is only needed when cfg.needs_rng (roulette and/or
+    Lambertian scattering)."""
     if cfg.cull:
         rays = reorder_rays(scene, rays)
     t, tri = intersect(scene, rays.o, rays.d, cfg, alive=rays.alive)
-    sh = shade(scene, rays, t, tri, cfg)
+    sh = shade(scene, rays, t, tri, cfg, key=key)
     det = accumulate_detector(det, sh, rays, cfg)
     rr_delta = jnp.float32(0.0)
     if cfg.roulette_threshold > 0.0:
@@ -781,7 +814,7 @@ def trace_loop_jit(scene: Scene, rays: RayBatch, det: DetectorState,
     def body(state):
         i, rays, det, led = state
         k = (jax.random.fold_in(base_key, i)
-             if cfg.roulette_threshold > 0.0 else None)
+             if cfg.needs_rng else None)
         rays, det, led, _ = trace_step(scene, rays, det, led, cfg, key=k)
         return (i + 1, rays, det, led)
 
