@@ -176,6 +176,131 @@ def wavefront_error(opl, powers=None, wavelength=None):
     return out
 
 
+def opd_on_reference_sphere(positions, directions, opl, focus, radius=None,
+                            ior_env: float = 1.0):
+    """Optical path difference of measured rays evaluated on the reference
+    sphere centered at `focus` (the standard wavefront-error reference
+    surface). Each measured ray (position on the detector, direction,
+    accumulated OPL) is propagated BACKWARD along its straight path to the
+    sphere |x - focus| = radius; the OPL at that crossing, mean-removed, is
+    the wavefront error. For a stigmatic bundle it vanishes identically
+    (Fermat); aberrations appear in length units.
+
+    radius defaults to the mean distance of the ray positions from focus.
+    Returns (opd (N,), t (N,) signed back-propagation distances).
+    """
+    pos = np.asarray(positions, np.float64)
+    d = np.asarray(directions, np.float64)
+    opl = np.asarray(opl, np.float64)
+    f = np.asarray(focus, np.float64)
+    rel = pos - f
+    if radius is None:
+        radius = float(np.linalg.norm(rel, axis=1).mean())
+    # |rel + t d|^2 = R^2, unit d: t^2 + 2 (d.rel) t + |rel|^2 - R^2 = 0
+    b = (d * rel).sum(axis=1)
+    c = (rel**2).sum(axis=1) - radius**2
+    disc = np.maximum(b * b - c, 0.0)
+    t = -b - np.sqrt(disc)  # upstream crossing (toward the pupil)
+    opd = opl + ior_env * t
+    return opd - opd.mean(), t
+
+
+def noll_to_nm(j: int):
+    """Noll index j (1-based) -> (n, m) Zernike orders. j=1 piston,
+    2/3 tilt, 4 defocus, 5/6 astigmatism, 7/8 coma, 11 primary spherical."""
+    if j < 1:
+        raise ValueError("Noll index starts at 1")
+    n = 0
+    j1 = j - 1
+    while j1 > n:
+        n += 1
+        j1 -= n
+    m = (-1) ** j * ((n % 2) + 2 * ((j1 + ((n + 1) % 2)) // 2))
+    return n, m
+
+
+def zernike_value(j: int, rho, theta):
+    """Noll-normalized Zernike polynomial Z_j on the unit disc: the
+    normalization makes each coefficient equal the RMS wavefront
+    contribution of its term."""
+    n, m = noll_to_nm(j)
+    am = abs(m)
+    rho = np.asarray(rho, np.float64)
+    R = np.zeros_like(rho)
+    from math import factorial
+
+    for k in range((n - am) // 2 + 1):
+        coef = ((-1) ** k * factorial(n - k)
+                / (factorial(k) * factorial((n + am) // 2 - k)
+                   * factorial((n - am) // 2 - k)))
+        R = R + coef * rho ** (n - 2 * k)
+    if m == 0:
+        return np.sqrt(n + 1.0) * R
+    ang = np.cos(am * theta) if m > 0 else np.sin(am * theta)
+    return np.sqrt(2.0 * (n + 1.0)) * R * ang
+
+
+#: human names for the low Noll orders
+ZERNIKE_NAMES = {1: "piston", 2: "tilt x", 3: "tilt y", 4: "defocus",
+                 5: "astigmatism 45", 6: "astigmatism 0", 7: "coma y",
+                 8: "coma x", 9: "trefoil y", 10: "trefoil x",
+                 11: "spherical"}
+
+
+def zernike_fit(pupil_xy, opd, n_terms: int = 11, powers=None,
+                radius=None):
+    """Weighted least-squares Zernike decomposition of a wavefront.
+
+    pupil_xy: (N, 2) transverse pupil coordinates of each ray; normalized
+    by `radius` (default: max radial extent) onto the unit disc.
+    opd:      (N,) wavefront error per ray (e.g. opd_on_reference_sphere).
+    n_terms:  fit Noll terms 1..n_terms.
+
+    Returns dict with 'coeffs' (n_terms,) — Noll-normalized, so each entry
+    IS that term's RMS contribution — 'residual_rms', 'radius', and
+    'names'. Extension over the reference (which has no wavefront
+    analysis); standard optical-design practice (Noll, JOSA 66, 1976).
+    """
+    xy = np.asarray(pupil_xy, np.float64)
+    opd = np.asarray(opd, np.float64)
+    if len(xy) < n_terms:
+        raise ValueError(f"need >= {n_terms} rays to fit {n_terms} terms")
+    p = np.ones(len(xy)) if powers is None else np.asarray(powers, np.float64)
+    r = np.linalg.norm(xy, axis=1)
+    if radius is None:
+        radius = float(r.max()) or 1.0
+    rho = r / radius
+    theta = np.arctan2(xy[:, 1], xy[:, 0])
+    A = np.stack([zernike_value(j, rho, theta)
+                  for j in range(1, n_terms + 1)], axis=1)
+    w = np.sqrt(p / max(p.sum(), 1e-300))
+    coeffs, *_ = np.linalg.lstsq(A * w[:, None], opd * w, rcond=None)
+    resid = opd - A @ coeffs
+    rms = float(np.sqrt((p * resid**2).sum() / max(p.sum(), 1e-300)))
+    return {"coeffs": coeffs, "residual_rms": rms, "radius": radius,
+            "names": [ZERNIKE_NAMES.get(j, f"Z{j}")
+                      for j in range(1, n_terms + 1)]}
+
+
+def geometric_mtf(xy, powers=None, freqs=None, axis=0):
+    """Geometric (diffraction-free) modulation transfer function of a spot:
+    |sum_k p_k exp(-2 pi i f x_k)| / sum_k p_k along the given axis — the
+    modulus of the line-spread function's Fourier transform. Valid where
+    geometric blur dominates diffraction. Returns (freqs, mtf).
+    """
+    xy = np.asarray(xy, np.float64)
+    x = xy[:, axis] if xy.ndim == 2 else xy
+    p = np.ones(len(x)) if powers is None else np.asarray(powers, np.float64)
+    x = x - (x * p).sum() / max(p.sum(), 1e-300)
+    if freqs is None:
+        ext = max(float(np.abs(x).max()), 1e-12)
+        freqs = np.linspace(0.0, 2.0 / ext, 64)
+    freqs = np.asarray(freqs, np.float64)
+    ph = np.exp(-2j * np.pi * freqs[:, None] * x[None, :])
+    mtf = np.abs(ph @ p) / max(p.sum(), 1e-300)
+    return freqs, mtf
+
+
 def encircled_energy(positions, powers, center=None, radii=None,
                      plane_normal=(0, 0, 1)):
     """Fraction of total power within transverse radius r of `center`
