@@ -73,6 +73,9 @@ class GeoObject:
     coat_thickness: float = 0.0  # coating thickness [um]; 0 = uncoated.
     #   REFRACTIVE elements only: replaces the bare Fresnel split with the
     #   film's R(lambda, theta) (AR / HR coatings)
+    coating: Optional[list] = None  # multilayer stack [(n, h_um), ...],
+    #   outermost layer first; generalizes coat_ior/coat_thickness (do not
+    #   set both). Lossless dielectric stack; R is side-independent
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -102,8 +105,26 @@ class GeoObject:
             if self.coat_ior <= 1e-6:
                 raise ValueError(
                     "coated elements need coat_ior > 0 (the film index)")
+            if self.coating:
+                raise ValueError(
+                    "set either the single-layer coat_ior/coat_thickness "
+                    "shorthand or the multilayer `coating` list, not both")
         elif self.coat_thickness < 0:
             raise ValueError("coat_thickness must be >= 0")
+        if self.coating:
+            if self.material != Material.REFRACTIVE:
+                raise ValueError(
+                    "multilayer coatings apply to REFRACTIVE elements only")
+            clean = []
+            for layer in self.coating:
+                n_l, h_l = float(layer[0]), float(layer[1])
+                if h_l < 0:
+                    raise ValueError("coating layer thickness must be >= 0")
+                if h_l > 0:
+                    if n_l <= 1e-6:
+                        raise ValueError("coating layer index must be > 0")
+                    clean.append((n_l, h_l))
+            self.coating = clean or None
         if self.material == Material.GRATING:
             if self.grating_period <= 0:
                 raise ValueError(
@@ -116,6 +137,16 @@ class GeoObject:
                 raise ValueError(
                     "grating axis is parallel to the surface normal — it "
                     "must have a tangential (in-surface) component")
+
+    def coating_layers(self) -> list:
+        """Normalized coating stack [(n, h_um), ...], outermost first;
+        empty list when uncoated. The single-layer coat_ior/coat_thickness
+        shorthand is folded in."""
+        if self.coating:
+            return list(self.coating)
+        if self.coat_thickness > 0:
+            return [(float(self.coat_ior), float(self.coat_thickness))]
+        return []
 
     # ---- transforms (in place, chainable — reference style) -------------
 
@@ -178,6 +209,7 @@ class GeoObject:
             self.grating_order,
             self.coat_ior,
             self.coat_thickness,
+            None if self.coating is None else list(self.coating),
         )
 
     # ---- derived quantities ---------------------------------------------
@@ -281,6 +313,7 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         grating_order=objs[0].grating_order,
         coat_ior=objs[0].coat_ior,
         coat_thickness=objs[0].coat_thickness,
+        coating=(None if objs[0].coating is None else list(objs[0].coating)),
     )
     base.update(overrides)
     return GeoObject(np.concatenate(verts), np.concatenate(tris), **base)

@@ -155,9 +155,16 @@ def _kernel_body(o4, d4, w, bt_ref, bi_ref, j, s, *, K, n_sub,
     t = -OW / DW
     u = OU + t * DU
     v = OV + t * DV
+    # Two epilogue shaves vs the straight 6-compare predicate (round-3
+    # sweep, benchmarks/epilogue_variants.py, +2.2% reproducible and
+    # bit-identical): (a) the t < t_max test moves OUT of the kernel — min
+    # over hits is monotone, so filtering the single winner after the
+    # argmin is equivalent to filtering every candidate; (b) the two
+    # barycentric lower bounds fold into one min(u, v) compare. NaN lanes
+    # (padding rows) still fail: min propagates NaN and NaN >= x is false.
     hit = (
-        (t > eps) & (t < t_max)
-        & (u >= -eps_b) & (v >= -eps_b) & (u + v <= 1.0 + eps_b)
+        (t > eps)
+        & (jnp.minimum(u, v) >= -eps_b) & (u + v <= 1.0 + eps_b)
     )
     tt = jnp.where(hit, t, _INF)
 
@@ -426,5 +433,8 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
     )
     # indices beyond the real (padded) triangle count cannot occur: padding
     # rows are all-zero -> DW == 0 -> masked out. Miss -> -1 from init.
-    valid = jnp.isfinite(t)
+    # The t < t_max window is applied HERE, on the single winner per ray,
+    # not per candidate in the kernel (equivalent by monotonicity of min;
+    # saves a compare + and per ray-triangle pair).
+    valid = jnp.isfinite(t) & (t < cfg.max_ray_len)
     return jnp.where(valid, t, _INF), jnp.where(valid, i, -1)

@@ -109,9 +109,10 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 "axis": jax.lax.psum(a["axis"] * mf[:, None], TRI_AXIS),
                 "retardance": jax.lax.psum(a["retardance"] * mf, TRI_AXIS),
                 "grating_mlp": jax.lax.psum(a["grating_mlp"] * mf, TRI_AXIS),
-                "coat_ior": jax.lax.psum(a["coat_ior"] * mf, TRI_AXIS),
+                "coat_ior": jax.lax.psum(a["coat_ior"] * mf[:, None],
+                                         TRI_AXIS),
                 "coat_thickness": jax.lax.psum(
-                    a["coat_thickness"] * mf, TRI_AXIS),
+                    a["coat_thickness"] * mf[:, None], TRI_AXIS),
             }
             # misses have no winner: psum of zeros -> ior 0; force sane values
             miss = tri < 0

@@ -189,59 +189,106 @@ def sample_lambertian(key, n):
         + jnp.sqrt(jnp.maximum(1.0 - u[:, 0], 0.0))[:, None] * n
 
 
-def thin_film_rs_rp(cos_i, n1, nf, n2, h, wl):
-    """Complex reflection amplitudes (rs, rp) of a single lossless thin film
-    on a substrate: medium n1 | film nf (thickness h) | substrate n2.
+def _fresnel_interface_c(eta_a, eta_b):
+    """Complex interface amplitude (eta_a - eta_b) / (eta_a + eta_b)."""
+    one = jnp.complex64(1.0)
+    den = eta_a + eta_b
+    den = jnp.where(jnp.abs(den) > _TINY, den, one)
+    return (eta_a - eta_b) / den
 
-    Airy summation of the two-interface multiple reflections,
-        r = (r12 + r23 e^{2i delta}) / (1 + r12 r23 e^{2i delta}),
-        delta = 2 pi nf h cos(theta_f) / wl,
-    evaluated in complex64 so evanescent regimes fall out automatically:
-    cos(theta_f) and cos(theta_2) come from principal-branch complex sqrt,
-    making e^{2i delta} DECAY when the film wave is evanescent and |r| = 1
-    exactly when the substrate wave is (TIR through the coated interface).
-    h = 0 reduces to the bare n1 -> n2 Fresnel amplitudes exactly.
 
-    Extension over the reference (which has uncoated surfaces only); the
-    f64 parity oracle implements the same physics via the characteristic-
-    matrix method (tracer/oracle.py) — agreement is evidence of correctness,
-    not shared bugs. All args are per-ray f32 arrays/scalars; h and wl share
-    units (micrometers throughout the package).
+def multilayer_rs_rp(cos_i, n1, layers_n, layers_h, n_sub, wl):
+    """Complex reflection amplitudes (rs, rp) of a LOSSLESS dielectric
+    stack: incident medium n1 | layers (n_k, h_k) k = 0..L-1 (layer 0
+    adjacent to the incident medium) | substrate n_sub.
+
+    Bottom-up Airy recursion (Möbius composition of interface
+    reflections),
+        r_k = (rho_k + r_{k+1} e^{2i delta_k}) /
+              (1 + rho_k r_{k+1} e^{2i delta_k}),
+    evaluated in complex64: principal-branch complex sqrt makes the phase
+    factor DECAY for evanescent layer waves and |r| = 1 exactly under
+    substrate TIR. A zero-thickness layer drops out EXACTLY (the Möbius
+    composition of adjacent interface coefficients telescopes), so stacks
+    padded with (n, h=0) entries are unchanged — build_scene relies on
+    this to give every triangle the same static layer count.
+
+    layers_n / layers_h: sequences of per-ray arrays (or scalars), length
+    L >= 1. Extension over the reference (uncoated surfaces only); the f64
+    oracle implements the same stack via the characteristic-matrix method
+    (a deliberately different formulation — tracer/oracle.py).
     """
     one = jnp.complex64(1.0)
     sin2 = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    n1s2 = (n1 * n1) * sin2  # invariant n^2 sin^2 across the stack
+
+    def cos_in(n):
+        n = jnp.maximum(n, _TINY)
+        return jnp.sqrt(one - (n1s2 / (n * n)).astype(jnp.complex64))
+
+    def etas(n, c):
+        return n * c, n / jnp.where(jnp.abs(c) > _TINY, c, one)
+
     c1 = cos_i.astype(jnp.complex64)
-    nf_ = jnp.maximum(nf, _TINY)
-    n2_ = jnp.maximum(n2, _TINY)
-    cf = jnp.sqrt(one - ((n1 / nf_) ** 2 * sin2).astype(jnp.complex64))
-    c2 = jnp.sqrt(one - ((n1 / n2_) ** 2 * sin2).astype(jnp.complex64))
+    e1s, e1p = n1 * c1, n1 / jnp.where(jnp.abs(c1) > _TINY, c1, one)
+    cs = cos_in(n_sub)
+    ess, esp = etas(n_sub, cs)
 
-    def _r(a, b):
-        den = a + b
-        den = jnp.where(jnp.abs(den) > _TINY, den, one)
-        return (a - b) / den
+    layers_n = list(layers_n)
+    layers_h = list(layers_h)
+    if not layers_n or len(layers_n) != len(layers_h):
+        raise ValueError("need >= 1 layer and len(layers_n) == len(layers_h)")
 
-    r12s = _r(n1 * c1, nf * cf)
-    r23s = _r(nf * cf, n2 * c2)
-    r12p = _r(nf * c1, n1 * cf)
-    r23p = _r(n2 * cf, nf * c2)
-    # e^{2i delta}: principal-branch cf has Im >= 0, so the exponent's real
-    # part is <= 0 — evanescent film waves decay instead of overflowing
-    phase = jnp.exp(2.0j * (2.0 * jnp.pi * nf * h / jnp.maximum(wl, _TINY))
-                    .astype(jnp.complex64) * cf)
+    # walk from the substrate interface upward; after processing layer k,
+    # `phase` holds its round-trip factor, consumed by the interface above
+    prev_s, prev_p = ess, esp
+    r_s = r_p = phase = None
+    for nk, hk in zip(reversed(layers_n), reversed(layers_h)):
+        ck = cos_in(nk)
+        eks, ekp = etas(nk, ck)
+        rho_s = _fresnel_interface_c(eks, prev_s)
+        rho_p = _fresnel_interface_c(ekp, prev_p)
+        if r_s is None:
+            r_s, r_p = rho_s, rho_p
+        else:
+            r_s = _moebius(rho_s, r_s, phase)
+            r_p = _moebius(rho_p, r_p, phase)
+        phase = jnp.exp(
+            2.0j * (2.0 * jnp.pi * nk * hk / jnp.maximum(wl, _TINY))
+            .astype(jnp.complex64) * ck)
+        prev_s, prev_p = eks, ekp
+    r_s = _moebius(_fresnel_interface_c(e1s, prev_s), r_s, phase)
+    r_p = _moebius(_fresnel_interface_c(e1p, prev_p), r_p, phase)
+    return r_s, r_p
 
-    def _airy(r12, r23):
-        den = one + r12 * r23 * phase
-        den = jnp.where(jnp.abs(den) > _TINY, den, one)
-        return (r12 + r23 * phase) / den
 
-    return _airy(r12s, r23s), _airy(r12p, r23p)
+def _moebius(rho, r_below, phase):
+    """One Airy recursion step: combine the interface coefficient rho with
+    the composite reflection r_below seen across a layer of round-trip
+    phase factor `phase`."""
+    one = jnp.complex64(1.0)
+    num = rho + r_below * phase
+    den = one + rho * r_below * phase
+    den = jnp.where(jnp.abs(den) > _TINY, den, one)
+    return num / den
+
+
+def thin_film_rs_rp(cos_i, n1, nf, n2, h, wl):
+    """Single-film shorthand for multilayer_rs_rp (see there). h = 0
+    reduces to the bare n1 -> n2 Fresnel amplitudes exactly."""
+    return multilayer_rs_rp(cos_i, n1, [nf], [h], n2, wl)
 
 
 def thin_film_reflectance(cos_i, n1, nf, n2, h, wl):
     """Unpolarized power reflectance R = (|rs|^2 + |rp|^2) / 2 of a single
-    lossless film (see thin_film_rs_rp). Clipped to [0, 1]."""
-    rs, rp = thin_film_rs_rp(cos_i, n1, nf, n2, h, wl)
+    lossless film (see multilayer_rs_rp). Clipped to [0, 1]."""
+    return multilayer_reflectance(cos_i, n1, [nf], [h], n2, wl)
+
+
+def multilayer_reflectance(cos_i, n1, layers_n, layers_h, n_sub, wl):
+    """Unpolarized power reflectance of a lossless dielectric stack
+    (see multilayer_rs_rp). Clipped to [0, 1]."""
+    rs, rp = multilayer_rs_rp(cos_i, n1, layers_n, layers_h, n_sub, wl)
     r = 0.5 * (jnp.abs(rs) ** 2 + jnp.abs(rp) ** 2)
     return jnp.clip(r.astype(jnp.float32), 0.0, 1.0)
 

@@ -235,8 +235,8 @@ class Tracer:
             cfg = cfg.replace(has_gratings=has_gr)
         # same gating for the thin-film branch; coatings are implemented in
         # the unpolarized scalar model only
-        has_coat = any(getattr(e, "coat_thickness", 0.0) > 0.0
-                       for e in self.elements)
+        has_coat = any(e.coating_layers() for e in self.elements
+                       if hasattr(e, "coating_layers"))
         if has_coat and cfg.polarization:
             raise ValueError(
                 "thin-film coatings are supported in the unpolarized model "

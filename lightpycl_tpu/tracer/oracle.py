@@ -67,33 +67,44 @@ def _reflect(d, n):
     return d - 2.0 * np.sum(d * n, axis=1, keepdims=True) * n
 
 
-def _film_reflectance_matrix(cos_i, n1, nf, n2, h, wl):
-    """Unpolarized R of a single lossless film via the CHARACTERISTIC-MATRIX
-    method (Abeles/Macleod), complex128 — deliberately a different
-    formulation from the device path's Airy summation (physics.py
-    thin_film_rs_rp), per this module's independence principle.
+def _film_reflectance_matrix(cos_i, n1, stack_n, stack_h, n2, wl):
+    """Unpolarized R of a lossless dielectric stack via the
+    CHARACTERISTIC-MATRIX method (Abeles/Macleod), complex128 —
+    deliberately a different formulation from the device path's bottom-up
+    Airy recursion (physics.multilayer_rs_rp), per this module's
+    independence principle.
 
-    [B, C]^T = M_film @ [1, eta_2]^T with
-    M = [[cos d, i sin d / eta_f], [i eta_f sin d, cos d]],
-    d = 2 pi nf h cos(theta_f) / wl;  r = (eta_1 B - C) / (eta_1 B + C).
+    stack_n / stack_h: (N, L) per-ray layer indices/thicknesses, layer 0
+    outermost.  [B, C]^T = (prod_k M_k) @ [1, eta_sub]^T with
+    M_k = [[cos d_k, i sin d_k / eta_k], [i eta_k sin d_k, cos d_k]],
+    d_k = 2 pi n_k h_k cos(theta_k) / wl;
+    r = (eta_1 B - C) / (eta_1 B + C).
     Tilted admittances: eta_s = n cos(theta), eta_p = n / cos(theta).
+    h = 0 layers give M = I exactly.
     """
-    nf = np.maximum(nf, 1e-9)   # uncoated lanes ride along masked-out
+    stack_n = np.atleast_2d(np.maximum(stack_n, 1e-9))
+    stack_h = np.atleast_2d(stack_h)
     n2 = np.maximum(n2, 1e-9)
     sin2 = np.maximum(0.0, 1.0 - cos_i**2)
-    cf = np.sqrt(1.0 - (n1 / nf) ** 2 * sin2 + 0j)
-    c2 = np.sqrt(1.0 - (n1 / n2) ** 2 * sin2 + 0j)
-    delta = 2.0 * np.pi * nf * h * cf / wl
-    cd, sd = np.cos(delta), np.sin(delta)
+    n1s2 = n1**2 * sin2
+    c2 = np.sqrt(1.0 - n1s2 / n2**2 + 0j)
 
-    def _r(eta1, etaf, eta2):
-        B = cd + 1j * sd / etaf * eta2
-        C = 1j * etaf * sd + cd * eta2
+    def _R(pol):
+        # running [B, C] vector, initialized at the substrate
+        eta2 = n2 * c2 if pol == "s" else n2 / c2
+        B = np.ones_like(eta2)
+        C = eta2.copy()
+        for k in range(stack_n.shape[1] - 1, -1, -1):
+            nf = stack_n[:, k]
+            cf = np.sqrt(1.0 - n1s2 / nf**2 + 0j)
+            etaf = nf * cf if pol == "s" else nf / cf
+            d = 2.0 * np.pi * nf * stack_h[:, k] * cf / wl
+            cd, sd = np.cos(d), np.sin(d)
+            B, C = cd * B + 1j * sd / etaf * C, 1j * etaf * sd * B + cd * C
+        eta1 = n1 * cos_i if pol == "s" else n1 / cos_i
         return np.abs((eta1 * B - C) / (eta1 * B + C)) ** 2
 
-    Rs = _r(n1 * cos_i, nf * cf, n2 * c2)
-    Rp = _r(n1 / cos_i, nf / cf, n2 / c2)
-    return np.clip(0.5 * (Rs + Rp), 0.0, 1.0)
+    return np.clip(0.5 * (_R("s") + _R("p")), 0.0, 1.0)
 
 
 def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
@@ -108,7 +119,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     iorbs = []
     absorbs = []
     axes, mlps = [], []
-    coat_ns, coat_hs = [], []
+    coat_stacks = []
     det_names = []
     for el in elements:
         if el.material in (Material.POLARIZER, Material.WAVEPLATE):
@@ -137,8 +148,8 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         period = float(getattr(el, "grating_period", 0.0))
         mlps.append(np.full(t, (float(getattr(el, "grating_order", 1)) / period
                                 if period > 0 else 0.0)))
-        coat_ns.append(np.full(t, float(getattr(el, "coat_ior", 0.0))))
-        coat_hs.append(np.full(t, float(getattr(el, "coat_thickness", 0.0))))
+        coat_stacks.append((t, el.coating_layers()
+                            if hasattr(el, "coating_layers") else []))
         if el.material == Material.MEASURE:
             dets.append(np.full(t, len(det_names)))
             det_names.append(el.name or f"detector_{len(det_names)}")
@@ -150,7 +161,13 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     tri_absorb = np.concatenate(absorbs)
     refl = np.concatenate(refls); det_id = np.concatenate(dets)
     g_axis = np.concatenate(axes); g_mlp = np.concatenate(mlps)
-    coat_n = np.concatenate(coat_ns); coat_h = np.concatenate(coat_hs)
+    L_coat = max((len(ls) for _, ls in coat_stacks), default=0) or 1
+    coat_n = np.concatenate([
+        np.tile([n for n, _ in ls] + [1.0] * (L_coat - len(ls)), (t, 1))
+        for t, ls in coat_stacks])
+    coat_h = np.concatenate([
+        np.tile([h for _, h in ls] + [0.0] * (L_coat - len(ls)), (t, 1))
+        for t, ls in coat_stacks])
     n_geom = np.cross(e1, e2)
     n_geom /= np.maximum(np.linalg.norm(n_geom, axis=1, keepdims=True), 1e-300)
 
@@ -279,12 +296,19 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             rs = ((n1 * cos_i - n2 * cos_t) / (n1 * cos_i + n2 * cos_t)) ** 2
             rp = ((n1 * cos_t - n2 * cos_i) / (n1 * cos_t + n2 * cos_i)) ** 2
             R = np.where(tir, 1.0, 0.5 * (rs + rp))
-            # single-layer thin-film coating overrides the bare Fresnel R
-            ch = coat_h[ti[i]]
+            # thin-film coating stack overrides the bare Fresnel R; exiting
+            # rays see the layer order reversed (h = 0 pads are inert)
+            ch = coat_h[ti[i]]             # (M, L)
             if (ch > 0).any():
+                cn_ = coat_n[ti[i]]
+                ent_col = entering[:, None]
+                cn_use = np.where(ent_col, cn_, cn_[:, ::-1])
+                ch_use = np.where(ent_col, ch, ch[:, ::-1])
                 Rf = _film_reflectance_matrix(
-                    np.maximum(cos_i, 1e-12), n1, coat_n[ti[i]], n2, ch, wl[i])
-                R = np.where(ch > 0, np.where(tir, 1.0, Rf), R)
+                    np.maximum(cos_i, 1e-12), n1, cn_use, ch_use, n2,
+                    wl[i])
+                coated = ch.max(axis=1) > 0
+                R = np.where(coated, np.where(tir, 1.0, Rf), R)
             # reflected child
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * R); new_ior.append(n1); new_wl.append(wl[i])

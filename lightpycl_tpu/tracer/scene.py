@@ -52,8 +52,11 @@ class Scene(NamedTuple):
     axis: jnp.ndarray          # (T_pad, 3) f32 polarizer/waveplate/grating axis
     retardance: jnp.ndarray    # (T_pad,) f32 waveplate retardance [rad]
     grating_mlp: jnp.ndarray   # (T_pad,) f32 m / period [1/um], 0 = no grating
-    coat_ior: jnp.ndarray      # (T_pad,) f32 thin-film coating index
-    coat_thickness: jnp.ndarray  # (T_pad,) f32 coating thickness [um], 0=bare
+    coat_ior: jnp.ndarray      # (T_pad, L) f32 coating-stack layer indices
+    coat_thickness: jnp.ndarray  # (T_pad, L) f32 layer thicknesses [um];
+    #   layer 0 outermost; rows padded with h=0 layers (exactly inert in
+    #   the Airy recursion); all-zero row = bare surface. L = the scene's
+    #   max stack depth (>= 1)
 
     @property
     def num_triangles_padded(self) -> int:
@@ -97,7 +100,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     iorb_list = []
     absorb_list = []
     axis_list, ret_list, gr_list = [], [], []
-    cior_list, cth_list = [], []
+    coat_stacks = []  # (t, [(n, h), ...]) per element; widths equalized below
     detector_names: list[str] = []
     for obj in objects:
         t = obj.num_triangles
@@ -120,10 +123,9 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         mlp = (float(getattr(obj, "grating_order", 1)) / period
                if period > 0 else 0.0)
         gr_list.append(np.full(t, mlp, np.float64))
-        cior_list.append(np.full(t, float(getattr(obj, "coat_ior", 0.0)),
-                                 np.float64))
-        cth_list.append(np.full(t, float(getattr(obj, "coat_thickness", 0.0)),
-                                np.float64))
+        layers = (obj.coating_layers() if hasattr(obj, "coating_layers")
+                  else [])
+        coat_stacks.append((t, layers))
         if obj.material == Material.MEASURE:
             det_id = len(detector_names)
             detector_names.append(obj.name or f"detector_{det_id}")
@@ -141,8 +143,17 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     axis_np = np.concatenate(axis_list)
     ret_np = np.concatenate(ret_list)
     gr_np = np.concatenate(gr_list)
-    cior_np = np.concatenate(cior_list)
-    cth_np = np.concatenate(cth_list)
+    # coating stacks, width-equalized to the scene's deepest stack (h = 0
+    # padding layers are exactly inert — physics.multilayer_rs_rp)
+    L_coat = max((len(layers) for _, layers in coat_stacks), default=0) or 1
+    cior_np = np.concatenate([
+        np.tile([n for n, _ in layers] + [1.0] * (L_coat - len(layers)),
+                (t, 1))
+        for t, layers in coat_stacks])
+    cth_np = np.concatenate([
+        np.tile([h for _, h in layers] + [0.0] * (L_coat - len(layers)),
+                (t, 1))
+        for t, layers in coat_stacks])
     if spatial_sort:
         c = tv.mean(axis=1)
         lo, hi = c.min(axis=0), c.max(axis=0)

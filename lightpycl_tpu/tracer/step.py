@@ -237,7 +237,7 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         cols += [scene.axis, scene.retardance[:, None],
                  scene.grating_mlp[:, None]]
     if with_coatings:
-        cols += [scene.coat_ior[:, None], scene.coat_thickness[:, None]]
+        cols += [scene.coat_ior, scene.coat_thickness]  # (T, L) each
     g = jnp.concatenate(cols, axis=1)[safe_tri]
     out = {
         "mat": g[:, 0].astype(jnp.int32),
@@ -255,8 +255,9 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         out["grating_mlp"] = g[:, 13]
         k = 14
     if with_coatings:
-        out["coat_ior"] = g[:, k]
-        out["coat_thickness"] = g[:, k + 1]
+        L = scene.coat_ior.shape[1]
+        out["coat_ior"] = g[:, k:k + L]
+        out["coat_thickness"] = g[:, k + L:k + 2 * L]
     return out
 
 
@@ -307,14 +308,26 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     # engine refuses coated scenes with polarization=True.
     R_diel = sn["R"]
     if cfg.has_coatings and not cfg.polarization:
-        R_film = physics.thin_film_reflectance(
-            sn["cos_i"], sn["n1"], attrs["coat_ior"], sn["n2"],
-            attrs["coat_thickness"], rays.wavelength)
-        # under substrate TIR the film analysis gives |r| = 1; force it
+        cn, ch = attrs["coat_ior"], attrs["coat_thickness"]  # (C, L)
+        # stacks are stored outermost-layer-first as seen from OUTSIDE the
+        # element; a ray exiting the glass sees the layers in reverse
+        # order (h = 0 padding is inert in any position, so flipping the
+        # whole padded row is exact)
+        ent = sn["entering"][:, None]
+        cn = jnp.where(ent, cn, cn[:, ::-1])
+        ch = jnp.where(ent, ch, ch[:, ::-1])
+        L_coat = cn.shape[1]
+        R_film = physics.multilayer_reflectance(
+            sn["cos_i"], sn["n1"],
+            [cn[:, l] for l in range(L_coat)],
+            [ch[:, l] for l in range(L_coat)],
+            sn["n2"], rays.wavelength)
+        # under substrate TIR the stack analysis gives |r| = 1; force it
         # exactly so complex64 roundoff can't leak power into the
         # (garbage-direction) refracted slot
         R_film = jnp.where(sn["tir"], 1.0, R_film)
-        R_diel = jnp.where(attrs["coat_thickness"] > 0.0, R_film, R_diel)
+        # max over layers: reversal can move the live layer off column 0
+        R_diel = jnp.where(jnp.max(ch, axis=1) > 0.0, R_film, R_diel)
 
     is_mirror = hit_valid & (mat == int(Material.MIRROR))
     is_refr = hit_valid & (mat == int(Material.REFRACTIVE))

@@ -87,8 +87,8 @@ class TestFilmFormula:
             ci = np.cos(np.radians(deg))
             dev = _film_R(ci, n1, nf, n2, h, wl)
             ora = float(_film_reflectance_matrix(
-                np.array([ci]), np.array([n1]), np.array([nf]),
-                np.array([n2]), np.array([h]), np.array([wl]))[0])
+                np.array([ci]), np.array([n1]), np.array([[nf]]),
+                np.array([[h]]), np.array([n2]), np.array([wl]))[0])
             assert dev == pytest.approx(ora, abs=2e-5), (deg, n1, nf, n2, h)
 
 
@@ -166,6 +166,144 @@ class TestCoatedParity:
         assert res.ledger["absorbed"] == pytest.approx(ora["absorbed"],
                                                        rel=1e-3, abs=1e-6)
         assert res.power_conservation_error() < 1e-5
+
+
+N_HI, N_LO = 2.35, 1.46      # TiO2 / SiO2-ish
+
+
+def _qw(n):
+    return WL / (4.0 * n)
+
+
+class TestMultilayer:
+    """Multilayer stacks: device = bottom-up Airy recursion, oracle =
+    characteristic-matrix product — two independent formulations."""
+
+    def _R(self, layers, n1=1.0, ns=N_GLASS, cos_i=1.0, wl=WL):
+        import jax.numpy as jnp
+
+        from lightpycl_tpu.physics import multilayer_reflectance
+
+        arr = lambda x: jnp.atleast_1d(jnp.asarray(x, jnp.float32))
+        return float(multilayer_reflectance(
+            arr(cos_i), arr(n1), [arr(n) for n, _ in layers],
+            [arr(h) for _, h in layers], arr(ns), arr(wl))[0])
+
+    def test_two_layer_v_coat_nulls_reflection(self):
+        # quarter-quarter stack: R = ((n0 n2^2 - ns n1^2)/(...+...))^2
+        layers = [(N_FILM, _qw(N_FILM)), (1.7, _qw(1.7))]
+        pred = ((1.0 * 1.7**2 - N_GLASS * N_FILM**2)
+                / (1.0 * 1.7**2 + N_GLASS * N_FILM**2)) ** 2
+        assert self._R(layers) == pytest.approx(pred, abs=1e-6)
+        assert self._R(layers) < 1e-5  # ~perfect AR at design
+
+    def test_hr_quarter_stack_admittance_ladder(self):
+        # (HL)^N quarter stack: Y = (nH/nL)^(2N) ns -> R = ((1-Y)/(1+Y))^2
+        for N in (2, 4):
+            layers = [(N_HI, _qw(N_HI)), (N_LO, _qw(N_LO))] * N
+            Y = (N_HI / N_LO) ** (2 * N) * N_GLASS
+            pred = ((1 - Y) / (1 + Y)) ** 2
+            assert self._R(layers) == pytest.approx(pred, abs=2e-4), N
+
+    def test_zero_thickness_layers_inert(self):
+        base = self._R([(N_FILM, H_QW)])
+        padded = self._R([(N_FILM, H_QW), (1.0, 0.0), (3.2, 0.0)])
+        assert padded == pytest.approx(base, abs=1e-6)
+
+    def test_lossless_reciprocity(self):
+        # same |R| from either side of a lossless stack (swapped bounding
+        # media, reversed layer order, Snell-matched angles)
+        ci = np.cos(np.radians(35.0))
+        layers = [(1.38, 0.1), (2.0, 0.07)]
+        Rf = self._R(layers, n1=1.0, ns=N_GLASS, cos_i=ci, wl=0.6)
+        ct = np.sqrt(1 - (1.0 / N_GLASS) ** 2 * (1 - ci * ci))
+        Rb = self._R(layers[::-1], n1=N_GLASS, ns=1.0, cos_i=ct, wl=0.6)
+        assert Rf == pytest.approx(Rb, abs=1e-6)
+
+    def test_device_recursion_matches_oracle_matrix(self):
+        from lightpycl_tpu.tracer.oracle import _film_reflectance_matrix
+
+        rng = np.random.default_rng(7)
+        for _ in range(30):
+            Lk = rng.integers(1, 5)
+            ns_ = rng.uniform(1.2, 2.4, Lk)
+            hs_ = rng.uniform(0.0, 0.4, Lk)
+            n1, n2 = rng.uniform(1.0, 1.8, 2)
+            ci = np.cos(np.radians(rng.uniform(0, 85)))
+            wl = rng.uniform(0.4, 0.8)
+            dev = self._R(list(zip(ns_, hs_)), n1=n1, ns=n2, cos_i=ci, wl=wl)
+            ora = float(_film_reflectance_matrix(
+                np.array([ci]), np.array([n1]), ns_[None, :], hs_[None, :],
+                np.array([n2]), np.array([wl]))[0])
+            assert dev == pytest.approx(ora, abs=3e-5), (Lk, n1, n2, ci)
+
+    def test_v_coated_window_trace_transmits_fully(self):
+        win = oe.cube(size=(0.8, 0.8, 0.2), material="refractive",
+                      ior=N_GLASS, name="window",
+                      coating=[(N_FILM, _qw(N_FILM)), (1.7, _qw(1.7))])
+        fwd = oe.disc(radius=1.2, center=(0, 0, 2.0), material="measure",
+                      name="fwd")
+        shell = oe.sphere(radius=6.0, material="terminator")
+        src = CollimatedSource(center=(0, 0, -1.0), direction=(0, 0, 1),
+                               diameter=0.3, ray_count=128, power=1.0,
+                               seed=2, wavelength=WL)
+        res = Tracer().trace(src, [win, fwd, shell], trace_iterations=8)
+        assert res.detector_power("fwd") == pytest.approx(1.0, abs=1e-4)
+        assert res.power_conservation_error() < 1e-5
+
+    def test_hr_coated_lens_parity_with_oracle(self):
+        layers = [(N_HI, _qw(N_HI)), (N_LO, _qw(N_LO))] * 2
+        lens = oe.biconvex_lens(0.8, 0.5, 0.1, ior=N_GLASS, coating=layers)
+        dome = L.optical_elements(24, 8).sphere(8.0, material="measure")
+        src = CollimatedSource(center=(0, 0, -0.6), direction=(0, 0, 1),
+                               diameter=0.4, ray_count=256, power=1.0,
+                               seed=8, wavelength=([0.5, 0.55, 0.62],
+                                                   [1, 1, 1]))
+        o, d, p = src.sample()
+        wl = src.sample_wavelengths()
+        res = Tracer().trace(src, [lens, dome], trace_iterations=7,
+                             rays=RayBatch.from_arrays(o, d, p,
+                                                       wavelengths=wl,
+                                                       capacity=8192))
+        ora = trace_oracle([lens, dome], o, d, p, trace_iterations=7,
+                           wavelengths=wl)
+        assert res.ledger["measured"] == pytest.approx(ora["measured"],
+                                                       rel=1e-3)
+        assert res.power_conservation_error() < 1e-5
+
+    def test_mixed_stack_depths_in_one_scene(self):
+        # a 1-layer element and a 3-layer element share the scene: the
+        # shallow stack rides padded h=0 rows, which must be exactly inert
+        win1 = oe.cube(size=(0.5, 0.5, 0.1), center=(-0.6, 0, 0),
+                       material="refractive", ior=N_GLASS,
+                       coat_ior=N_FILM, coat_thickness=H_QW, name="w1")
+        win3 = oe.cube(size=(0.5, 0.5, 0.1), center=(0.6, 0, 0),
+                       material="refractive", ior=N_GLASS, name="w3",
+                       coating=[(N_HI, _qw(N_HI)), (N_LO, _qw(N_LO)),
+                                (N_HI, _qw(N_HI))])
+        d1 = oe.disc(radius=0.3, center=(-0.6, 0, 1.5), material="measure",
+                     name="d1")
+        d3 = oe.disc(radius=0.3, center=(0.6, 0, 1.5), material="measure",
+                     name="d3")
+        shell = oe.sphere(radius=6.0, material="terminator")
+        both = [win1, win3, d1, d3, shell]
+
+        def beam(x):
+            return CollimatedSource(center=(x, 0, -1.0), direction=(0, 0, 1),
+                                    diameter=0.2, ray_count=128, power=1.0,
+                                    seed=3, wavelength=WL)
+
+        res1 = Tracer().trace(beam(-0.6), both, trace_iterations=8)
+        # reference run: the 1-layer window alone (scene L = 1)
+        solo = [win1, d1, oe.sphere(radius=6.0, material="terminator")]
+        res_solo = Tracer().trace(beam(-0.6), solo, trace_iterations=8)
+        assert res1.detector_power("d1") == pytest.approx(
+            res_solo.detector_power("d1"), abs=1e-6)
+
+    def test_shorthand_plus_list_rejected(self):
+        with pytest.raises(ValueError, match="not both"):
+            oe.cube(material="refractive", coat_ior=N_FILM,
+                    coat_thickness=H_QW, coating=[(1.7, 0.1)])
 
 
 class TestCoatingValidation:
