@@ -1,0 +1,94 @@
+"""Differentiable lens design: gradient descent on a singlet prescription.
+
+The tracer is a pure JAX function, so jax.grad differentiates an optical
+figure of merit (RMS spot radius at an image plane) with respect to the
+LENS PRESCRIPTION — surface curvatures, thickness, even the plane position
+— straight through intersection, Snell refraction, and the Fresnel power
+split (lightpycl_tpu.diff). The PyOpenCL reference has no equivalent: its
+kernels are opaque to autodiff.
+
+Two demos:
+ 1. Lensmaker recovery: a plano-convex singlet's front curvature is
+    optimized to focus a paraxial collimated beam at z = 4.0; the result
+    must satisfy the thick-lens lensmaker equation.
+ 2. Free design: both curvatures of a badly-started meniscus are released;
+    gradient descent finds a prescription focusing at the target plane,
+    and the implied effective focal length matches thick-lens theory.
+
+Note on tessellation: surfaces are triangle meshes, so each annular facet
+deflects rays by a constant angle — a Fresnel-lens-like approximation of
+the smooth surface. Keep the radial tessellation fine across the beam
+(the facet 'cone blur' floor is ~ aperture / (2 n_rad)); this also bounds
+how finely third-order aberration differences (e.g. the Coddington
+best-form shape factor) can be resolved.
+
+    LPCL_FORCE_CPU=1 python examples/example_lens_design.py
+"""
+
+import os
+import time
+
+if os.environ.get("LPCL_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+from lightpycl_tpu import diff
+
+N_GLASS = 1.5
+T_C = 0.3
+STEPS = int(os.environ.get("OPT_STEPS", 60))
+
+# ---------------------------------------------------------------- demo 1
+print("=== demo 1: recover the lensmaker prescription by gradient descent")
+Z_TARGET = 4.0
+# thick-lens theory: focus at z = t_c + BFD, BFD = f - t_c/n, 1/f = (n-1)c1
+f_theory = Z_TARGET - T_C + T_C / N_GLASS
+c1_theory = 1.0 / ((N_GLASS - 1.0) * f_theory)
+
+loss = diff.make_spot_loss(ior=N_GLASS, thickness=T_C, aperture_radius=0.2,
+                           n_rays=150, beam_fill=0.75, n_seg=64, n_rad=24)
+vg = jax.jit(jax.value_and_grad(loss, argnums=0))
+
+c1 = jnp.float32(0.70)   # a deliberately wrong start (focus at ~3.06)
+t0 = time.time()
+for i in range(STEPS):
+    v, g = vg(c1, 0.0, Z_TARGET)
+    c1 = c1 - 0.1 * g
+    if i % 10 == 0 or i == STEPS - 1:
+        print(f"  step {i:3d}  c1={float(c1):.5f}  rms_spot={float(v):.5f}")
+print(f"  optimized c1 = {float(c1):.5f}")
+print(f"  lensmaker c1 = {c1_theory:.5f} "
+      f"(rel err {abs(float(c1) - c1_theory) / c1_theory:.2%})")
+print(f"  [{time.time() - t0:.1f}s, {STEPS} value_and_grad steps]")
+
+# ---------------------------------------------------------------- demo 2
+print("=== demo 2: free two-curvature design from a bad meniscus start")
+loss2 = diff.make_spot_loss(ior=N_GLASS, thickness=T_C, aperture_radius=0.3,
+                            n_rays=200, beam_fill=0.75, n_seg=64, n_rad=24)
+vg2 = jax.jit(jax.value_and_grad(loss2, argnums=(0, 1)))
+
+c1, c2 = jnp.float32(0.15), jnp.float32(0.45)   # meniscus, wrong sign of c2
+v0 = float(loss2(c1, c2, Z_TARGET))
+t0 = time.time()
+for i in range(2 * STEPS):
+    v, (g1, g2) = vg2(c1, c2, Z_TARGET)
+    c1, c2 = c1 - 0.1 * g1, c2 - 0.1 * g2
+    if i % 20 == 0 or i == 2 * STEPS - 1:
+        print(f"  step {i:3d}  c1={float(c1):+.4f}  c2={float(c2):+.4f}  "
+              f"rms_spot={float(v):.5f}")
+# implied focal length from the thick lensmaker equation
+c1f, c2f = float(c1), float(c2)
+P = (N_GLASS - 1.0) * (c1f - c2f
+                       + (N_GLASS - 1.0) * T_C * c1f * c2f / N_GLASS)
+bfd = (1.0 / P) * (1.0 - (N_GLASS - 1.0) * T_C * c1f / N_GLASS)
+print(f"  rms spot: {v0:.4f} -> {float(v):.5f} "
+      f"({v0 / max(float(v), 1e-9):.0f}x smaller)")
+print(f"  implied PARAXIAL focus z = t_c + BFD = {T_C + bfd:.4f} "
+      f"(target {Z_TARGET}, err {abs(T_C + bfd - Z_TARGET) / Z_TARGET:.2%};"
+      "\n   the best-RMS plane sits slightly short of the paraxial focus "
+      "at f/6 — classic spherical-aberration focal shift)")
+print(f"  [{time.time() - t0:.1f}s]")

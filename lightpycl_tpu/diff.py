@@ -1,0 +1,382 @@
+"""Differentiable optical design: end-to-end gradients through the tracer.
+
+The reference (SURVEY.md §1) is a forward simulator only — PyOpenCL kernels
+are opaque to autodiff. In this rebuild the whole trace step is a pure
+jittable JAX function over pytrees (tracer/step.py), so the gradient of any
+scalar figure of merit (spot RMS, detected power, focal error) flows back
+through shading (Fresnel powers, Snell directions), intersection (hit
+distances), and — with the parametric meshers in this module — the lens
+prescription itself (curvatures, thickness). `jax.grad` + optax turn the
+tracer into a lens-design optimizer; this capability has no reference
+equivalent and is a direct consequence of the TPU-first functional design.
+
+Differentiation semantics (standard in differentiable ray tracing): the
+ray→triangle assignment (argmin) and all material/visibility masks are
+treated as locally constant. Smooth parameter changes that slide hit points
+and bend refraction angles are differentiated exactly; topology changes (a
+ray slipping off the aperture rim, a new TIR onset) show up as kinks. A
+tessellated sphere is a piecewise-linear approximation of the smooth
+surface, so gradients carry O(1/n_seg^2) facet noise — use enough segments
+(>= 32) and a few hundred rays to average it out.
+
+Gradient safety: the production intersectors (tracer/step.py,
+ops/intersect_pallas.py) exploit IEEE inf/nan semantics (t = -OW / DW with
+DW == 0 on padding rows). Forward that is correct and fast, but reverse-mode
+AD of x / 0 manufactures nan cotangents even under a downstream mask
+(0 * inf). `intersect_diff` here is the same unit-transform math with a
+guarded denominator, keeping every intermediate finite so gradients are
+clean. Shade/compact are reused from tracer/step.py unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightpycl_tpu.materials import Material
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.rays import RayBatch
+from lightpycl_tpu.tracer.scene import Scene
+from lightpycl_tpu.tracer.step import compact, shade
+
+_HI = jax.lax.Precision.HIGHEST
+_BIG = jnp.float32(1e30)   # finite 'no hit' sentinel (inf would poison AD)
+_TINY = jnp.float32(1e-20)
+
+
+# --------------------------------------------------------------------------
+# Differentiable scene construction
+# --------------------------------------------------------------------------
+
+def unit_transform_rows(v0, e1, e2):
+    """Per-triangle world -> unit-triangle transform rows, in jnp.
+
+    Same transform tracer/scene.py builds in host float64 numpy, but
+    differentiable: for A = [e1 | e2 | n] with n = e1 x e2, the adjugate
+    gives A^-1 rows directly as cross products —
+        row_u = (e2 x n) / |n|^2,  row_v = (n x e1) / |n|^2,
+        row_w = n / |n|^2,
+    (det A = e1 . (e2 x n) = |n|^2), with the translation -A^-1 v0 folded
+    into column 4. Degenerate triangles (|n| ~ 0) get all-zero rows (same
+    as build_scene's padding rows) -> DW == 0 -> never hit, and their
+    gradients are exactly zero.
+    """
+    n = jnp.cross(e1, e2)
+    det = jnp.sum(n * n, axis=-1, keepdims=True)
+    # double-where, not /maximum(det, tiny): the division VJP contains
+    # -1/det^2, and tiny^2 underflows f32 to 0 -> inf -> 0 * inf = nan in
+    # the cotangents of every degenerate row. This form zeroes degenerate
+    # rows AND their gradients exactly (matching the numpy build_scene,
+    # which skips singular triangles).
+    good = det > jnp.float32(1e-16)
+    inv_det = jnp.where(good, 1.0 / jnp.where(good, det, 1.0), 0.0)
+    ru = jnp.cross(e2, n) * inv_det
+    rv = jnp.cross(n, e1) * inv_det
+    rw = n * inv_det
+
+    def _with_offset(r):
+        b = -jnp.sum(r * v0, axis=-1, keepdims=True)
+        return jnp.concatenate([r, b], axis=-1)
+
+    return _with_offset(ru), _with_offset(rv), _with_offset(rw)
+
+
+def scene_from_triangles(tv, mat, ior, *, reflectivity=None, detector_id=None,
+                         absorb=None, ior_b=None, pad_to: int = 256) -> Scene:
+    """Build a Scene pytree from a differentiable (T, 3, 3) triangle-vertex
+    array. The jnp twin of tracer/scene.build_scene (which runs in host
+    numpy and is opaque to autodiff): geometry flows as traced values, the
+    per-triangle attribute arrays are data.
+
+    mat/ior/...: (T,) arrays (or scalars, broadcast). Optics columns
+    (polarizer axis, gratings, coatings) are zeroed — use the engine path
+    for those; this path exists to differentiate GEOMETRY.
+    """
+    tv = jnp.asarray(tv, jnp.float32)
+    T = tv.shape[0]
+
+    def _b(x, default, dtype=jnp.float32):
+        if x is None:
+            x = default
+        return jnp.broadcast_to(jnp.asarray(x, dtype), (T,))
+
+    mat = _b(mat, 0, jnp.int32)
+    ior = _b(ior, 1.0)
+    reflectivity = _b(reflectivity, 0.0)
+    detector_id = _b(detector_id, -1, jnp.int32)
+    absorb = _b(absorb, 0.0)
+    ior_b = _b(ior_b, 0.0)
+
+    v0 = tv[:, 0]
+    e1 = tv[:, 1] - tv[:, 0]
+    e2 = tv[:, 2] - tv[:, 0]
+    n = jnp.cross(e1, e2)
+    # NOT jnp.linalg.norm: its VJP is n/|n| = 0/0 = nan for the exactly-
+    # degenerate (zero-area) triangles the uniform quad grid produces at
+    # r = 0, and a downstream mask can't cancel a nan cotangent. The
+    # guarded sum-of-squares form keeps the whole backward pass finite.
+    n_unit = n / jnp.sqrt(
+        jnp.maximum(jnp.sum(n * n, axis=1, keepdims=True), _TINY))
+    wu, wv, ww = unit_transform_rows(v0, e1, e2)
+
+    T_pad = ((max(T, 1) + pad_to - 1) // pad_to) * pad_to
+    pad = T_pad - T
+
+    def _p(a, fill=0.0):
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+    zeros3 = jnp.zeros((T, 3), jnp.float32)
+    zcol = jnp.zeros((T, 1), jnp.float32)
+    return Scene(
+        v0=_p(v0), e1=_p(e1), e2=_p(e2), normal=_p(n_unit),
+        wu=_p(wu), wv=_p(wv), ww=_p(ww),
+        mat=_p(mat, fill=int(Material.TERMINATOR)),
+        ior=_p(ior, fill=1.0), ior_b=_p(ior_b), absorb=_p(absorb),
+        reflectivity=_p(reflectivity),
+        detector_id=_p(detector_id, fill=-1),
+        axis=_p(zeros3), retardance=_p(zcol[:, 0]),
+        grating_mlp=_p(zcol[:, 0]),
+        coat_ior=_p(zcol), coat_thickness=_p(zcol),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gradient-safe intersection
+# --------------------------------------------------------------------------
+
+def intersect_diff(scene: Scene, o, d, cfg: TraceConfig):
+    """Nearest-hit with every intermediate finite (reverse-mode safe).
+
+    Dense (C, T_pad) evaluation — differentiable-design scenes are small
+    (10^3-10^4 triangles); the production paths (intersect_jnp / Pallas)
+    stay the fast-forward implementations. Returns (t, tri) with
+    t == max_ray_len and tri == -1 on miss (finite, not +inf).
+    """
+    C = o.shape[0]
+    o4 = jnp.concatenate([o, jnp.ones((C, 1), jnp.float32)], axis=1)
+    d4 = jnp.concatenate([d, jnp.zeros((C, 1), jnp.float32)], axis=1)
+    OU = jnp.dot(o4, scene.wu.T, precision=_HI)
+    OV = jnp.dot(o4, scene.wv.T, precision=_HI)
+    OW = jnp.dot(o4, scene.ww.T, precision=_HI)
+    DU = jnp.dot(d4, scene.wu.T, precision=_HI)
+    DV = jnp.dot(d4, scene.wv.T, precision=_HI)
+    DW = jnp.dot(d4, scene.ww.T, precision=_HI)
+
+    ok = jnp.abs(DW) > _TINY
+    DW_safe = jnp.where(ok, DW, _TINY)
+    t = -OW / DW_safe
+    u = OU + t * DU
+    v = OV + t * DV
+    hit = (ok & (t > cfg.eps) & (t < cfg.max_ray_len)
+           & (jnp.minimum(u, v) >= -cfg.eps_bary)
+           & (u + v <= 1.0 + cfg.eps_bary))
+    tt = jnp.where(hit, t, _BIG)
+    idx = jnp.argmin(tt, axis=1).astype(jnp.int32)
+    tbest = jnp.min(tt, axis=1)
+    valid = tbest < cfg.max_ray_len
+    return (jnp.where(valid, tbest, cfg.max_ray_len),
+            jnp.where(valid, idx, -1))
+
+
+def trace_diff(scene: Scene, rays: RayBatch, cfg: TraceConfig,
+               n_bounces: int, collect_escaped: bool = False):
+    """Fixed-depth differentiable trace: an UNROLLED loop of
+    intersect_diff -> shade -> compact (shade and compact reused verbatim
+    from tracer/step.py — same physics as the production engine). No
+    detector scatter, no early exit (lax.while_loop has no reverse-mode),
+    no RNG materials. Returns the surviving RayBatch.
+
+    collect_escaped=True additionally returns (o, d, power) stacks of
+    every ray at the bounce it left the system (missed all geometry) —
+    the natural input for an image-plane figure of merit: a design scene
+    needs no detector surface, finished rays are evaluated in flight.
+    """
+    esc = []
+    for _ in range(n_bounces):
+        t, tri = intersect_diff(scene, rays.o, rays.d, cfg)
+        if collect_escaped:
+            miss = rays.alive & (tri < 0)
+            esc.append((rays.o, rays.d, jnp.where(miss, rays.power, 0.0)))
+        sh = shade(scene, rays, t, tri, cfg)
+        rays, _ = compact(sh, rays.capacity, cfg)
+    if collect_escaped:
+        eo, ed, ep = (jnp.concatenate([e[i] for e in esc]) for i in range(3))
+        return rays, (eo, ed, ep)
+    return rays
+
+
+# --------------------------------------------------------------------------
+# Figures of merit
+# --------------------------------------------------------------------------
+
+def spot_rms_at_plane(o, d, power, z_plane, min_dz: float = 0.5,
+                      min_power: float = 0.0):
+    """Power-weighted RMS transverse spot radius of the forward-propagating
+    rays (o, d, power), continued to the plane z = z_plane (about their
+    weighted centroid). `min_dz` drops backward/grazing rays and
+    `min_power` drops multi-reflection ghosts (a double Fresnel bounce
+    carries ~0.16% of a ray's power but lands arbitrarily far off-axis —
+    left in, ghosts dominate the RMS of a well-corrected lens; excluding
+    them matches standard sequential merit functions). Differentiable;
+    both cutoffs are locally-constant masks."""
+    dz = d[:, 2]
+    w = jnp.where((dz > min_dz) & (power > min_power), power, 0.0)
+    t = (z_plane - o[:, 2]) / jnp.where(jnp.abs(dz) > 1e-6, dz, 1.0)
+    x = o[:, 0] + t * d[:, 0]
+    y = o[:, 1] + t * d[:, 1]
+    wsum = jnp.maximum(jnp.sum(w), _TINY)
+    xc = jnp.sum(w * x) / wsum
+    yc = jnp.sum(w * y) / wsum
+    r2 = (x - xc) ** 2 + (y - yc) ** 2
+    return jnp.sqrt(jnp.sum(w * r2) / wsum)
+
+
+# --------------------------------------------------------------------------
+# Differentiable parametric meshers
+# --------------------------------------------------------------------------
+
+def sag(c, r2):
+    """Spherical sag z(r) = c r^2 / (1 + sqrt(1 - c^2 r^2)) as a function
+    of curvature c = 1/R and r^2. Smooth through c = 0 (flat) and
+    differentiable in c; the root is clamped so |c| r slightly past 1
+    (rim beyond the hemisphere) degrades gracefully instead of NaN-ing
+    the whole gradient."""
+    c = jnp.asarray(c, jnp.float32)
+    root = jnp.sqrt(jnp.maximum(1.0 - c * c * r2, 1e-4))
+    return c * r2 / (1.0 + root)
+
+
+def singlet_triangles(c1, c2, thickness, aperture_radius,
+                      n_seg: int = 48, n_rad: int = 12):
+    """Differentiable triangle soup (T, 3, 3) of a rotationally symmetric
+    singlet lens: front spherical surface (curvature c1, vertex at z = 0),
+    back surface (curvature c2, vertex at z = thickness), cylindrical edge
+    wall at r = aperture_radius. Sign convention: c > 0 bulges toward -z
+    (standard: biconvex is c1 > 0, c2 < 0; rays travel +z). Outward
+    winding matches geometry/primitives.py (front normals -z-ish, back
+    +z-ish, wall radial) so the engine's entering/exiting logic sees the
+    same orientation as the numpy factory's lenses.
+
+    The inner ring (r = 0) generates one degenerate triangle per quad —
+    zero area, guarded in unit_transform_rows, never hit; keeping the
+    uniform quad grid keeps every shape static for jit.
+    """
+    thickness = jnp.asarray(thickness, jnp.float32)
+    a = jnp.asarray(aperture_radius, jnp.float32)
+    th = 2.0 * np.pi * jnp.arange(n_seg + 1) / n_seg   # (S+1,) wraps
+    r = a * jnp.arange(n_rad + 1) / n_rad              # (K+1,)
+    cth, sth = jnp.cos(th), jnp.sin(th)
+
+    # surface point grids (K+1, S+1, 3)
+    def grid(zfun):
+        x = r[:, None] * cth[None, :]
+        y = r[:, None] * sth[None, :]
+        z = jnp.broadcast_to(zfun(r * r)[:, None], x.shape)
+        return jnp.stack([x, y, z], axis=-1)
+
+    F = grid(lambda r2: sag(c1, r2))
+    B = grid(lambda r2: thickness + sag(c2, r2))
+
+    def quads(P, order):
+        """Triangulate the (K, S) quad grid of P with the given corner
+        order; corners: A=(k,j) Bc=(k+1,j) Cc=(k+1,j+1) D=(k,j+1)."""
+        A = P[:-1, :-1].reshape(-1, 3)
+        Bc = P[1:, :-1].reshape(-1, 3)
+        Cc = P[1:, 1:].reshape(-1, 3)
+        D = P[:-1, 1:].reshape(-1, 3)
+        corners = {"A": A, "B": Bc, "C": Cc, "D": D}
+        tris = [jnp.stack([corners[i] for i in o], axis=1) for o in order]
+        return jnp.concatenate(tris)
+
+    # front cap: outward normal toward -z  -> (A,D,B), (D,C,B)
+    front = quads(F, [("A", "D", "B"), ("D", "C", "B")])
+    # back cap: outward normal toward +z  -> (A,B,D), (D,B,C)
+    back = quads(B, [("A", "B", "D"), ("D", "B", "C")])
+    # wall: outward radial; rim rings at k = K of both grids
+    W0 = F[-1, :-1]
+    W1 = F[-1, 1:]
+    W2 = B[-1, 1:]
+    W3 = B[-1, :-1]
+    wall = jnp.concatenate([
+        jnp.stack([W0, W1, W2], axis=1),
+        jnp.stack([W0, W2, W3], axis=1),
+    ])
+    return jnp.concatenate([front, back, wall])
+
+
+def singlet_scene(c1, c2, thickness, aperture_radius, ior,
+                  n_seg: int = 48, n_rad: int = 12,
+                  pad_to: int = 256) -> Scene:
+    """Scene of one refractive singlet, differentiable w.r.t. c1, c2,
+    thickness, aperture_radius. Rays that miss the lens escape (accounted
+    by shade); pair with spot_rms_at_plane for a design loss."""
+    tv = singlet_triangles(c1, c2, thickness, aperture_radius,
+                           n_seg=n_seg, n_rad=n_rad)
+    return scene_from_triangles(
+        tv, mat=int(Material.REFRACTIVE), ior=ior, pad_to=pad_to)
+
+
+def collimated_bundle(n_rays: int, beam_radius, z_start: float = -1.0,
+                      power: float = 1.0) -> RayBatch:
+    """Deterministic +z collimated ray bundle on concentric rings
+    (hexapolar-style), for design losses: no sampling noise between
+    optimizer steps. Capacity is 4x n_rays to absorb Fresnel-split
+    children during trace_diff."""
+    n_rings = max(int(np.sqrt(n_rays / 3.0)), 1)
+    rs, phis = [0.0], [0.0]
+    placed = 1
+    for k in range(1, n_rings + 1):
+        m = 6 * k
+        rr = k / n_rings
+        ang = 2.0 * np.pi * (np.arange(m) + 0.5 * (k % 2)) / m
+        rs.extend([rr] * m)
+        phis.extend(ang.tolist())
+        placed += m
+        if placed >= n_rays:
+            break
+    rs = np.asarray(rs[:max(n_rays, 1)])
+    phis = np.asarray(phis[:max(n_rays, 1)])
+    n = len(rs)
+    r = jnp.asarray(rs, jnp.float32) * beam_radius
+    o = jnp.stack([r * jnp.cos(jnp.asarray(phis, jnp.float32)),
+                   r * jnp.sin(jnp.asarray(phis, jnp.float32)),
+                   jnp.full((n,), z_start, jnp.float32)], axis=1)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (n, 1))
+    p = jnp.full((n,), power / n, jnp.float32)
+    return RayBatch.from_arrays(o, d, p, capacity=4 * n)
+
+
+def make_spot_loss(*, ior: float, thickness: float, aperture_radius: float,
+                   n_rays: int = 300, beam_fill: float = 0.8,
+                   n_seg: int = 48, n_rad: int = 12, n_bounces: int = 4,
+                   cfg: TraceConfig | None = None):
+    """Loss factory: (c1, c2, z_plane) -> RMS spot radius at z = z_plane
+    for a collimated on-axis beam through the singlet. All three arguments
+    are differentiable (z_plane too, so focus position can be co-optimized
+    or solved for). jit'd once; feed to jax.value_and_grad / optax. The
+    ray bundle is deterministic, so the loss is a smooth(ish) pure
+    function of the prescription. The figure of merit is evaluated on the
+    ESCAPED forward-propagating rays (the beam after it leaves the lens;
+    min_dz filters backward Fresnel ghosts), so n_bounces must be >= 3:
+    enter + exit + the escape-detection pass."""
+    cfg = cfg or TraceConfig(backend="jnp", has_gratings=False,
+                             has_coatings=False)
+    rays0 = collimated_bundle(n_rays, beam_fill * aperture_radius)
+
+    per_ray = float(jnp.max(rays0.power))
+
+    def loss(c1, c2, z_plane):
+        scene = singlet_scene(c1, c2, thickness, aperture_radius, ior,
+                              n_seg=n_seg, n_rad=n_rad)
+        _, (eo, ed, ep) = trace_diff(scene, rays0, cfg, n_bounces,
+                                     collect_escaped=True)
+        # main sequential beam only: a ray that lost > 75% of its source
+        # power to Fresnel reflections is a ghost, not the image
+        return spot_rms_at_plane(eo, ed, ep, z_plane,
+                                 min_power=0.25 * per_ray)
+
+    return jax.jit(loss)

@@ -59,7 +59,13 @@ def refract_full(d, n, eta):
     cos_i = -dot(d, n)  # >= 0 since n faces the ray
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    # double-where, not sqrt(max(x, 0)): sqrt'(0) = inf, and reverse-mode
+    # multiplies it by the (zero) cotangent of masked TIR/garbage lanes —
+    # 0 * inf = nan poisons every gradient (lightpycl_tpu.diff). Forward
+    # value is identical.
+    pos = 1.0 - sin2_t
+    cos_t = jnp.where(pos > 0.0, jnp.sqrt(jnp.where(pos > 0.0, pos, 1.0)),
+                      0.0)
     t = eta[..., None] * d + (eta * cos_i - cos_t)[..., None] * n
     return normalize(t), tir, jnp.where(tir, 0.0, cos_t)
 
