@@ -301,6 +301,100 @@ def geometric_mtf(xy, powers=None, freqs=None, axis=0):
     return freqs, mtf
 
 
+def pupil_grid(pupil_xy, opd, powers=None, n_grid: int = 64, radius=None):
+    """Bin traced rays onto a uniform pupil grid: per-cell amplitude
+    A = sqrt(power) and mean OPD. Returns (A (G, G), opd_mean (G, G),
+    cell pitch, radius); empty cells have A = 0. The sampling step from
+    per-ray data to the physical-optics pupil function."""
+    xy = np.asarray(pupil_xy, np.float64)
+    opd = np.asarray(opd, np.float64)
+    p = np.ones(len(xy)) if powers is None else np.asarray(powers, np.float64)
+    r = np.linalg.norm(xy, axis=1)
+    if radius is None:
+        radius = float(r.max()) or 1.0
+    pitch = 2.0 * radius / n_grid
+    ix = np.clip(((xy[:, 0] + radius) / pitch).astype(int), 0, n_grid - 1)
+    iy = np.clip(((xy[:, 1] + radius) / pitch).astype(int), 0, n_grid - 1)
+    flat = ix * n_grid + iy
+    psum = np.bincount(flat, weights=p, minlength=n_grid * n_grid)
+    osum = np.bincount(flat, weights=p * opd, minlength=n_grid * n_grid)
+    A = np.sqrt(psum).reshape(n_grid, n_grid)
+    om = np.divide(osum, psum, out=np.zeros_like(osum),
+                   where=psum > 0).reshape(n_grid, n_grid)
+    return A, om, pitch, radius
+
+
+def diffraction_psf(pupil_xy, opd, wavelength, powers=None, n_grid: int = 64,
+                    pad: int = 4, focal_length=None, radius=None):
+    """Physical-optics point-spread function from traced wavefront data
+    (Fraunhofer/Fourier optics): the pupil function P = A exp(-2 pi i
+    OPD / lambda) — amplitude from ray power, phase from the traced OPD
+    (e.g. opd_on_reference_sphere) — is FFT'd to the image plane.
+    Complements geometric_mtf/spot_diagram where blur is NEAR the
+    diffraction limit and ray density alone misleads. Extension: the
+    reference has no wavefront or diffraction analysis.
+
+    All lengths share units (this package: um for wavelength, so pass
+    pupil/focal lengths in um for physical image coordinates).
+
+    Returns dict:
+      psf (N, N)      intensity, peak-normalized to the DIFFRACTION-
+                      LIMITED peak of the same amplitude (so
+                      psf.max() == strehl)
+      strehl          |sum A e^{i phi}|^2 / (sum A)^2 — exact pupil-sum
+                      Strehl ratio at the reference focus
+      x (N,)          image-plane coordinate axis (needs focal_length;
+                      angular units of lambda/D otherwise)
+      cutoff_freq     D / (lambda f) when focal_length is given
+    """
+    A, om, pitch, radius = pupil_grid(pupil_xy, opd, powers, n_grid, radius)
+    wavelength = float(wavelength)
+    phase = np.exp(-2j * np.pi * om / wavelength)
+    P = A * phase
+    N = pad * n_grid
+    field = np.fft.fftshift(np.fft.fft2(P, s=(N, N)))
+    psf = np.abs(field) ** 2
+    ideal_peak = float(A.sum()) ** 2
+    psf /= max(ideal_peak, 1e-300)
+    strehl = float(np.abs(P.sum()) ** 2 / max(ideal_peak, 1e-300))
+    # image-plane pitch: dx = lambda f / (N * pupil_pitch)
+    if focal_length is not None:
+        dx = wavelength * float(focal_length) / (N * pitch)
+        cutoff = 2.0 * radius / (wavelength * float(focal_length))
+    else:
+        dx = wavelength / (N * pitch)      # angular [rad] per pixel
+        cutoff = 2.0 * radius / wavelength
+    x = (np.arange(N) - N // 2) * dx
+    return {"psf": psf, "strehl": strehl, "x": x, "pixel": dx,
+            "cutoff_freq": cutoff, "radius": radius}
+
+
+def diffraction_mtf(pupil_xy, opd, wavelength, powers=None, n_grid: int = 64,
+                    pad: int = 4, focal_length=None, radius=None,
+                    n_freq: int = 48):
+    """Radially-averaged diffraction MTF |OTF| from the traced wavefront:
+    the PSF's Fourier modulus, normalized to OTF(0) = 1. For a perfect
+    circular pupil this is the classic (2/pi)(acos v - v sqrt(1-v^2))
+    curve, reaching zero at the cutoff D/(lambda f). Returns (freqs, mtf)
+    with freqs in cycles per length unit when focal_length is given
+    (cycles per radian otherwise)."""
+    out = diffraction_psf(pupil_xy, opd, wavelength, powers, n_grid, pad,
+                          focal_length, radius)
+    psf = out["psf"]
+    N = psf.shape[0]
+    otf = np.abs(np.fft.fftshift(np.fft.fft2(np.fft.ifftshift(psf))))
+    otf /= max(otf[N // 2, N // 2], 1e-300)
+    df = 1.0 / (N * out["pixel"])
+    fx = (np.arange(N) - N // 2) * df
+    FX, FY = np.meshgrid(fx, fx, indexing="ij")
+    fr = np.hypot(FX, FY)
+    freqs = np.linspace(0.0, out["cutoff_freq"], n_freq)
+    half = 0.5 * (freqs[1] - freqs[0]) if n_freq > 1 else df
+    mtf = np.array([otf[np.abs(fr - f) <= max(half, df)].mean()
+                    for f in freqs])
+    return freqs, mtf
+
+
 def encircled_energy(positions, powers, center=None, radii=None,
                      plane_normal=(0, 0, 1)):
     """Fraction of total power within transverse radius r of `center`
