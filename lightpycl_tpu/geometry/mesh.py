@@ -69,6 +69,11 @@ class GeoObject:
     grating_period: float = 0.0  # groove period [um] (same units as
     #   wavelength); GRATING elements require > 0
     grating_order: int = 1     # fixed diffraction order m
+    order0_fraction: float = 0.0  # fraction of the reflected power leaking
+    #   into the SPECULAR (0th) order instead of order m — real gratings
+    #   are never 100% efficient; 0 = all light into order m (the original
+    #   single-order model). Both children are traced (order m at slot i,
+    #   0th at slot C+i)
     coat_ior: float = 0.0      # single-layer thin-film coating index
     coat_thickness: float = 0.0  # coating thickness [um]; 0 = uncoated.
     #   REFRACTIVE elements only: replaces the bare Fresnel split with the
@@ -125,6 +130,8 @@ class GeoObject:
                         raise ValueError("coating layer index must be > 0")
                     clean.append((n_l, h_l))
             self.coating = clean or None
+        if not 0.0 <= self.order0_fraction <= 1.0:
+            raise ValueError("order0_fraction must be in [0, 1]")
         if self.material == Material.GRATING:
             if self.grating_period <= 0:
                 raise ValueError(
@@ -207,6 +214,7 @@ class GeoObject:
             self.retardance,
             self.grating_period,
             self.grating_order,
+            self.order0_fraction,
             self.coat_ior,
             self.coat_thickness,
             None if self.coating is None else list(self.coating),
@@ -311,6 +319,7 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         retardance=objs[0].retardance,
         grating_period=objs[0].grating_period,
         grating_order=objs[0].grating_order,
+        order0_fraction=objs[0].order0_fraction,
         coat_ior=objs[0].coat_ior,
         coat_thickness=objs[0].coat_thickness,
         coating=(None if objs[0].coating is None else list(objs[0].coating)),

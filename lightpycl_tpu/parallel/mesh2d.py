@@ -109,6 +109,7 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 "axis": jax.lax.psum(a["axis"] * mf[:, None], TRI_AXIS),
                 "retardance": jax.lax.psum(a["retardance"] * mf, TRI_AXIS),
                 "grating_mlp": jax.lax.psum(a["grating_mlp"] * mf, TRI_AXIS),
+                "grating_g0": jax.lax.psum(a["grating_g0"] * mf, TRI_AXIS),
                 "coat_ior": jax.lax.psum(a["coat_ior"] * mf[:, None],
                                          TRI_AXIS),
                 "coat_thickness": jax.lax.psum(

@@ -110,8 +110,12 @@ class Tracer:
         self.scene, self.detector_names = build_scene(
             self.elements, spatial_sort=spatial_sort)
         self._scene_sorted = spatial_sort
+        # "needs the 2C split buffer": dielectric/beamsplitter splits, and
+        # gratings whose specular 0th-order leak rides the second slot
         self._has_refractive = any(
             e.material in (Material.REFRACTIVE, Material.BEAMSPLITTER)
+            or (e.material == Material.GRATING
+                and getattr(e, "order0_fraction", 0.0) > 0.0)
             for e in self.elements
         )
         return self

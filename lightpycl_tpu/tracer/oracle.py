@@ -118,7 +118,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     v0s, e1s, e2s, mats, iors, refls, dets = [], [], [], [], [], [], []
     iorbs = []
     absorbs = []
-    axes, mlps = [], []
+    axes, mlps, g0s = [], [], []
     coat_stacks = []
     det_names = []
     for el in elements:
@@ -148,6 +148,8 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         period = float(getattr(el, "grating_period", 0.0))
         mlps.append(np.full(t, (float(getattr(el, "grating_order", 1)) / period
                                 if period > 0 else 0.0)))
+        g0s.append(np.full(t, float(getattr(el, "order0_fraction", 0.0))
+                           if period > 0 else 0.0))
         coat_stacks.append((t, el.coating_layers()
                             if hasattr(el, "coating_layers") else []))
         if el.material == Material.MEASURE:
@@ -161,6 +163,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     tri_absorb = np.concatenate(absorbs)
     refl = np.concatenate(refls); det_id = np.concatenate(dets)
     g_axis = np.concatenate(axes); g_mlp = np.concatenate(mlps)
+    g_g0 = np.concatenate(g0s)
     L_coat = max((len(ls) for _, ls in coat_stacks), default=0) or 1
     coat_n = np.concatenate([
         np.tile([n for n, _ in ls] + [1.0] * (L_coat - len(ls)), (t, 1))
@@ -256,11 +259,22 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             dd = alpha2[:, None] * g + beta[:, None] * q + gamma[:, None] * n
             dd /= np.maximum(np.linalg.norm(dd, axis=1, keepdims=True), 1e-300)
             r = refl[ti[i]]
-            absorbed += (p[i] * np.where(prop, 1.0 - r, 1.0)).sum()
+            g0v = g_g0[ti[i]]
+            # (1 - r) always lost; an evanescent order m loses its
+            # (1 - g0) share too. Order m child (power r (1 - g0)) plus
+            # the specular 0th-order leak (power r g0) — matches the
+            # device path's dual-order model (tracer/step.py).
+            absorbed += (p[i] * (1.0 - r)).sum()
+            absorbed += (p[i] * r * (1.0 - g0v) * ~prop).sum()
             new_o.append(hp[i]); new_d.append(dd)
-            new_p.append(p[i] * np.where(prop, r, 0.0))
+            new_p.append(p[i] * np.where(prop, r * (1.0 - g0v), 0.0))
             new_ior.append(ior[i]); new_wl.append(wl[i]); new_ab.append(ab[i])
             new_opl.append(opl[i])
+            if (g0v > 0).any():
+                new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
+                new_p.append(p[i] * r * g0v)
+                new_ior.append(ior[i]); new_wl.append(wl[i])
+                new_ab.append(ab[i]); new_opl.append(opl[i])
 
         # beamsplitters: mirror-style reflected child (R) + straight-through
         # transmitted child (1 - R), no refraction or medium change

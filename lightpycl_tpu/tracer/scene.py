@@ -52,6 +52,8 @@ class Scene(NamedTuple):
     axis: jnp.ndarray          # (T_pad, 3) f32 polarizer/waveplate/grating axis
     retardance: jnp.ndarray    # (T_pad,) f32 waveplate retardance [rad]
     grating_mlp: jnp.ndarray   # (T_pad,) f32 m / period [1/um], 0 = no grating
+    grating_g0: jnp.ndarray    # (T_pad,) f32 fraction of reflected power
+    #   leaking into the specular 0th order (gratings only; 0 elsewhere)
     coat_ior: jnp.ndarray      # (T_pad, L) f32 coating-stack layer indices
     coat_thickness: jnp.ndarray  # (T_pad, L) f32 layer thicknesses [um];
     #   layer 0 outermost; rows padded with h=0 layers (exactly inert in
@@ -99,7 +101,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     tv_list, mat_list, ior_list, refl_list, det_list = [], [], [], [], []
     iorb_list = []
     absorb_list = []
-    axis_list, ret_list, gr_list = [], [], []
+    axis_list, ret_list, gr_list, g0_list = [], [], [], []
     coat_stacks = []  # (t, [(n, h), ...]) per element; widths equalized below
     detector_names: list[str] = []
     for obj in objects:
@@ -123,6 +125,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         mlp = (float(getattr(obj, "grating_order", 1)) / period
                if period > 0 else 0.0)
         gr_list.append(np.full(t, mlp, np.float64))
+        g0_list.append(np.full(t, float(getattr(obj, "order0_fraction", 0.0))
+                               if period > 0 else 0.0, np.float64))
         layers = (obj.coating_layers() if hasattr(obj, "coating_layers")
                   else [])
         coat_stacks.append((t, layers))
@@ -143,6 +147,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     axis_np = np.concatenate(axis_list)
     ret_np = np.concatenate(ret_list)
     gr_np = np.concatenate(gr_list)
+    g0_np = np.concatenate(g0_list)
     # coating stacks, width-equalized to the scene's deepest stack (h = 0
     # padding layers are exactly inert — physics.multilayer_rs_rp)
     L_coat = max((len(layers) for _, layers in coat_stacks), default=0) or 1
@@ -165,6 +170,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
                                       det_np[order])
         axis_np, ret_np = axis_np[order], ret_np[order]
         gr_np = gr_np[order]
+        g0_np = g0_np[order]
         cior_np, cth_np = cior_np[order], cth_np[order]
     T = len(tv)
     v0 = tv[:, 0]
@@ -211,6 +217,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         axis=jnp.asarray(_p(axis_np, fill=0.0), jnp.float32),
         retardance=jnp.asarray(_p(ret_np, fill=0.0), jnp.float32),
         grating_mlp=jnp.asarray(_p(gr_np, fill=0.0), jnp.float32),
+        grating_g0=jnp.asarray(_p(g0_np, fill=0.0), jnp.float32),
         coat_ior=jnp.asarray(_p(cior_np, fill=0.0), jnp.float32),
         coat_thickness=jnp.asarray(_p(cth_np, fill=0.0), jnp.float32),
     )

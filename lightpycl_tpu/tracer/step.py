@@ -235,7 +235,7 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
             scene.absorb[:, None]]
     if with_optics:
         cols += [scene.axis, scene.retardance[:, None],
-                 scene.grating_mlp[:, None]]
+                 scene.grating_mlp[:, None], scene.grating_g0[:, None]]
     if with_coatings:
         cols += [scene.coat_ior, scene.coat_thickness]  # (T, L) each
     g = jnp.concatenate(cols, axis=1)[safe_tri]
@@ -253,7 +253,8 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         out["axis"] = g[:, 9:12]
         out["retardance"] = g[:, 12]
         out["grating_mlp"] = g[:, 13]
-        k = 14
+        out["grating_g0"] = g[:, 14]
+        k = 15
     if with_coatings:
         L = scene.coat_ior.shape[1]
         out["coat_ior"] = g[:, k:k + L]
@@ -382,7 +383,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     # which reflects `reflectivity` of the power mirror-style), at slot i.
     # Polarizer/waveplate children also live in slot A, continuing straight
     # through (their power is set in the polarized branch below), as does
-    # the grating's diffracted child (`reflectivity` = efficiency).
+    # the grating's diffracted child (`reflectivity` = efficiency; its
+    # order-m share is (1 - order0_fraction), applied below — the specular
+    # 0th-order leak rides slot B like a beamsplitter's second arm).
     refl_like = is_mirror | is_bs
     if cfg.has_gratings:
         refl_like = refl_like | (is_gr & gr_prop)
@@ -457,10 +460,16 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         a_s1 = jnp.where(is_pol, 1.0, jnp.where(is_wp, e1f, a_s1))
         a_s2 = jnp.where(is_pol, 0.0, jnp.where(is_wp, w2, a_s2))
         a_s3 = jnp.where(is_pol, 0.0, jnp.where(is_wp, w3, a_s3))
-        # transmitted fractions: beamsplitter passes the rotated state
+        # transmitted fractions: beamsplitter passes the rotated state;
+        # the grating's slot-B child is the specular 0th order — mirror
+        # Mueller (rs = 1, rp = -1): s2/s3 flip
         b_s1 = jnp.where(is_bs, s1f, frac(t1, t0))
         b_s2 = jnp.where(is_bs, s2f, frac(t2, t0))
         b_s3 = jnp.where(is_bs, rays.s3, frac(t3, t0))
+        if cfg.has_gratings:
+            b_s1 = jnp.where(is_gr, s1f, b_s1)
+            b_s2 = jnp.where(is_gr, -s2f, b_s2)
+            b_s3 = jnp.where(is_gr, -rays.s3, b_s3)
         new_basis = jnp.where(is_optic[:, None], ax_perp,
                               jnp.where(hit_valid[:, None], s_dir,
                                         rays.basis))
@@ -482,6 +491,15 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
+    if cfg.has_gratings:
+        # order m keeps (1 - g0) of the diffracted-side power (slot A);
+        # the specular 0th-order leak g0 goes to slot B. Evanescent order
+        # m: slot A is already zero (refl_like excludes it) — only the
+        # 0th order propagates.
+        g0 = attrs["grating_g0"]
+        pa = jnp.where(is_gr, pa * (1.0 - g0), pa)
+        if cfg.polarization:
+            pb_pol = jnp.where(is_gr, live_p * refl * g0, pb_pol)
     policy_dropped = jnp.float32(0.0)
     if cfg.allow_splitting:
         # child B at slot C + i: refracted branch (dielectric) or the
@@ -492,24 +510,39 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         else:
             pb = jnp.where(is_refr, live_p * (1.0 - R_diel),
                            jnp.where(is_bs, live_p * (1.0 - refl), 0.0))
+            if cfg.has_gratings:
+                pb = jnp.where(is_gr, live_p * refl * attrs["grating_g0"],
+                               pb)
         db = jnp.where(is_bs[:, None], rays.d, sn["refr_dir"])
-        child_o = jnp.concatenate([hit_point, hit_point], axis=0)
-        child_d = jnp.concatenate([da, db], axis=0)
-        child_power = jnp.concatenate([pa, pb], axis=0)
         b_ior = jnp.where(is_bs, rays.ior, sn["new_ior"])
-        child_ior = jnp.concatenate([rays.ior, b_ior], axis=0)
-        child_wl = jnp.concatenate([rays.wavelength, rays.wavelength], axis=0)
         # refracted child changes medium: entering -> element's bulk
         # absorption, exiting -> ambient (0); beamsplitter stays in medium
         refr_absorb = jnp.where(is_bs, rays.absorb,
                                 jnp.where(sn["entering"], tri_absorb, 0.0))
+        if cfg.has_gratings:
+            # grating slot B: the specular 0th order — mirror direction,
+            # medium unchanged
+            db = jnp.where(is_gr[:, None], sn["refl_dir"], db)
+            b_ior = jnp.where(is_gr, rays.ior, b_ior)
+            refr_absorb = jnp.where(is_gr, rays.absorb, refr_absorb)
+        child_o = jnp.concatenate([hit_point, hit_point], axis=0)
+        child_d = jnp.concatenate([da, db], axis=0)
+        child_power = jnp.concatenate([pa, pb], axis=0)
+        child_ior = jnp.concatenate([rays.ior, b_ior], axis=0)
+        child_wl = jnp.concatenate([rays.wavelength, rays.wavelength], axis=0)
         child_ab = jnp.concatenate([rays.absorb, refr_absorb], axis=0)
         child_opl = jnp.concatenate([opl_new, opl_new], axis=0)
         if cfg.polarization:
             child_s1 = jnp.concatenate([a_s1, b_s1])
             child_s2 = jnp.concatenate([a_s2, b_s2])
             child_s3 = jnp.concatenate([a_s3, b_s3])
-            child_basis = jnp.concatenate([new_basis, new_basis], axis=0)
+            # slot B frame: the grating's specular child lives in the
+            # incidence frame (s_dir, perpendicular to the mirror
+            # direction), not the diffracted child's rebuilt frame
+            b_basis = new_basis
+            if cfg.has_gratings:
+                b_basis = jnp.where(is_gr[:, None], s_dir, b_basis)
+            child_basis = jnp.concatenate([new_basis, b_basis], axis=0)
         else:
             child_s1 = jnp.concatenate([rays.s1, rays.s1])
             child_s2 = jnp.concatenate([rays.s2, rays.s2])
@@ -535,6 +568,10 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             policy_dropped = jnp.sum(
                 jnp.where(is_refr, live_p * (1.0 - R_diel),
                           jnp.where(is_bs, live_p * (1.0 - refl), 0.0)))
+            if cfg.has_gratings:
+                policy_dropped = policy_dropped + jnp.sum(
+                    jnp.where(is_gr, live_p * refl * attrs["grating_g0"],
+                              0.0))
         if cfg.polarization:
             child_s1, child_s2, child_s3 = a_s1, a_s2, a_s3
             child_basis = new_basis
@@ -550,9 +587,16 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         absorbed = absorbed + jnp.sum(
             jnp.where(is_diff, live_p * (1.0 - refl), 0.0))
     if cfg.has_gratings:
+        # (1 - refl) always lost; an evanescent order m additionally loses
+        # its (1 - g0) share of the reflected power (the 0th-order leak
+        # propagates regardless)
         absorbed = absorbed + jnp.sum(
             jnp.where(is_gr,
-                      jnp.where(gr_prop, live_p * (1.0 - refl), live_p), 0.0))
+                      live_p * (1.0 - refl)
+                      + jnp.where(gr_prop, 0.0,
+                                  live_p * refl
+                                  * (1.0 - attrs["grating_g0"])),
+                      0.0))
     if cfg.polarization:
         absorbed = absorbed + pol_absorbed
     else:

@@ -25,12 +25,13 @@ def grating_el(period, order=1, reflectivity=1.0):
                         reflectivity=reflectivity)
 
 
-def one_step(els, d_in, wl, n=8, cfg=None):
+def one_step(els, d_in, wl, n=8, cfg=None, capacity=None):
     scene, _ = L.build_scene(els)
     cfg = cfg or TraceConfig(allow_splitting=False)
     rays = RayBatch.from_arrays(
         np.tile([0.0, 0.0, 2.0], (n, 1)), np.tile(d_in, (n, 1)),
-        np.full(n, 1.0 / n), wavelengths=np.full(n, wl))
+        np.full(n, 1.0 / n), wavelengths=np.full(n, wl),
+        capacity=capacity)
     det = DetectorState.zeros(4, 4, 1)
     led = Ledger.start(1.0)
     return trace_step(scene, rays, det, led, cfg)
@@ -110,6 +111,87 @@ class TestSpectrometer:
             assert sel.any()
             sin_th = pos[sel, 0] / np.linalg.norm(pos[sel], axis=1)
             np.testing.assert_allclose(sin_th, line / 1.2, atol=1e-4)
+        ora = trace_oracle(els, o, d, p, trace_iterations=3, wavelengths=wl)
+        assert res.ledger["measured"] == pytest.approx(ora["measured"],
+                                                       rel=1e-5)
+        assert res.power_conservation_error() < 1e-5
+
+
+class TestDualOrder:
+    """order0_fraction > 0: the specular (0th) leak is traced as a second
+    child alongside order m — real gratings are never 100% efficient."""
+
+    def test_power_split_between_orders(self):
+        wl, period = 0.5, 1.0
+        el = grating_el(period, reflectivity=0.8)
+        el.order0_fraction = 0.3
+        r, det, led, _ = one_step([el], [0, 0, -1.0], wl,
+                                  cfg=TraceConfig(), capacity=32)
+        alive = np.asarray(r.alive)
+        d = np.asarray(r.d)[alive]
+        p = np.asarray(r.power)[alive]
+        s = wl / period
+        m_order = np.isclose(d[:, 0], s, atol=1e-6)
+        zeroth = np.isclose(d[:, 0], 0.0, atol=1e-6) & (d[:, 2] > 0.99)
+        assert m_order.sum() and zeroth.sum()
+        assert p[m_order].sum() == pytest.approx(0.8 * 0.7, abs=1e-6)
+        assert p[zeroth].sum() == pytest.approx(0.8 * 0.3, abs=1e-6)
+        assert float(led.absorbed) == pytest.approx(0.2, abs=1e-6)
+
+    def test_g0_zero_is_single_order(self):
+        wl, period = 0.5, 1.0
+        r, _, led, _ = one_step([grating_el(period)], [0, 0, -1.0], wl,
+                                cfg=TraceConfig())
+        alive = np.asarray(r.alive)
+        d = np.asarray(r.d)[alive]
+        np.testing.assert_allclose(d[:, 0], wl / period, atol=1e-6)
+        assert np.asarray(r.power)[alive].sum() == pytest.approx(1.0, 1e-6)
+
+    def test_evanescent_order_keeps_zeroth(self):
+        # lambda > period: order m evanescent (its share absorbed), the
+        # specular leak still propagates
+        el = grating_el(0.4)
+        el.order0_fraction = 0.3
+        r, _, led, _ = one_step([el], [0, 0, -1.0], 0.6, cfg=TraceConfig(),
+                                capacity=32)
+        alive = np.asarray(r.alive)
+        d = np.asarray(r.d)[alive]
+        p = np.asarray(r.power)[alive]
+        assert np.all(d[:, 2] > 0.99)
+        assert p.sum() == pytest.approx(0.3, abs=1e-6)
+        assert float(led.absorbed) == pytest.approx(0.7, abs=1e-6)
+
+    def test_no_split_mode_accounts_dropped_leak(self):
+        el = grating_el(1.0)
+        el.order0_fraction = 0.25
+        r, _, led, _ = one_step([el], [0, 0, -1.0], 0.5,
+                                cfg=TraceConfig(allow_splitting=False))
+        alive = np.asarray(r.alive)
+        assert np.asarray(r.power)[alive].sum() == pytest.approx(0.75, 1e-5)
+        # the dropped 0th order lands in 'culled' so the ledger balances
+        assert float(led.culled) == pytest.approx(0.25, abs=1e-6)
+
+    def test_engine_trace_and_oracle_parity(self):
+        el = grating_el(1.2, reflectivity=0.9)
+        el.order0_fraction = 0.25
+        els = [el, oe.sphere(radius=5.0, material="measure", name="dome")]
+        n = 200
+        o = np.tile([0.0, 0.0, 2.0], (n, 1))
+        d = np.tile([0.0, 0.0, -1.0], (n, 1))
+        p = np.full(n, 1.0 / n)
+        wl = np.full(n, 0.6)
+        res = Tracer(TraceConfig()).trace(
+            None, els, trace_iterations=3,
+            rays=RayBatch.from_arrays(o, d, p, wavelengths=wl,
+                                      capacity=4 * n))
+        # two spots: order 1 at sin = wl/period, 0th order straight back up
+        pos = res.measured_pos
+        sin_th = pos[:, 0] / np.linalg.norm(pos, axis=1)
+        pw = res.measured_power
+        first = np.isclose(sin_th, 0.6 / 1.2, atol=1e-3)
+        zeroth = np.abs(sin_th) < 1e-3
+        assert pw[first].sum() == pytest.approx(0.9 * 0.75, abs=1e-4)
+        assert pw[zeroth].sum() == pytest.approx(0.9 * 0.25, abs=1e-4)
         ora = trace_oracle(els, o, d, p, trace_iterations=3, wavelengths=wl)
         assert res.ledger["measured"] == pytest.approx(ora["measured"],
                                                        rel=1e-5)
