@@ -127,3 +127,41 @@ def test_engine_mesh2d_requires_mesh():
     with pytest.raises(ValueError, match="mesh2d"):
         Tracer(TraceConfig()).trace(src, els, trace_iterations=2,
                                     mode="mesh2d")
+
+
+def test_mesh2d_dual_order_grating_matches_single_device():
+    """Gratings under the 2-D decomposition: the winner-contributes psum
+    must carry grating_mlp AND grating_g0 so the dual-order split
+    reproduces the single-device trace exactly."""
+    gr = oe.rectangle(4.0, 4.0, material="grating", axis=(1, 0, 0),
+                      grating_period=1.2, grating_order=1,
+                      reflectivity=0.9)
+    gr.order0_fraction = 0.25
+    els = [gr, oe.sphere(radius=5.0, material="measure", name="dome")]
+    n = 512
+    o = np.tile([0.0, 0.0, 2.0], (n, 1))
+    d = np.tile([0.0, 0.0, -1.0], (n, 1))
+    p = np.full(n, 1.0 / n)
+    cfg = TraceConfig(hist_azimuth_bins=16, hist_polar_bins=8)
+
+    # capacity 8n: from_arrays front-packs the n live rays, so on a
+    # 4-way RAY axis they ALL land in shard 0; after the dual-order split
+    # that shard needs 2n child slots of its own (global capacity 8n).
+    # Anything smaller top-k-culls the weaker 0th-order children there —
+    # exactly accounted in 'culled', but then the runs legitimately
+    # differ.
+    res1 = Tracer(cfg).trace(
+        None, els, trace_iterations=3, mode="device",
+        rays=RayBatch.from_arrays(o, d, p, wavelengths=0.6,
+                                  capacity=8 * n))
+
+    scene, _ = L.build_scene(els)
+    mesh = make_mesh2d(2, 4)
+    rays2 = RayBatch.from_arrays(o, d, p, wavelengths=0.6, capacity=8 * n)
+    scene_sh, rays_sh = place(scene, rays2, mesh)
+    _, det, led = trace_mesh2d(scene_sh, rays_sh, cfg, 3, mesh)
+
+    for k in ("measured", "absorbed", "escaped", "culled"):
+        assert float(getattr(led, k)) == pytest.approx(
+            res1.ledger[k], rel=1e-5, abs=1e-6), k
+    assert np.allclose(np.asarray(det.hist), res1.hist, atol=1e-5)
