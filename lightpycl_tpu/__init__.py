@@ -25,7 +25,7 @@ from lightpycl_tpu.materials import Material, glass
 from lightpycl_tpu.geometry.mesh import (GeoObject, instance_grid, instances,
                                          merge)
 from lightpycl_tpu.geometry.primitives import OpticalElements, optical_elements
-from lightpycl_tpu.sources import LightSource, light_source
+from lightpycl_tpu.sources import AreaSource, LightSource, light_source
 from lightpycl_tpu.tracer.config import TraceConfig
 from lightpycl_tpu.tracer.scene import Scene, build_scene
 from lightpycl_tpu.tracer.rays import RayBatch
@@ -43,6 +43,7 @@ __all__ = [
     "instance_grid",
     "OpticalElements",
     "optical_elements",
+    "AreaSource",
     "LightSource",
     "light_source",
     "TraceConfig",

@@ -291,6 +291,105 @@ class CollimatedSource:
         return origins.astype(jnp.float32), dirs, powers
 
 
+@dataclasses.dataclass
+class AreaSource:
+    """Extended (surface) emitter: a disc or rectangle radiating from every
+    surface point — LED dies, diffuser exit ports, integrating-sphere
+    ports, illumination sources. Extension over the reference (point +
+    collimated sources only, SURVEY.md §3 'light_source').
+
+    emission='lambertian': uniform radiance, emitted intensity
+    proportional to cos(theta) — sampled cosine-weighted with EQUAL ray
+    powers (the profile is encoded in the direction density, so detector
+    statistics stay low-variance). emission='isotropic': uniform over the
+    forward hemisphere.
+
+    Geometry: a disc of `radius` in the plane through `center`
+    perpendicular to `direction`, or a `width=(wx, wy)` rectangle in the
+    same plane (axes = the frame's u, v).
+    """
+
+    center: tuple = (0.0, 0.0, 0.0)
+    direction: tuple = (0.0, 0.0, 1.0)
+    radius: float = 0.5
+    width: object = None        # (wx, wy) rectangle instead of the disc
+    power: float = 1.0
+    ray_count: int = 1000
+    seed: int = 0
+    wavelength: object = D_LINE_UM
+    stokes: object = None
+    emission: str = "lambertian"   # or 'isotropic'
+
+    def _directions_local(self, u1, u2, xp):
+        phi = 2.0 * xp.pi * u2
+        if self.emission == "lambertian":
+            z = xp.sqrt(u1)                # pdf(z) = 2 z  ->  I ~ cos(theta)
+        elif self.emission == "isotropic":
+            z = u1
+        else:
+            raise ValueError(f"unknown emission {self.emission!r}")
+        s = xp.sqrt(xp.maximum(0.0, 1.0 - z * z))
+        return s * xp.cos(phi), s * xp.sin(phi), z
+
+    def sample(self, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(self.seed)
+        n = self.ray_count
+        F = _frame(self.direction)
+        u, v, w = F
+        if self.width is not None:
+            wx, wy = self.width
+            a = rng.uniform(-0.5 * wx, 0.5 * wx, n)
+            b = rng.uniform(-0.5 * wy, 0.5 * wy, n)
+        else:
+            r = self.radius * np.sqrt(rng.uniform(0.0, 1.0, n))
+            phi = rng.uniform(0.0, 2.0 * np.pi, n)
+            a, b = r * np.cos(phi), r * np.sin(phi)
+        origins = (np.asarray(self.center, np.float64)
+                   + a[:, None] * u + b[:, None] * v)
+        dx, dy, dz = self._directions_local(
+            rng.uniform(0.0, 1.0, n), rng.uniform(0.0, 1.0, n), np)
+        dirs = dx[:, None] * u + dy[:, None] * v + dz[:, None] * w
+        powers = np.full(n, self.power / n)
+        return origins, dirs, powers
+
+    def sample_wavelengths(self, rng: Optional[np.random.Generator] = None,
+                           n: Optional[int] = None):
+        rng = rng or np.random.default_rng(self.seed + 1)
+        return _sample_wavelengths_np(rng, int(n or self.ray_count),
+                                      self.wavelength)
+
+    def wavelengths_on_device(self, key: jax.Array, n: Optional[int] = None):
+        return _sample_wavelengths_dev(key, int(n or self.ray_count),
+                                       self.wavelength)
+
+    def rays_on_device(self, key: jax.Array, n: Optional[int] = None):
+        n = int(n or self.ray_count)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        F = jnp.asarray(_frame(self.direction), jnp.float32)
+        u, v, w = F[0], F[1], F[2]
+        if self.width is not None:
+            wx, wy = self.width
+            a = jax.random.uniform(k1, (n,), minval=-0.5 * wx,
+                                   maxval=0.5 * wx)
+            b = jax.random.uniform(k2, (n,), minval=-0.5 * wy,
+                                   maxval=0.5 * wy)
+        else:
+            r = self.radius * jnp.sqrt(jax.random.uniform(k1, (n,)))
+            phi = jax.random.uniform(k2, (n,), minval=0.0,
+                                     maxval=2.0 * jnp.pi)
+            a, b = r * jnp.cos(phi), r * jnp.sin(phi)
+        origins = (jnp.asarray(self.center, jnp.float32)
+                   + a[:, None] * u + b[:, None] * v)
+        # elementwise frame combination, not a matmul (TPU bf16 truncation
+        # — CLAUDE.md precision rule)
+        dx, dy, dz = self._directions_local(
+            jax.random.uniform(k3, (n,)), jax.random.uniform(k4, (n,)), jnp)
+        dirs = dx[:, None] * u + dy[:, None] * v + dz[:, None] * w
+        powers = jnp.full((n,), self.power / n, jnp.float32)
+        return (origins.astype(jnp.float32), dirs.astype(jnp.float32),
+                powers)
+
+
 def light_source(center=(0, 0, 0), direction=(0, 0, 1), directivity=None,
                  power: float = 1.0, ray_count: int = 1000, **kw) -> LightSource:
     """Reference-shaped constructor (light_source.light_source, SURVEY.md §3)."""
