@@ -29,6 +29,7 @@ SMALL = {
     "example_coated_mla.py": {"RAY_COUNT": "20000"},
     "example_lens_design.py": {"OPT_STEPS": "12"},
     "example_spectral_coating.py": {"RAY_COUNT": "2000", "N_WL": "16"},
+    "example_led_collimator.py": {"RAY_COUNT": "10000"},
     # sized for the CPU jnp fallback; on TPU bump via env before running
     "example_large_mesh.py": {"TOTAL_RAYS": "200000", "BATCH": "100000",
                               "MESH_SEGMENTS": "48",
