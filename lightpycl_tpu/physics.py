@@ -285,6 +285,110 @@ def thin_film_rs_rp(cos_i, n1, nf, n2, h, wl):
     return multilayer_rs_rp(cos_i, n1, [nf], [h], n2, wl)
 
 
+def multilayer_amplitudes(cos_i, n1, layers_n, layers_h, n_sub, wl):
+    """Polarized complex response of a lossless dielectric stack via the
+    characteristic-matrix method (Abeles/Macleod), complex64.
+
+    Returns (rs, rp, Ts, Tp, Xt):
+      rs, rp : complex reflection amplitudes in the VERDET sign convention
+               (matching fresnel_amplitudes; the admittance-form rp is
+               negated) — |r|^2 are the power reflectances, the relative
+               phase arg(rs) - arg(rp) carries film/TIR retardation;
+      Ts, Tp : real power transmittances, T = 4 eta_1 Re(eta_sub) /
+               |eta_1 B + C|^2 — EXACTLY 1 - |r|^2 for a lossless stack,
+               and exactly 0 under substrate TIR (Re(eta_sub) = 0);
+      Xt     : complex transmission cross term sqrt(Ts Tp)
+               e^{i (arg ts - arg tp)} for the Mueller s2/s3 block (the
+               E- vs H-field p-amplitude conventions differ only by real
+               positive factors, so the PHASE is convention-free).
+
+    h = 0 layers are exactly inert (M = I); an all-zero stack reduces to
+    the bare n1 -> n_sub polarized Fresnel interface, including the TIR
+    phase shift (anchored in tests against polarized_split).
+    """
+    one = jnp.complex64(1.0)
+    n1 = jnp.asarray(n1, jnp.float32)
+    n_sub = jnp.asarray(n_sub, jnp.float32)
+    wl = jnp.asarray(wl, jnp.float32)
+    ci = jnp.maximum(jnp.asarray(cos_i, jnp.float32), 1e-6)  # grazing guard
+    sin2 = jnp.maximum(0.0, 1.0 - ci * ci)
+    n1s2 = (n1 * n1) * sin2
+
+    def cos_in(n):
+        n = jnp.maximum(n, _TINY)
+        return jnp.sqrt(one - (n1s2 / (n * n)).astype(jnp.complex64))
+
+    def tilt(n, c, pol):
+        n = n.astype(jnp.complex64) if hasattr(n, "astype") else n * one
+        if pol == "s":
+            return n * c
+        return n / jnp.where(jnp.abs(c) > _TINY, c, one)
+
+    cs = cos_in(n_sub)
+    layers = [(jnp.asarray(n, jnp.float32), jnp.asarray(h, jnp.float32))
+              for n, h in zip(layers_n, layers_h)]
+
+    def one_pol(pol):
+        e1 = tilt(n1, ci.astype(jnp.complex64), pol)
+        em = tilt(n_sub, cs, pol)
+        B = jnp.ones_like(em)
+        C = em
+        for nk, hk in reversed(layers):
+            ck = cos_in(nk)
+            ek = tilt(nk, ck, pol)
+            d = (2.0 * jnp.pi * nk * hk / jnp.maximum(wl, _TINY)
+                 ).astype(jnp.complex64) * ck
+            cd, sd = jnp.cos(d), jnp.sin(d)
+            ek_safe = jnp.where(jnp.abs(ek) > _TINY, ek, one)
+            B, C = cd * B + 1j * sd / ek_safe * C, 1j * ek * sd * B + cd * C
+        den = e1 * B + C
+        den = jnp.where(jnp.abs(den) > _TINY, den, one)
+        r = (e1 * B - C) / den
+        T = (4.0 * jnp.real(e1) * jnp.real(em)
+             / jnp.maximum(jnp.abs(den) ** 2, 1e-30))
+        return r, jnp.clip(T, 0.0, 1.0), den
+
+    rs, Ts, den_s = one_pol("s")
+    rp_adm, Tp, den_p = one_pol("p")
+    rp = -rp_adm           # admittance -> Verdet sign convention
+    # ts ~ 1/den_s, tp ~ 1/den_p with real positive prefactors
+    # ts ~ 1/den_s, tp ~ 1/den_p: arg(tp) - arg(ts) = arg(den_s) - arg(den_p)
+    dphi = jnp.angle(den_s) - jnp.angle(den_p)
+    Xt = jnp.sqrt(jnp.maximum(Ts * Tp, 0.0)) * jnp.exp(
+        1j * dphi.astype(jnp.complex64))
+    return rs, rp, Ts, Tp, Xt
+
+
+def polarized_film_split(s0, s1, s2, s3, cos_i, n1, layers_n, layers_h,
+                         n_sub, wl):
+    """Mueller split of a Stokes vector at a COATED dielectric interface
+    (incidence-frame (s, p) basis, same contract as polarized_split).
+
+    The complex cross terms X_r = conj(rs) rp and X_t unify the bare
+    interface's real cross products AND retardation (film or TIR): with
+    |rs| = |rp| = 1 and delta = arg(rp) - arg(rs) this reduces exactly to
+    polarized_split's TIR rotation block. Energy: r0 + t0 == s0 (lossless
+    stack unitarity, float-exact to ~1e-6).
+    """
+    rs, rp, Ts, Tp, Xt = multilayer_amplitudes(
+        cos_i, n1, layers_n, layers_h, n_sub, wl)
+    Rs = jnp.abs(rs) ** 2
+    Rp = jnp.abs(rp) ** 2
+    # cross term in the package's Stokes sign convention (fixed by
+    # polarized_split's TIR block / the Fresnel-rhomb tests): conj(rs) rp,
+    # NOT rs conj(rp) — the two differ by the retardation SENSE
+    Xr = jnp.conj(rs) * rp
+    r0 = 0.5 * (Rs + Rp) * s0 + 0.5 * (Rs - Rp) * s1
+    r1 = 0.5 * (Rs - Rp) * s0 + 0.5 * (Rs + Rp) * s1
+    r2 = jnp.real(Xr) * s2 - jnp.imag(Xr) * s3
+    r3 = jnp.imag(Xr) * s2 + jnp.real(Xr) * s3
+    t0 = 0.5 * (Ts + Tp) * s0 + 0.5 * (Ts - Tp) * s1
+    t1 = 0.5 * (Ts - Tp) * s0 + 0.5 * (Ts + Tp) * s1
+    t2 = jnp.real(Xt) * s2 - jnp.imag(Xt) * s3
+    t3 = jnp.imag(Xt) * s2 + jnp.real(Xt) * s3
+    return (r0, r1, r2, r3), (t0, t1, t2, t3)
+
+
 def thin_film_reflectance(cos_i, n1, nf, n2, h, wl):
     """Unpolarized power reflectance R = (|rs|^2 + |rp|^2) / 2 of a single
     lossless film (see multilayer_rs_rp). Clipped to [0, 1]."""

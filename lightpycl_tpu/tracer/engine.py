@@ -237,14 +237,11 @@ class Tracer:
         has_gr = any(e.material == Material.GRATING for e in self.elements)
         if cfg.has_gratings != has_gr:
             cfg = cfg.replace(has_gratings=has_gr)
-        # same gating for the thin-film branch; coatings are implemented in
-        # the unpolarized scalar model only
+        # same gating for the thin-film branch (scalar Airy recursion in
+        # the unpolarized model; full characteristic-matrix Mueller split
+        # — physics.polarized_film_split — under polarization=True)
         has_coat = any(e.coating_layers() for e in self.elements
                        if hasattr(e, "coating_layers"))
-        if has_coat and cfg.polarization:
-            raise ValueError(
-                "thin-film coatings are supported in the unpolarized model "
-                "only; drop polarization=True or remove the coatings")
         if cfg.has_coatings != has_coat:
             cfg = cfg.replace(has_coatings=has_coat)
         # Lambertian scatterers draw random numbers: enable the branch (and

@@ -291,7 +291,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         attrs = gather_hit_attrs(
             scene, safe_tri,
             with_optics=cfg.polarization or cfg.has_gratings,
-            with_coatings=cfg.has_coatings and not cfg.polarization)
+            with_coatings=cfg.has_coatings)
     mat = attrs["mat"]
     n_geom = attrs["normal"]
     # dispersive glass: Cauchy n(lambda) = A + B / lambda^2 (lambda in um);
@@ -413,6 +413,32 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         S = (live_p, s1f * live_p, s2f * live_p, rays.s3 * live_p)
         (r0, r1, r2, r3), (t0, t1, t2, t3) = physics.polarized_split(
             *S, sn["cos_i"], sn["cos_t"], sn["n1"], sn["n2"], sn["tir"])
+        if cfg.has_coatings:
+            # coated dielectric lanes: replace the bare Fresnel Mueller
+            # split with the stack's characteristic-matrix split (complex
+            # rs/rp cross terms carry film AND TIR retardation; exit-side
+            # rays see the layer order reversed, h = 0 pads inert)
+            cnp = attrs["coat_ior"]
+            chp = attrs["coat_thickness"]
+            entp = sn["entering"][:, None]
+            cnp = jnp.where(entp, cnp, cnp[:, ::-1])
+            chp = jnp.where(entp, chp, chp[:, ::-1])
+            Lc = cnp.shape[1]
+            (f0, f1, f2, f3), (g0_, g1_, g2_, g3_) = \
+                physics.polarized_film_split(
+                    *S, sn["cos_i"], sn["n1"],
+                    [cnp[:, l] for l in range(Lc)],
+                    [chp[:, l] for l in range(Lc)],
+                    sn["n2"], rays.wavelength)
+            coated = jnp.max(chp, axis=1) > 0.0
+            r0 = jnp.where(coated, f0, r0)
+            r1 = jnp.where(coated, f1, r1)
+            r2 = jnp.where(coated, f2, r2)
+            r3 = jnp.where(coated, f3, r3)
+            t0 = jnp.where(coated, g0_, t0)
+            t1 = jnp.where(coated, g1_, t1)
+            t2 = jnp.where(coated, g2_, t2)
+            t3 = jnp.where(coated, g3_, t3)
 
         def frac(num, den):
             return num / jnp.maximum(den, 1e-30)

@@ -316,15 +316,18 @@ class TestCoatingValidation:
         with pytest.raises(ValueError, match="coat_ior"):
             oe.cube(material="refractive", coat_thickness=H_QW)
 
-    def test_polarization_plus_coating_refused(self):
+    def test_polarization_plus_coating_supported(self):
+        # round-2+ removed the old refusal: coated scenes trace under
+        # polarization=True via physics.polarized_film_split (full
+        # coverage in TestPolarizedCoating)
         win = oe.cube(size=0.4, material="refractive", ior=N_GLASS,
                       coat_ior=N_FILM, coat_thickness=H_QW)
         shell = oe.sphere(radius=4.0, material="terminator")
         src = CollimatedSource(center=(0, 0, -1.0), direction=(0, 0, 1),
                                diameter=0.2, ray_count=16, seed=0)
-        with pytest.raises(ValueError, match="unpolarized"):
-            Tracer().trace(src, [win, shell], trace_iterations=2,
-                           polarization=True)
+        res = Tracer().trace(src, [win, shell], trace_iterations=4,
+                             polarization=True)
+        assert res.power_conservation_error() < 1e-5
 
     def test_uncoated_scene_bit_identical_to_before(self):
         """has_coatings gating: an uncoated trace must not change at all."""
@@ -336,3 +339,122 @@ class TestCoatingValidation:
         r2 = Tracer().trace(src, [lens, dome], trace_iterations=5)
         np.testing.assert_array_equal(r1.hist, r2.hist)
         assert r1.ledger == r2.ledger
+
+
+class TestPolarizedCoating:
+    """Coatings under TraceConfig(polarization=True): the bare Fresnel
+    Mueller split is replaced by the stack's characteristic-matrix split
+    (physics.polarized_film_split) on coated lanes."""
+
+    @staticmethod
+    def _arr(x):
+        import jax.numpy as jnp
+
+        return jnp.atleast_1d(jnp.asarray(x, jnp.float32))
+
+    def test_zero_thickness_reduces_to_bare_polarized_split(self):
+        # includes the TIR retardation block: the complex conj(rs) rp
+        # cross term must reproduce polarized_split's rotation exactly
+        from lightpycl_tpu import physics as P
+
+        arr = self._arr
+        for n1, n2 in [(1.0, 1.52), (1.52, 1.0)]:
+            for deg in (0.0, 20.0, 42.0, 56.3, 70.0, 85.0):
+                ci = np.cos(np.radians(deg))
+                eta = n1 / n2
+                sin2t = eta * eta * (1 - ci * ci)
+                tir = sin2t > 1
+                ct = np.sqrt(max(1 - sin2t, 0.0))
+                s = (1.0, 0.3, 0.5, -0.2)
+                ref = P.polarized_split(*(arr(x) for x in s), arr(ci),
+                                        arr(ct), arr(n1), arr(n2), arr(tir))
+                film = P.polarized_film_split(
+                    *(arr(x) for x in s), arr(ci), arr(n1),
+                    [arr(1.3)], [arr(0.0)], arr(n2), arr(WL))
+                for which in (0, 1):
+                    for i in range(4):
+                        assert float(film[which][i][0]) == pytest.approx(
+                            float(ref[which][i][0]), abs=3e-5), (n1, deg,
+                                                                 which, i)
+
+    def test_single_bounce_s_and_p_powers_match_matrix_theory(self):
+        # tilted coated window, one bounce: reflected/transmitted child
+        # powers for pure-s and pure-p inputs equal |rs|^2 / Ts / |rp|^2 /
+        # Tp from multilayer_amplitudes at the incidence angle
+        import jax.numpy as jnp
+
+        from lightpycl_tpu import build_scene
+        from lightpycl_tpu.physics import multilayer_amplitudes
+        from lightpycl_tpu.tracer.config import TraceConfig
+        from lightpycl_tpu.tracer.rays import DetectorState, Ledger
+        from lightpycl_tpu.tracer.step import trace_step
+
+        theta = np.radians(35.0)
+        win = oe.rectangle(4.0, 4.0, material="refractive", ior=N_GLASS,
+                           coat_ior=N_FILM, coat_thickness=H_QW)
+        win.rotate((0, 1, 0), theta)     # plane of incidence = x-z
+        scene, _ = build_scene([win])
+        cfg = TraceConfig(polarization=True)
+
+        rs, rp, Ts, Tp, _ = multilayer_amplitudes(
+            self._arr(np.cos(theta)), self._arr(1.0),
+            [self._arr(N_FILM)], [self._arr(H_QW)],
+            self._arr(N_GLASS), self._arr(WL))
+        theory = {"s": (float(jnp.abs(rs)[0]) ** 2, float(Ts[0])),
+                  "p": (float(jnp.abs(rp)[0]) ** 2, float(Tp[0]))}
+
+        for pol, s1 in (("s", 1.0), ("p", -1.0)):
+            # beam along +z: auto basis = +y = the s direction for a
+            # window tilted about y; s1=+1 -> pure s, s1=-1 -> pure p
+            # beam travels -z so it hits the window's FRONT face (outward
+            # normal tilts toward +z after the rotation)
+            n = 8
+            rays = RayBatch.from_arrays(
+                np.tile([0.0, 0.0, 2.0], (n, 1)),
+                np.tile([0.0, 0.0, -1.0], (n, 1)),
+                np.full(n, 1.0 / n), capacity=2 * n,
+                wavelengths=np.full(n, WL), stokes=(s1, 0.0, 0.0))
+            det = DetectorState.zeros(4, 4, 1)
+            led = Ledger.start(1.0)
+            r, det, led, _ = trace_step(scene, rays, det, led, cfg)
+            alive = np.asarray(r.alive)
+            pw = np.asarray(r.power)[alive]
+            ior = np.asarray(r.ior)[alive]
+            R_traced = pw[ior < 1.1].sum()
+            T_traced = pw[ior > 1.1].sum()
+            R_th, T_th = theory[pol]
+            assert R_traced == pytest.approx(R_th, abs=2e-5), pol
+            assert T_traced == pytest.approx(T_th, abs=2e-5), pol
+
+    def test_engine_unpolarized_input_matches_scalar_trace(self):
+        # with an unpolarized source, the polarized coated trace must give
+        # the scalar path's detected power: r0 with s1=0 is (Rs+Rp)/2 = R
+        win = oe.cube(size=(1.0, 1.0, 0.25), material="refractive",
+                      ior=N_GLASS, coat_ior=N_FILM, coat_thickness=H_QW,
+                      name="win")
+        fwd = oe.disc(radius=1.5, center=(0, 0, 2.0), material="measure",
+                      name="fwd")
+        shell = oe.sphere(radius=8.0, material="terminator")
+        els = [win, fwd, shell]
+        src = CollimatedSource(center=(0, 0, -1.0), direction=(0, 0, 1),
+                               diameter=0.5, ray_count=256, power=1.0,
+                               seed=3, wavelength=WL)
+        res_u = Tracer().trace(src, els, trace_iterations=8, mode="device",
+                               dissipation_target=1.0)
+        res_p = Tracer().trace(src, els, trace_iterations=8, mode="device",
+                               dissipation_target=1.0, polarization=True)
+        assert res_p.detector_power("fwd") == pytest.approx(
+            res_u.detector_power("fwd"), rel=1e-5)
+        assert res_p.power_conservation_error() < 1e-5
+
+    def test_polarized_coated_lens_conserves(self):
+        layers = [(2.35, WL / (4 * 2.35)), (1.46, WL / (4 * 1.46))] * 2
+        lens = oe.biconvex_lens(0.8, 0.5, 0.1, ior=N_GLASS, coating=layers)
+        dome = oe.sphere(radius=8.0, material="measure", name="dome")
+        src = CollimatedSource(center=(0, 0, -0.6), direction=(0, 0, 1),
+                               diameter=0.4, ray_count=256, power=1.0,
+                               seed=8, wavelength=WL)
+        res = Tracer().trace(src, [lens, dome], trace_iterations=7,
+                             polarization=True, capacity=4096)
+        assert res.power_conservation_error() < 1e-5
+        assert res.detector_power("dome") > 0.5
