@@ -74,7 +74,10 @@ def main():
     run_scalar()
     t_scal = run_scalar()
 
-    peak = per_det[names.index("R")].argmax() * W
+    # physical sanity before recording timings: the HR stopband peak must
+    # sit at the design wavelength
+    peak = int(per_det[names.index("R")].argmax())
+    assert abs(wls[peak] - WL0) < 0.03, (wls[peak], WL0)
     rec = {
         "bench": "spectral_vs_scalar",
         "rays": RAYS, "triangles": n_tris, "wavelengths": W,

@@ -305,7 +305,13 @@ def pupil_grid(pupil_xy, opd, powers=None, n_grid: int = 64, radius=None):
     """Bin traced rays onto a uniform pupil grid: per-cell amplitude
     A = sqrt(power) and mean OPD. Returns (A (G, G), opd_mean (G, G),
     cell pitch, radius); empty cells have A = 0. The sampling step from
-    per-ray data to the physical-optics pupil function."""
+    per-ray data to the physical-optics pupil function.
+
+    Rays OUTSIDE the grid (|x| or |y| > radius — vignetted/ghost rays
+    when an explicit design-pupil radius is passed) are DROPPED, not
+    clipped into the rim cells: piling their power and OPD onto the
+    boundary corrupts the pupil function (same floor+mask+drop binning as
+    the detector image in tracer/step.accumulate_detector)."""
     xy = np.asarray(pupil_xy, np.float64)
     opd = np.asarray(opd, np.float64)
     p = np.ones(len(xy)) if powers is None else np.asarray(powers, np.float64)
@@ -313,8 +319,10 @@ def pupil_grid(pupil_xy, opd, powers=None, n_grid: int = 64, radius=None):
     if radius is None:
         radius = float(r.max()) or 1.0
     pitch = 2.0 * radius / n_grid
-    ix = np.clip(((xy[:, 0] + radius) / pitch).astype(int), 0, n_grid - 1)
-    iy = np.clip(((xy[:, 1] + radius) / pitch).astype(int), 0, n_grid - 1)
+    ix = np.floor((xy[:, 0] + radius) / pitch).astype(int)
+    iy = np.floor((xy[:, 1] + radius) / pitch).astype(int)
+    inside = ((ix >= 0) & (ix < n_grid) & (iy >= 0) & (iy < n_grid))
+    ix, iy, p, opd = ix[inside], iy[inside], p[inside], opd[inside]
     flat = ix * n_grid + iy
     psum = np.bincount(flat, weights=p, minlength=n_grid * n_grid)
     osum = np.bincount(flat, weights=p * opd, minlength=n_grid * n_grid)
@@ -338,9 +346,12 @@ def diffraction_psf(pupil_xy, opd, wavelength, powers=None, n_grid: int = 64,
     pupil/focal lengths in um for physical image coordinates).
 
     Returns dict:
-      psf (N, N)      intensity, peak-normalized to the DIFFRACTION-
-                      LIMITED peak of the same amplitude (so
-                      psf.max() == strehl)
+      psf (N, N)      intensity, normalized to the DIFFRACTION-LIMITED
+                      on-axis peak of the same amplitude distribution.
+                      psf.max() equals `strehl` only when the peak sits
+                      at the reference focus — a tilted wavefront
+                      displaces the peak (psf.max() ~ 1) while `strehl`
+                      reports the reference point
       strehl          |sum A e^{i phi}|^2 / (sum A)^2 — exact pupil-sum
                       Strehl ratio at the reference focus
       x (N,)          image-plane coordinate axis (needs focal_length;

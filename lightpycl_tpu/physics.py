@@ -223,8 +223,18 @@ def multilayer_rs_rp(cos_i, n1, layers_n, layers_h, n_sub, wl):
     L >= 1. Extension over the reference (uncoated surfaces only); the f64
     oracle implements the same stack via the characteristic-matrix method
     (a deliberately different formulation — tracer/oracle.py).
+
+    NOTE: multilayer_amplitudes (the polarized path) implements the SAME
+    stack via the characteristic-matrix method in f32 on device. Keeping
+    both formulations is deliberate (three independent implementations of
+    this physics: Airy here, f32 matrix there, f64 matrix in the oracle);
+    tests/test_coating.py pins the two device paths to each other so a
+    fix applied to one cannot silently skew the unpolarized-vs-polarized
+    parity. Mirror any numeric-guard change (e.g. the grazing clamp).
     """
     one = jnp.complex64(1.0)
+    cos_i = jnp.maximum(cos_i, 1e-6)   # grazing guard, mirrors
+    #                                    multilayer_amplitudes
     sin2 = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     n1s2 = (n1 * n1) * sin2  # invariant n^2 sin^2 across the stack
 
@@ -305,6 +315,10 @@ def multilayer_amplitudes(cos_i, n1, layers_n, layers_h, n_sub, wl):
     h = 0 layers are exactly inert (M = I); an all-zero stack reduces to
     the bare n1 -> n_sub polarized Fresnel interface, including the TIR
     phase shift (anchored in tests against polarized_split).
+
+    NOTE: the scalar path implements the same stack via the Airy/Moebius
+    recursion (multilayer_rs_rp) — see the note there on why both device
+    formulations are kept and how tests pin them together.
     """
     one = jnp.complex64(1.0)
     n1 = jnp.asarray(n1, jnp.float32)

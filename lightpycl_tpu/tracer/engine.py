@@ -257,8 +257,10 @@ class Tracer:
         opposite direction."""
         if self._has_refractive and not cfg.allow_splitting:
             raise ValueError(
-                "allow_splitting=False with refractive elements would drop "
-                "the refracted branch; remove the override"
+                "allow_splitting=False would silently drop each ray's "
+                "second child — the refracted branch of dielectrics/"
+                "beamsplitters, or a dual-order grating's specular "
+                "0th-order leak; remove the override"
             )
         if not self._has_refractive and cfg.allow_splitting:
             cfg = cfg.replace(allow_splitting=False)

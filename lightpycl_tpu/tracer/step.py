@@ -221,13 +221,14 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
     triangle-sharded tracing can substitute collectively-gathered values
     (parallel/mesh2d.py).
 
-    One fused (T, 9) or (T, 14) gather instead of up-to-ten separate
+    One fused (T, 9) or (T, 15) gather instead of up-to-ten separate
     gathers — stacking the per-triangle columns is O(T) elementwise
     (cheap, fused by XLA); the per-ray gather is the expensive part and
     runs once. mat and detector_id ride along as f32 (tiny ints, exact).
     `with_optics` adds the polarizer/waveplate/grating columns (axis,
-    retardance, m/period); shade skips them when the static config says no
-    such elements exist."""
+    retardance, m/period, order0 fraction — indices 9..14, coatings from
+    k=15); shade skips them when the static config says no such elements
+    exist."""
     cols = [scene.mat.astype(jnp.float32)[:, None], scene.normal,
             scene.ior[:, None], scene.ior_b[:, None],
             scene.reflectivity[:, None],

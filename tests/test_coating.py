@@ -458,3 +458,34 @@ class TestPolarizedCoating:
                              polarization=True, capacity=4096)
         assert res.power_conservation_error() < 1e-5
         assert res.detector_power("dome") > 0.5
+
+    def test_airy_and_matrix_device_formulations_agree(self):
+        # the scalar path (Airy/Moebius recursion, multilayer_rs_rp) and
+        # the polarized path (characteristic-matrix, multilayer_amplitudes)
+        # are two on-device implementations of the same stack; pin them to
+        # each other so a guard/fix applied to one cannot silently skew
+        # the unpolarized-vs-polarized parity
+        import jax.numpy as jnp
+
+        from lightpycl_tpu.physics import (multilayer_amplitudes,
+                                           multilayer_rs_rp)
+
+        arr = self._arr
+        rng = np.random.default_rng(17)
+        for _ in range(25):
+            Lk = int(rng.integers(1, 5))
+            ns_ = rng.uniform(1.2, 2.4, Lk)
+            hs_ = rng.uniform(0.0, 0.4, Lk)
+            n1, n2 = rng.uniform(1.0, 1.8, 2)
+            ci = np.cos(np.radians(rng.uniform(0.0, 89.0)))
+            wl = rng.uniform(0.4, 0.8)
+            rsA, rpA = multilayer_rs_rp(
+                arr(ci), arr(n1), [arr(x) for x in ns_],
+                [arr(x) for x in hs_], arr(n2), arr(wl))
+            rsM, rpM, _, _, _ = multilayer_amplitudes(
+                arr(ci), arr(n1), [arr(x) for x in ns_],
+                [arr(x) for x in hs_], arr(n2), arr(wl))
+            assert float(jnp.abs(rsA)[0]) == pytest.approx(
+                float(jnp.abs(rsM)[0]), abs=3e-5)
+            assert float(jnp.abs(rpA)[0]) == pytest.approx(
+                float(jnp.abs(rpM)[0]), abs=3e-5)
