@@ -26,6 +26,14 @@ def random_scene(rng):
                                  ior=rng.uniform(1.3, 1.8)),
         lambda: oe.cube(rng.uniform(0.3, 0.8), material="refractive",
                         ior=rng.uniform(1.3, 1.8)),
+        # coated window: 1-3 random thin-film layers (exercises the
+        # multilayer Airy recursion vs the oracle's matrix ladder on
+        # arbitrary geometry/angles)
+        lambda: oe.cube(rng.uniform(0.3, 0.8), material="refractive",
+                        ior=rng.uniform(1.3, 1.8),
+                        coating=[(rng.uniform(1.2, 2.4),
+                                  rng.uniform(0.02, 0.3))
+                                 for _ in range(rng.integers(1, 4))]),
         lambda: oe.disc(rng.uniform(0.3, 0.9), material="terminator"),
         lambda: oe.cylinder(rng.uniform(0.2, 0.5), rng.uniform(0.3, 0.8),
                             material="mirror"),
