@@ -30,6 +30,7 @@ SMALL = {
     "example_lens_design.py": {"OPT_STEPS": "12"},
     "example_spectral_coating.py": {"RAY_COUNT": "2000", "N_WL": "16"},
     "example_led_collimator.py": {"RAY_COUNT": "10000"},
+    "example_newtonian.py": {"RAY_COUNT": "4000"},
     # sized for the CPU jnp fallback; on TPU bump via env before running
     "example_large_mesh.py": {"TOTAL_RAYS": "200000", "BATCH": "100000",
                               "MESH_SEGMENTS": "48",

@@ -140,6 +140,7 @@ def scene_from_triangles(tv, mat, ior, *, reflectivity=None, detector_id=None,
         detector_id=_p(detector_id, fill=-1),
         axis=_p(zeros3), retardance=_p(zcol[:, 0]),
         grating_mlp=_p(zcol[:, 0]), grating_g0=_p(zcol[:, 0]),
+        metal_n=_p(zcol[:, 0]), metal_k=_p(zcol[:, 0]),
         coat_ior=_p(zcol), coat_thickness=_p(zcol),
     )
 

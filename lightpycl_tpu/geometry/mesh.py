@@ -69,6 +69,12 @@ class GeoObject:
     grating_period: float = 0.0  # groove period [um] (same units as
     #   wavelength); GRATING elements require > 0
     grating_order: int = 1     # fixed diffraction order m
+    metal_n: float = 0.0       # complex-index metal mirror: real part n
+    metal_k: float = 0.0       # and extinction k (n - i k). metal_n > 0 on
+    #   a MIRROR element replaces the fixed `reflectivity` with the
+    #   angle/polarization-dependent metallic Fresnel R (times
+    #   `reflectivity` as an extra scalar factor, default 1); 1 - R is
+    #   absorbed. metal_n = 0 (default) = the reference's ideal mirror
     order0_fraction: float = 0.0  # fraction of the reflected power leaking
     #   into the SPECULAR (0th) order instead of order m — real gratings
     #   are never 100% efficient; 0 = all light into order m (the original
@@ -132,6 +138,13 @@ class GeoObject:
             self.coating = clean or None
         if not 0.0 <= self.order0_fraction <= 1.0:
             raise ValueError("order0_fraction must be in [0, 1]")
+        if self.metal_n < 0 or self.metal_k < 0:
+            raise ValueError("metal_n / metal_k must be >= 0")
+        if (self.metal_n > 0 or self.metal_k > 0) and \
+                self.material != Material.MIRROR:
+            raise ValueError("metal_n/metal_k apply to MIRROR elements only")
+        if self.metal_k > 0 and self.metal_n <= 0:
+            raise ValueError("metal_k > 0 needs metal_n > 0")
         if self.material == Material.GRATING:
             if self.grating_period <= 0:
                 raise ValueError(
@@ -214,6 +227,8 @@ class GeoObject:
             self.retardance,
             self.grating_period,
             self.grating_order,
+            self.metal_n,
+            self.metal_k,
             self.order0_fraction,
             self.coat_ior,
             self.coat_thickness,
@@ -319,6 +334,8 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         retardance=objs[0].retardance,
         grating_period=objs[0].grating_period,
         grating_order=objs[0].grating_order,
+        metal_n=objs[0].metal_n,
+        metal_k=objs[0].metal_k,
         order0_fraction=objs[0].order0_fraction,
         coat_ior=objs[0].coat_ior,
         coat_thickness=objs[0].coat_thickness,

@@ -116,3 +116,12 @@ def glass(n_d: float, abbe: float) -> tuple:
 BK7 = glass(1.5168, 64.17)
 SF10 = glass(1.7280, 28.53)
 F2 = glass(1.6200, 36.37)
+
+
+# complex refractive indices (n, k) of common mirror metals near the
+# sodium d-line (~0.55-0.59 um; Johnson & Christy / Palik order of
+# magnitude). Pass to a MIRROR GeoObject: metal_n, metal_k = ALUMINUM.
+ALUMINUM = (0.96, 6.69)
+SILVER = (0.13, 3.99)
+GOLD = (0.34, 2.69)
+COPPER = (0.62, 2.57)

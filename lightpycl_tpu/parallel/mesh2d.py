@@ -106,6 +106,8 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 "detector_id": jax.lax.psum(
                     (a["detector_id"] + 1) * mine.astype(jnp.int32), TRI_AXIS) - 1,
                 "absorb": jax.lax.psum(a["absorb"] * mf, TRI_AXIS),
+                "metal_n": jax.lax.psum(a["metal_n"] * mf, TRI_AXIS),
+                "metal_k": jax.lax.psum(a["metal_k"] * mf, TRI_AXIS),
                 "axis": jax.lax.psum(a["axis"] * mf[:, None], TRI_AXIS),
                 "retardance": jax.lax.psum(a["retardance"] * mf, TRI_AXIS),
                 "grating_mlp": jax.lax.psum(a["grating_mlp"] * mf, TRI_AXIS),

@@ -166,6 +166,81 @@ def polarized_split(s0, s1, s2, s3, cos_i, cos_t, n1, n2, tir):
     return (r0, r1, r2, r3), (t0, t1, t2, t3)
 
 
+def metal_rs_rp(cos_i, n1, n_metal, k_metal):
+    """Complex Fresnel reflection amplitudes (rs, rp) at a bare METAL
+    surface: incident dielectric n1 | absorbing medium n_metal - i k_metal
+    (optics sign convention: absorption = NEGATIVE imaginary part with the
+    e^{-i omega t} phase convention used throughout).
+
+    Complex Snell: cos_t = sqrt(1 - (n1/ñ)^2 sin^2), principal branch;
+    rs = (n1 ci - ñ ct)/(n1 ci + ñ ct), rp Verdet-signed like
+    fresnel_amplitudes: rp = (ñ ci - n1 ct)/(ñ ci + n1 ct). k = 0 reduces
+    to the bare dielectric amplitudes exactly. |rs|^2, |rp|^2 are the
+    polarized power reflectances; 1 - R is ABSORBED in the metal (nothing
+    transmits). The relative phase arg(rs) - arg(rp) is the metallic
+    retardation that turns linear input elliptical on oblique reflection.
+    """
+    one = jnp.complex64(1.0)
+    ci = jnp.maximum(cos_i, 1e-6).astype(jnp.complex64)
+    nc = (jnp.asarray(n_metal, jnp.float32)
+          - 1j * jnp.asarray(k_metal, jnp.float32)).astype(jnp.complex64)
+    nc = jnp.where(jnp.abs(nc) > _TINY, nc, one)
+    n1c = jnp.asarray(n1, jnp.float32).astype(jnp.complex64)
+    sin2 = (one - ci * ci) * (n1c / nc) ** 2
+    # double-where around the branch point: lanes sitting EXACTLY at the
+    # critical angle (z == 0; dead grazing children do this structurally)
+    # make sqrt's 1/(2 sqrt z) VJP infinite, and 0 * inf = nan poisons
+    # every gradient (lightpycl_tpu.diff). ct = 0 there is the exact
+    # physics (R = 1 at the critical angle).
+    z = one - sin2
+    zsafe = _abs2(z) > 1e-12
+    ct = jnp.where(zsafe, jnp.sqrt(jnp.where(zsafe, z, one)),
+                   jnp.complex64(0.0))
+    # principal-branch sqrt can land on the wrong sheet for absorbing
+    # media; the physical branch has Re(ñ ct) >= 0 (decay into the metal)
+    ct = jnp.where(jnp.real(nc * ct) < 0, -ct, ct)
+
+    def _r(a, b):
+        den = a + b
+        den = jnp.where(jnp.abs(den) > _TINY, den, one)
+        return (a - b) / den
+
+    rs = _r(n1c * ci, nc * ct)
+    rp = _r(nc * ci, n1c * ct)
+    return rs, rp
+
+
+def _abs2(z):
+    """|z|^2 via real^2 + imag^2 — NOT jnp.abs(z)**2: abs has a nan VJP
+    at exactly z = 0, and masked lanes (e.g. metal_n = 0 rays in shade's
+    branchless metal branch, where rs == 0 identically) would poison every
+    gradient through the trace (lightpycl_tpu.diff)."""
+    return jnp.real(z) ** 2 + jnp.imag(z) ** 2
+
+
+def metal_reflectance(cos_i, n1, n_metal, k_metal):
+    """Unpolarized power reflectance of a bare metal surface,
+    R = (|rs|^2 + |rp|^2) / 2 (see metal_rs_rp). Clipped to [0, 1]."""
+    rs, rp = metal_rs_rp(cos_i, n1, n_metal, k_metal)
+    r = 0.5 * (_abs2(rs) + _abs2(rp))
+    return jnp.clip(r.astype(jnp.float32), 0.0, 1.0)
+
+
+def mueller_reflect(s0, s1, s2, s3, rs, rp):
+    """Reflection Mueller block for arbitrary complex amplitudes (rs, rp)
+    in the incidence (s, p) frame — the same algebra polarized_film_split
+    uses: cross term X = conj(rs) rp carries the retardation in the
+    package's Stokes sign convention."""
+    Rs = _abs2(rs)
+    Rp = _abs2(rp)
+    X = jnp.conj(rs) * rp
+    r0 = 0.5 * (Rs + Rp) * s0 + 0.5 * (Rs - Rp) * s1
+    r1 = 0.5 * (Rs - Rp) * s0 + 0.5 * (Rs + Rp) * s1
+    r2 = jnp.real(X) * s2 - jnp.imag(X) * s3
+    r3 = jnp.imag(X) * s2 + jnp.real(X) * s3
+    return r0, r1, r2, r3
+
+
 def orthonormal_basis(n):
     """Branchless orthonormal tangents (t1, t2) for unit normals n (..., 3)
     (Duff et al., "Building an Orthonormal Basis, Revisited" — sign trick
@@ -240,7 +315,10 @@ def multilayer_rs_rp(cos_i, n1, layers_n, layers_h, n_sub, wl):
 
     def cos_in(n):
         n = jnp.maximum(n, _TINY)
-        return jnp.sqrt(one - (n1s2 / (n * n)).astype(jnp.complex64))
+        z = one - (n1s2 / (n * n)).astype(jnp.complex64)
+        zsafe = _abs2(z) > 1e-12   # branch-point guard, see metal_rs_rp
+        return jnp.where(zsafe, jnp.sqrt(jnp.where(zsafe, z, one)),
+                         jnp.complex64(0.0))
 
     def etas(n, c):
         return n * c, n / jnp.where(jnp.abs(c) > _TINY, c, one)
@@ -330,7 +408,10 @@ def multilayer_amplitudes(cos_i, n1, layers_n, layers_h, n_sub, wl):
 
     def cos_in(n):
         n = jnp.maximum(n, _TINY)
-        return jnp.sqrt(one - (n1s2 / (n * n)).astype(jnp.complex64))
+        z = one - (n1s2 / (n * n)).astype(jnp.complex64)
+        zsafe = _abs2(z) > 1e-12   # branch-point guard, see metal_rs_rp
+        return jnp.where(zsafe, jnp.sqrt(jnp.where(zsafe, z, one)),
+                         jnp.complex64(0.0))
 
     def tilt(n, c, pol):
         n = n.astype(jnp.complex64) if hasattr(n, "astype") else n * one
@@ -386,8 +467,8 @@ def polarized_film_split(s0, s1, s2, s3, cos_i, n1, layers_n, layers_h,
     """
     rs, rp, Ts, Tp, Xt = multilayer_amplitudes(
         cos_i, n1, layers_n, layers_h, n_sub, wl)
-    Rs = jnp.abs(rs) ** 2
-    Rp = jnp.abs(rp) ** 2
+    Rs = _abs2(rs)
+    Rp = _abs2(rp)
     # cross term in the package's Stokes sign convention (fixed by
     # polarized_split's TIR block / the Fresnel-rhomb tests): conj(rs) rp,
     # NOT rs conj(rp) — the two differ by the retardation SENSE

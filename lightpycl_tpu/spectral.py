@@ -121,6 +121,14 @@ def spectral_step(scene: Scene, sr: SpectralRays, per_det, led: SpectralLedger,
     refl = attrs["reflectivity"]
     sn = physics.snell_interaction(sr.d, attrs["normal"], sr.ior,
                                    attrs["ior"], cfg.ior_env)
+    if cfg.has_metals:
+        # metal mirrors: n, k are wavelength-constant per element here, so
+        # R(theta) is shared across the spectral columns
+        refl = jnp.where(attrs["metal_n"] > 0.0,
+                         refl * physics.metal_reflectance(
+                             sn["cos_i"], sn["n1"], attrs["metal_n"],
+                             attrs["metal_k"]),
+                         refl)
 
     R = jnp.broadcast_to(sn["R"][:, None], (C, W))
     if cfg.has_coatings:

@@ -93,6 +93,10 @@ class TraceConfig:
     # the other has_* flags this one defaults OFF and the engine switches
     # it on when the scene contains diffuse elements.
     has_diffuse: bool = False
+    # True computes the metallic-Fresnel mirror branch (complex-index
+    # mirrors, GeoObject.metal_n/metal_k) for every mirror hit; the engine
+    # sets it False when no metal mirrors exist
+    has_metals: bool = True
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an

@@ -237,6 +237,9 @@ class Tracer:
         has_gr = any(e.material == Material.GRATING for e in self.elements)
         if cfg.has_gratings != has_gr:
             cfg = cfg.replace(has_gratings=has_gr)
+        has_me = any(getattr(e, "metal_n", 0.0) > 0.0 for e in self.elements)
+        if cfg.has_metals != has_me:
+            cfg = cfg.replace(has_metals=has_me)
         # same gating for the thin-film branch (scalar Airy recursion in
         # the unpolarized model; full characteristic-matrix Mueller split
         # — physics.polarized_film_split — under polarization=True)

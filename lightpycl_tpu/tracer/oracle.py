@@ -119,6 +119,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     iorbs = []
     absorbs = []
     axes, mlps, g0s = [], [], []
+    mns, mks = [], []
     coat_stacks = []
     det_names = []
     for el in elements:
@@ -150,6 +151,8 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
                                 if period > 0 else 0.0)))
         g0s.append(np.full(t, float(getattr(el, "order0_fraction", 0.0))
                            if period > 0 else 0.0))
+        mns.append(np.full(t, float(getattr(el, "metal_n", 0.0))))
+        mks.append(np.full(t, float(getattr(el, "metal_k", 0.0))))
         coat_stacks.append((t, el.coating_layers()
                             if hasattr(el, "coating_layers") else []))
         if el.material == Material.MEASURE:
@@ -164,6 +167,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     refl = np.concatenate(refls); det_id = np.concatenate(dets)
     g_axis = np.concatenate(axes); g_mlp = np.concatenate(mlps)
     g_g0 = np.concatenate(g0s)
+    m_n = np.concatenate(mns); m_k = np.concatenate(mks)
     L_coat = max((len(ls) for _, ls in coat_stacks), default=0) or 1
     coat_n = np.concatenate([
         np.tile([n for n, _ in ls] + [1.0] * (L_coat - len(ls)), (t, 1))
@@ -231,6 +235,21 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             cos = np.sum(d[i] * ng, axis=1)
             n = np.where(cos[:, None] < 0, ng, -ng)
             r = refl[ti[i]]
+            # complex-index metal mirrors (extension): R(theta) from the
+            # complex Fresnel amplitudes in float64, physical branch of the
+            # square root (decay into the metal)
+            mn = m_n[ti[i]]
+            if (mn > 0).any():
+                mk = m_k[ti[i]]
+                ci = np.abs(cos)
+                nc = np.where(mn > 0, mn, 1.0) - 1j * mk
+                s2 = (1.0 - ci**2) * (ior[i] / nc) ** 2
+                ct = np.sqrt(1.0 - s2 + 0j)
+                ct = np.where((nc * ct).real < 0, -ct, ct)
+                rs = (ior[i] * ci - nc * ct) / (ior[i] * ci + nc * ct)
+                rp = (nc * ci - ior[i] * ct) / (nc * ci + ior[i] * ct)
+                Rm = 0.5 * (np.abs(rs) ** 2 + np.abs(rp) ** 2)
+                r = r * np.where(mn > 0, Rm, 1.0)
             absorbed += (p[i] * (1.0 - r)).sum()
             new_o.append(hp[i]); new_d.append(_reflect(d[i], n))
             new_p.append(p[i] * r); new_ior.append(ior[i]); new_wl.append(wl[i])

@@ -54,6 +54,9 @@ class Scene(NamedTuple):
     grating_mlp: jnp.ndarray   # (T_pad,) f32 m / period [1/um], 0 = no grating
     grating_g0: jnp.ndarray    # (T_pad,) f32 fraction of reflected power
     #   leaking into the specular 0th order (gratings only; 0 elsewhere)
+    metal_n: jnp.ndarray       # (T_pad,) f32 metal-mirror complex index:
+    metal_k: jnp.ndarray       # real part n and extinction k (0 = ideal
+    #   mirror with the fixed `reflectivity`)
     coat_ior: jnp.ndarray      # (T_pad, L) f32 coating-stack layer indices
     coat_thickness: jnp.ndarray  # (T_pad, L) f32 layer thicknesses [um];
     #   layer 0 outermost; rows padded with h=0 layers (exactly inert in
@@ -102,6 +105,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     iorb_list = []
     absorb_list = []
     axis_list, ret_list, gr_list, g0_list = [], [], [], []
+    mn_list, mk_list = [], []
     coat_stacks = []  # (t, [(n, h), ...]) per element; widths equalized below
     detector_names: list[str] = []
     for obj in objects:
@@ -127,6 +131,10 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         gr_list.append(np.full(t, mlp, np.float64))
         g0_list.append(np.full(t, float(getattr(obj, "order0_fraction", 0.0))
                                if period > 0 else 0.0, np.float64))
+        mn_list.append(np.full(t, float(getattr(obj, "metal_n", 0.0)),
+                               np.float64))
+        mk_list.append(np.full(t, float(getattr(obj, "metal_k", 0.0)),
+                               np.float64))
         layers = (obj.coating_layers() if hasattr(obj, "coating_layers")
                   else [])
         coat_stacks.append((t, layers))
@@ -148,6 +156,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     ret_np = np.concatenate(ret_list)
     gr_np = np.concatenate(gr_list)
     g0_np = np.concatenate(g0_list)
+    mn_np = np.concatenate(mn_list)
+    mk_np = np.concatenate(mk_list)
     # coating stacks, width-equalized to the scene's deepest stack (h = 0
     # padding layers are exactly inert — physics.multilayer_rs_rp)
     L_coat = max((len(layers) for _, layers in coat_stacks), default=0) or 1
@@ -171,6 +181,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         axis_np, ret_np = axis_np[order], ret_np[order]
         gr_np = gr_np[order]
         g0_np = g0_np[order]
+        mn_np, mk_np = mn_np[order], mk_np[order]
         cior_np, cth_np = cior_np[order], cth_np[order]
     T = len(tv)
     v0 = tv[:, 0]
@@ -218,6 +229,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         retardance=jnp.asarray(_p(ret_np, fill=0.0), jnp.float32),
         grating_mlp=jnp.asarray(_p(gr_np, fill=0.0), jnp.float32),
         grating_g0=jnp.asarray(_p(g0_np, fill=0.0), jnp.float32),
+        metal_n=jnp.asarray(_p(mn_np, fill=0.0), jnp.float32),
+        metal_k=jnp.asarray(_p(mk_np, fill=0.0), jnp.float32),
         coat_ior=jnp.asarray(_p(cior_np, fill=0.0), jnp.float32),
         coat_thickness=jnp.asarray(_p(cth_np, fill=0.0), jnp.float32),
     )

@@ -221,19 +221,20 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
     triangle-sharded tracing can substitute collectively-gathered values
     (parallel/mesh2d.py).
 
-    One fused (T, 9) or (T, 15) gather instead of up-to-ten separate
+    One fused (T, 11) or (T, 17) gather instead of up-to-ten separate
     gathers — stacking the per-triangle columns is O(T) elementwise
     (cheap, fused by XLA); the per-ray gather is the expensive part and
     runs once. mat and detector_id ride along as f32 (tiny ints, exact).
     `with_optics` adds the polarizer/waveplate/grating columns (axis,
-    retardance, m/period, order0 fraction — indices 9..14, coatings from
-    k=15); shade skips them when the static config says no such elements
-    exist."""
+    retardance, m/period, order0 fraction — indices 11..16, coatings from
+    k=17); shade skips them when the static config says no such elements
+    exist. Base columns include the metal-mirror (n, k) pair at 9..10."""
     cols = [scene.mat.astype(jnp.float32)[:, None], scene.normal,
             scene.ior[:, None], scene.ior_b[:, None],
             scene.reflectivity[:, None],
             scene.detector_id.astype(jnp.float32)[:, None],
-            scene.absorb[:, None]]
+            scene.absorb[:, None],
+            scene.metal_n[:, None], scene.metal_k[:, None]]
     if with_optics:
         cols += [scene.axis, scene.retardance[:, None],
                  scene.grating_mlp[:, None], scene.grating_g0[:, None]]
@@ -248,14 +249,16 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         "reflectivity": g[:, 6],
         "detector_id": g[:, 7].astype(jnp.int32),
         "absorb": g[:, 8],
+        "metal_n": g[:, 9],
+        "metal_k": g[:, 10],
     }
-    k = 9
+    k = 11
     if with_optics:
-        out["axis"] = g[:, 9:12]
-        out["retardance"] = g[:, 12]
-        out["grating_mlp"] = g[:, 13]
-        out["grating_g0"] = g[:, 14]
-        k = 15
+        out["axis"] = g[:, 11:14]
+        out["retardance"] = g[:, 14]
+        out["grating_mlp"] = g[:, 15]
+        out["grating_g0"] = g[:, 16]
+        k = 17
     if with_coatings:
         L = scene.coat_ior.shape[1]
         out["coat_ior"] = g[:, k:k + L]
@@ -302,6 +305,18 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     det_id = attrs["detector_id"]
     tri_absorb = attrs["absorb"]
     sn = physics.snell_interaction(rays.d, n_geom, rays.ior, tri_ior, cfg.ior_env)
+
+    # complex-index metal mirrors (extension): the fixed `reflectivity`
+    # becomes reflectivity * R_metal(theta) on lanes with metal_n > 0
+    # (validated mirror-only); elsewhere refl_eff == refl exactly. The
+    # polarized branch below replaces this unpolarized R with the full
+    # complex (rs, rp) Mueller block on the same lanes.
+    refl_eff = refl
+    if cfg.has_metals:
+        is_metal = attrs["metal_n"] > 0.0
+        R_metal = physics.metal_reflectance(
+            sn["cos_i"], sn["n1"], attrs["metal_n"], attrs["metal_k"])
+        refl_eff = jnp.where(is_metal, refl * R_metal, refl)
 
     # dielectric reflectance: bare Fresnel, or the single-layer thin-film
     # R(lambda, theta) where the triangle is coated (extension over the
@@ -393,7 +408,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     if cfg.has_diffuse:
         refl_like = refl_like | is_diff
     pa = jnp.where(
-        refl_like, live_p * refl,
+        refl_like, live_p * refl_eff,
         jnp.where(is_refr, live_p * R_diel, 0.0)
     )
     da = jnp.where(is_optic[:, None], rays.d, sn["refl_dir"])
@@ -462,7 +477,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         pol_absorbed = jnp.sum(
             jnp.where(is_pol, live_p * (1.0 - f_pol), 0.0))
 
-        pa = jnp.where(refl_like, live_p * refl,
+        pa = jnp.where(refl_like, live_p * refl_eff,
                        jnp.where(is_refr, r0,
                                  jnp.where(is_pol, live_p * f_pol,
                                            jnp.where(is_wp, live_p, 0.0))))
@@ -487,6 +502,19 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         a_s1 = jnp.where(is_pol, 1.0, jnp.where(is_wp, e1f, a_s1))
         a_s2 = jnp.where(is_pol, 0.0, jnp.where(is_wp, w2, a_s2))
         a_s3 = jnp.where(is_pol, 0.0, jnp.where(is_wp, w3, a_s3))
+        if cfg.has_metals:
+            # metal mirror lanes: full complex (rs, rp) Mueller block in
+            # the rotated frame replaces the ideal-mirror flip — power,
+            # diattenuation, AND metallic retardation; the scalar `refl`
+            # factor still applies uniformly
+            mrs, mrp = physics.metal_rs_rp(
+                sn["cos_i"], sn["n1"], attrs["metal_n"], attrs["metal_k"])
+            m0, m1, m2, m3 = physics.mueller_reflect(*S, mrs, mrp)
+            is_mm = is_mirror & is_metal
+            pa = jnp.where(is_mm, refl * m0, pa)
+            a_s1 = jnp.where(is_mm, frac(m1, m0), a_s1)
+            a_s2 = jnp.where(is_mm, frac(m2, m0), a_s2)
+            a_s3 = jnp.where(is_mm, frac(m3, m0), a_s3)
         # transmitted fractions: beamsplitter passes the rotated state;
         # the grating's slot-B child is the specular 0th order — mirror
         # Mueller (rs = 1, rp = -1): s2/s3 flip
@@ -609,7 +637,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
 
     absorbed = bulk_absorbed + jnp.sum(
         jnp.where(is_term, live_p, 0.0)
-    ) + jnp.sum(jnp.where(is_mirror, live_p * (1.0 - refl), 0.0))
+    ) + jnp.sum(jnp.where(is_mirror, live_p - pa, 0.0))
     if cfg.has_diffuse:
         absorbed = absorbed + jnp.sum(
             jnp.where(is_diff, live_p * (1.0 - refl), 0.0))
