@@ -7,13 +7,17 @@ LENS PRESCRIPTION — surface curvatures, thickness, even the plane position
 split (lightpycl_tpu.diff). The PyOpenCL reference has no equivalent: its
 kernels are opaque to autodiff.
 
-Two demos:
+Three demos:
  1. Lensmaker recovery: a plano-convex singlet's front curvature is
     optimized to focus a paraxial collimated beam at z = 4.0; the result
     must satisfy the thick-lens lensmaker equation.
  2. Free design: both curvatures of a badly-started meniscus are released;
     gradient descent finds a prescription focusing at the target plane,
     and the implied effective focal length matches thick-lens theory.
+ 3. Asphere discovery: starting from a SPHERICAL exit surface at f/3.3,
+    gradient descent on the conic constant rediscovers the analytic
+    stigmatic hyperbola k = -n^2 (Descartes) from the spot-RMS signal
+    alone.
 
 Note on tessellation: surfaces are triangle meshes, so each annular facet
 deflects rays by a constant angle — a Fresnel-lens-like approximation of
@@ -91,4 +95,47 @@ print(f"  implied PARAXIAL focus z = t_c + BFD = {T_C + bfd:.4f} "
       f"(target {Z_TARGET}, err {abs(T_C + bfd - Z_TARGET) / Z_TARGET:.2%};"
       "\n   the best-RMS plane sits slightly short of the paraxial focus "
       "at f/6 — classic spherical-aberration focal shift)")
+print(f"  [{time.time() - t0:.1f}s]")
+
+# ---------------------------------------------------------------- demo 3
+print("=== demo 3: gradient descent REDISCOVERS the stigmatic asphere")
+# flat-front singlet at f/3.3: the analytic aberration-free exit surface
+# is the hyperbola with conic constant k = -n^2 (Descartes). Start from a
+# sphere (k = 0) and let the spot-RMS gradient find it.
+f3 = 3.0
+c2 = -1.0 / ((N_GLASS - 1.0) * f3)
+t3 = 0.15
+rays3 = diff.collimated_bundle(300, 0.45)
+mp3 = 0.25 * float(rays3.power.max())
+cfg3 = diff.TraceConfig(backend="jnp", has_gratings=False,
+                        has_coatings=False)
+
+
+def conic_loss(k2):
+    scene = diff.singlet_scene(0.0, c2, t3, 0.6, N_GLASS, n_seg=64,
+                               n_rad=96, k2=k2)
+    _, (eo, ed, ep) = diff.trace_diff(scene, rays3, cfg3, 4,
+                                      collect_escaped=True)
+    return diff.spot_rms_at_plane(eo, ed, ep, t3 + f3, min_power=mp3)
+
+
+vg3 = jax.jit(jax.value_and_grad(conic_loss))
+k2, mom = jnp.float32(0.0), 0.0
+t0 = time.time()
+n3 = max(STEPS // 2, 25)
+tail = []
+for i in range(n3):
+    v, g = vg3(k2)
+    mom = 0.7 * mom + g
+    k2 = k2 - 25.0 * mom
+    if i >= n3 - 12:
+        tail.append(float(k2))    # Polyak tail-average rides out the
+        #                           ringing on the flat-bottomed valley
+    if i % 5 == 0 or i == n3 - 1:
+        print(f"  step {i:3d}  k2={float(k2):+.3f}  rms_spot={float(v):.5f}")
+k2 = sum(tail) / len(tail)
+print(f"  optimized conic k2 = {float(k2):+.3f}; analytic stigmatic "
+      f"k = -n^2 = {-N_GLASS * N_GLASS:+.3f} "
+      f"(rel err {abs(float(k2) + N_GLASS**2) / N_GLASS**2:.1%} — within "
+      "the facet bias of the tessellated conic; see module docstring)")
 print(f"  [{time.time() - t0:.1f}s]")

@@ -240,19 +240,22 @@ def spot_rms_at_plane(o, d, power, z_plane, min_dz: float = 0.5,
 # Differentiable parametric meshers
 # --------------------------------------------------------------------------
 
-def sag(c, r2):
-    """Spherical sag z(r) = c r^2 / (1 + sqrt(1 - c^2 r^2)) as a function
-    of curvature c = 1/R and r^2. Smooth through c = 0 (flat) and
-    differentiable in c; the root is clamped so |c| r slightly past 1
-    (rim beyond the hemisphere) degrades gracefully instead of NaN-ing
-    the whole gradient."""
+def sag(c, r2, k=0.0):
+    """Conic sag z(r) = c r^2 / (1 + sqrt(1 - (1+k) c^2 r^2)) as a
+    function of curvature c = 1/R, conic constant k (0 sphere, -1
+    parabola, k < -1 hyperbola), and r^2. Smooth through c = 0 (flat) and
+    differentiable in BOTH c and k; the root is clamped so parameters
+    wandering past the geometric limit degrade gracefully instead of
+    NaN-ing the whole gradient."""
     c = jnp.asarray(c, jnp.float32)
-    root = jnp.sqrt(jnp.maximum(1.0 - c * c * r2, 1e-4))
+    k = jnp.asarray(k, jnp.float32)
+    root = jnp.sqrt(jnp.maximum(1.0 - (1.0 + k) * c * c * r2, 1e-4))
     return c * r2 / (1.0 + root)
 
 
 def singlet_triangles(c1, c2, thickness, aperture_radius,
-                      n_seg: int = 48, n_rad: int = 12):
+                      n_seg: int = 48, n_rad: int = 12,
+                      k1=0.0, k2=0.0):
     """Differentiable triangle soup (T, 3, 3) of a rotationally symmetric
     singlet lens: front spherical surface (curvature c1, vertex at z = 0),
     back surface (curvature c2, vertex at z = thickness), cylindrical edge
@@ -279,8 +282,8 @@ def singlet_triangles(c1, c2, thickness, aperture_radius,
         z = jnp.broadcast_to(zfun(r * r)[:, None], x.shape)
         return jnp.stack([x, y, z], axis=-1)
 
-    F = grid(lambda r2: sag(c1, r2))
-    B = grid(lambda r2: thickness + sag(c2, r2))
+    F = grid(lambda r2: sag(c1, r2, k1))
+    B = grid(lambda r2: thickness + sag(c2, r2, k2))
 
     def quads(P, order):
         """Triangulate the (K, S) quad grid of P with the given corner
@@ -311,12 +314,13 @@ def singlet_triangles(c1, c2, thickness, aperture_radius,
 
 def singlet_scene(c1, c2, thickness, aperture_radius, ior,
                   n_seg: int = 48, n_rad: int = 12,
-                  pad_to: int = 256) -> Scene:
+                  pad_to: int = 256, k1=0.0, k2=0.0) -> Scene:
     """Scene of one refractive singlet, differentiable w.r.t. c1, c2,
-    thickness, aperture_radius. Rays that miss the lens escape (accounted
-    by shade); pair with spot_rms_at_plane for a design loss."""
+    thickness, aperture_radius, and the conic constants k1/k2. Rays that
+    miss the lens escape (accounted by shade); pair with
+    spot_rms_at_plane for a design loss."""
     tv = singlet_triangles(c1, c2, thickness, aperture_radius,
-                           n_seg=n_seg, n_rad=n_rad)
+                           n_seg=n_seg, n_rad=n_rad, k1=k1, k2=k2)
     return scene_from_triangles(
         tv, mat=int(Material.REFRACTIVE), ior=ior, pad_to=pad_to)
 

@@ -146,3 +146,39 @@ class TestDesignAnchors:
         assert c1_opt == pytest.approx(c1_theory, rel=0.02)
         # and the spot actually collapsed (tessellation-limited floor)
         assert float(v) < 6e-3
+
+    def test_gradient_descent_discovers_stigmatic_conic(self):
+        # flat-front singlet, curved exit: the analytic stigmatic exit
+        # surface is the hyperbola k = -n^2 (Descartes; the asphere
+        # suite's closed form). Starting from a SPHERE (k = 0) at f/3.3,
+        # gradient descent on the conic constant must REDISCOVER it.
+        # Tessellation note: the faceted conic's chord slopes bias the
+        # flat-bottomed optimum by up to ~0.2 in k (sampling-dependent);
+        # n_rad = 96 with the 300-point bundle puts the landscape minimum
+        # at the analytic value, and the tolerance absorbs the residual
+        # facet bias.
+        n = N_GLASS
+        f = 3.0
+        c2 = -1.0 / ((n - 1.0) * f)
+        t_c = 0.15
+        rays0 = diff.collimated_bundle(300, 0.45)
+        z_plane = t_c + f              # flat front: BFD == f
+        mp = 0.25 * float(rays0.power.max())
+
+        def loss(k2):
+            scene = diff.singlet_scene(0.0, c2, t_c, 0.6, n, n_seg=64,
+                                       n_rad=96, k2=k2)
+            _, (eo, ed, ep) = diff.trace_diff(scene, rays0, CFG, 4,
+                                              collect_escaped=True)
+            return diff.spot_rms_at_plane(eo, ed, ep, z_plane,
+                                          min_power=mp)
+
+        vg = jax.jit(jax.value_and_grad(loss))
+        k2, m = jnp.float32(0.0), 0.0
+        v0 = float(loss(0.0))
+        for _ in range(25):
+            v, g = vg(k2)
+            m = 0.7 * m + g
+            k2 = k2 - 25.0 * m
+        assert float(k2) == pytest.approx(-n * n, abs=0.35)
+        assert float(v) < 0.35 * v0    # spot collapsed to ~the facet floor
