@@ -108,7 +108,7 @@ t3 = 0.15
 rays3 = diff.collimated_bundle(300, 0.45)
 mp3 = 0.25 * float(rays3.power.max())
 cfg3 = diff.TraceConfig(backend="jnp", has_gratings=False,
-                        has_coatings=False)
+                        has_coatings=False, has_metals=False)
 
 
 def conic_loss(k2):

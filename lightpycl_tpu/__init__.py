@@ -32,7 +32,7 @@ from lightpycl_tpu.tracer.rays import RayBatch
 from lightpycl_tpu.tracer.engine import Tracer, TraceResult
 from lightpycl_tpu.compat import CL_Tracer
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Material",

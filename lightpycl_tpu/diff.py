@@ -369,7 +369,7 @@ def make_spot_loss(*, ior: float, thickness: float, aperture_radius: float,
     min_dz filters backward Fresnel ghosts), so n_bounces must be >= 3:
     enter + exit + the escape-detection pass."""
     cfg = cfg or TraceConfig(backend="jnp", has_gratings=False,
-                             has_coatings=False)
+                             has_coatings=False, has_metals=False)
     rays0 = collimated_bundle(n_rays, beam_fill * aperture_radius)
 
     per_ray = float(jnp.max(rays0.power))

@@ -166,6 +166,17 @@ def polarized_split(s0, s1, s2, s3, cos_i, cos_t, n1, n2, tir):
     return (r0, r1, r2, r3), (t0, t1, t2, t3)
 
 
+def _branch_safe_sqrt(z):
+    """Complex sqrt with a double-where guard around the branch point:
+    lanes sitting EXACTLY at z = 0 (e.g. dead grazing children at the
+    critical angle) make sqrt's 1/(2 sqrt z) VJP infinite, and 0 * inf =
+    nan poisons every gradient (lightpycl_tpu.diff). sqrt(0) = 0 is kept
+    (the exact physics: cos_t = 0, R = 1 at the critical angle)."""
+    zsafe = _abs2(z) > 1e-12
+    return jnp.where(zsafe, jnp.sqrt(jnp.where(zsafe, z, jnp.complex64(1.0))),
+                     jnp.complex64(0.0))
+
+
 def metal_rs_rp(cos_i, n1, n_metal, k_metal):
     """Complex Fresnel reflection amplitudes (rs, rp) at a bare METAL
     surface: incident dielectric n1 | absorbing medium n_metal - i k_metal
@@ -187,15 +198,7 @@ def metal_rs_rp(cos_i, n1, n_metal, k_metal):
     nc = jnp.where(jnp.abs(nc) > _TINY, nc, one)
     n1c = jnp.asarray(n1, jnp.float32).astype(jnp.complex64)
     sin2 = (one - ci * ci) * (n1c / nc) ** 2
-    # double-where around the branch point: lanes sitting EXACTLY at the
-    # critical angle (z == 0; dead grazing children do this structurally)
-    # make sqrt's 1/(2 sqrt z) VJP infinite, and 0 * inf = nan poisons
-    # every gradient (lightpycl_tpu.diff). ct = 0 there is the exact
-    # physics (R = 1 at the critical angle).
-    z = one - sin2
-    zsafe = _abs2(z) > 1e-12
-    ct = jnp.where(zsafe, jnp.sqrt(jnp.where(zsafe, z, one)),
-                   jnp.complex64(0.0))
+    ct = _branch_safe_sqrt(one - sin2)
     # principal-branch sqrt can land on the wrong sheet for absorbing
     # media; the physical branch has Re(ñ ct) >= 0 (decay into the metal)
     ct = jnp.where(jnp.real(nc * ct) < 0, -ct, ct)
@@ -315,10 +318,8 @@ def multilayer_rs_rp(cos_i, n1, layers_n, layers_h, n_sub, wl):
 
     def cos_in(n):
         n = jnp.maximum(n, _TINY)
-        z = one - (n1s2 / (n * n)).astype(jnp.complex64)
-        zsafe = _abs2(z) > 1e-12   # branch-point guard, see metal_rs_rp
-        return jnp.where(zsafe, jnp.sqrt(jnp.where(zsafe, z, one)),
-                         jnp.complex64(0.0))
+        return _branch_safe_sqrt(
+            one - (n1s2 / (n * n)).astype(jnp.complex64))
 
     def etas(n, c):
         return n * c, n / jnp.where(jnp.abs(c) > _TINY, c, one)
@@ -408,10 +409,8 @@ def multilayer_amplitudes(cos_i, n1, layers_n, layers_h, n_sub, wl):
 
     def cos_in(n):
         n = jnp.maximum(n, _TINY)
-        z = one - (n1s2 / (n * n)).astype(jnp.complex64)
-        zsafe = _abs2(z) > 1e-12   # branch-point guard, see metal_rs_rp
-        return jnp.where(zsafe, jnp.sqrt(jnp.where(zsafe, z, one)),
-                         jnp.complex64(0.0))
+        return _branch_safe_sqrt(
+            one - (n1s2 / (n * n)).astype(jnp.complex64))
 
     def tilt(n, c, pol):
         n = n.astype(jnp.complex64) if hasattr(n, "astype") else n * one

@@ -245,7 +245,9 @@ def trace_spectral(elements, rays: RayBatch, wavelengths, weights=None,
     has_coat = any(e.coating_layers() for e in elements
                    if hasattr(e, "coating_layers"))
     cfg = cfg.replace(has_coatings=has_coat, has_gratings=False,
-                      polarization=False, has_diffuse=False)
+                      polarization=False, has_diffuse=False,
+                      has_metals=any(getattr(e, "metal_n", 0.0) > 0.0
+                                     for e in elements))
     scene, det_names = build_scene(elements, spatial_sort=cfg.cull)
     wl = jnp.asarray(wavelengths, jnp.float32)
     if weights is None:

@@ -94,8 +94,10 @@ class TraceConfig:
     # it on when the scene contains diffuse elements.
     has_diffuse: bool = False
     # True computes the metallic-Fresnel mirror branch (complex-index
-    # mirrors, GeoObject.metal_n/metal_k) for every mirror hit; the engine
-    # sets it False when no metal mirrors exist
+    # mirrors, GeoObject.metal_n/metal_k) for every mirror hit. Defaults
+    # True — like has_gratings, a metal scene traced through the raw step
+    # API must not silently fall back to ideal mirrors — and the engine
+    # (and diff's loss factories) switch it off when no metals exist
     has_metals: bool = True
     seed: int = 0
     # optional on-device planar intensity image of measured hit points

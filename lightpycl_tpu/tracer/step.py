@@ -314,8 +314,13 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     refl_eff = refl
     if cfg.has_metals:
         is_metal = attrs["metal_n"] > 0.0
-        R_metal = physics.metal_reflectance(
+        # one complex-Fresnel evaluation serves both models: the scalar
+        # R here and (under polarization) the Mueller block below
+        mrs, mrp = physics.metal_rs_rp(
             sn["cos_i"], sn["n1"], attrs["metal_n"], attrs["metal_k"])
+        R_metal = jnp.clip(
+            0.5 * (physics._abs2(mrs) + physics._abs2(mrp)), 0.0, 1.0
+        ).astype(jnp.float32)
         refl_eff = jnp.where(is_metal, refl * R_metal, refl)
 
     # dielectric reflectance: bare Fresnel, or the single-layer thin-film
@@ -506,9 +511,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             # metal mirror lanes: full complex (rs, rp) Mueller block in
             # the rotated frame replaces the ideal-mirror flip — power,
             # diattenuation, AND metallic retardation; the scalar `refl`
-            # factor still applies uniformly
-            mrs, mrp = physics.metal_rs_rp(
-                sn["cos_i"], sn["n1"], attrs["metal_n"], attrs["metal_k"])
+            # factor still applies uniformly (amplitudes computed once,
+            # above)
             m0, m1, m2, m3 = physics.mueller_reflect(*S, mrs, mrp)
             is_mm = is_mirror & is_metal
             pa = jnp.where(is_mm, refl * m0, pa)

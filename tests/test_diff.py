@@ -24,7 +24,8 @@ N_GLASS = 1.5
 T_C = 0.3
 APERTURE = 1.0
 
-CFG = TraceConfig(backend="jnp", has_gratings=False, has_coatings=False)
+CFG = TraceConfig(backend="jnp", has_gratings=False, has_coatings=False,
+                  has_metals=False)
 
 
 def _np(x):
