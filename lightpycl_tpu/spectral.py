@@ -256,3 +256,70 @@ def trace_spectral(elements, rays: RayBatch, wavelengths, weights=None,
     sr, per_det, led = trace_spectral_jit(scene, sr, wl, cfg, iterations,
                                           len(det_names))
     return per_det, led, det_names, sr
+
+
+def trace_spectral_multichip(elements, rays: RayBatch, wavelengths,
+                             weights=None, cfg: TraceConfig | None = None,
+                             iterations: int = 8, mesh=None):
+    """Spectral trace SPMD over a 1-D ray mesh: rays shard over chips
+    (scene + wavelength grid replicated), each shard runs the
+    wavelength-parallel loop locally, and the (D, W) per-detector spectra
+    plus the per-wavelength ledger psum over ICI — the sharded twin of
+    trace_spectral with the same return contract (final SpectralRays stay
+    sharded). rays.capacity must divide the mesh size."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lightpycl_tpu.parallel.sharding import RAY_AXIS, make_ray_mesh
+    from lightpycl_tpu.tracer.scene import build_scene
+
+    validate_spectral_scene(elements)
+    cfg = cfg or TraceConfig()
+    cfg = cfg.replace(
+        has_coatings=any(e.coating_layers() for e in elements
+                         if hasattr(e, "coating_layers")),
+        has_gratings=False, polarization=False, has_diffuse=False,
+        has_metals=any(getattr(e, "metal_n", 0.0) > 0.0 for e in elements))
+    mesh = mesh or make_ray_mesh()
+    n_dev = mesh.devices.size
+    scene, det_names = build_scene(elements, spatial_sort=cfg.cull)
+    wl = jnp.asarray(wavelengths, jnp.float32)
+    if weights is None:
+        weights = jnp.full((wl.shape[0],), 1.0 / wl.shape[0], jnp.float32)
+    if rays.capacity % n_dev:
+        rays = rays.padded_to(-(-rays.capacity // n_dev) * n_dev)
+    sr = SpectralRays.from_batch(rays, weights)
+    sr = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(RAY_AXIS))), sr)
+    n_det = len(det_names)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("cfg_", "iters", "mesh_", "nd"))
+    def run(scene, sr, wl, cfg_, iters, mesh_, nd):
+        def local(scene, sr, wl):
+            W = sr.P.shape[1]
+            per_det = jnp.zeros((max(nd, 1), W), jnp.float32)
+            z = jnp.zeros((W,), jnp.float32)
+            led = SpectralLedger(
+                emitted=jnp.sum(jnp.where(sr.alive[:, None], sr.P, 0.0),
+                                axis=0),
+                measured=z, absorbed=z, escaped=z, culled=z)
+
+            def body(_, st):
+                sr, per_det, led = st
+                return spectral_step(scene, sr, per_det, led, wl, cfg_)
+
+            sr, per_det, led = jax.lax.fori_loop(0, iters, body,
+                                                 (sr, per_det, led))
+            per_det = jax.lax.psum(per_det, RAY_AXIS)
+            led = SpectralLedger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
+            return sr, per_det, led
+
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(local, mesh=mesh_,
+                             in_specs=(P(), P(RAY_AXIS), P()),
+                             out_specs=(P(RAY_AXIS), P(), P()),
+                             check_vma=False)(scene, sr, wl)
+
+    sr, per_det, led = run(scene, sr, wl, cfg, iterations, mesh, n_det)
+    return per_det, led, det_names, sr

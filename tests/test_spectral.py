@@ -133,3 +133,28 @@ class TestSpectralParity:
                              mode="device", dissipation_target=1.0)
         assert per_det[0].sum() == pytest.approx(
             res.detector_power("dome"), rel=2e-4)
+
+
+class TestSpectralMultichip:
+    def test_sharded_matches_single_device(self):
+        from lightpycl_tpu.parallel.sharding import make_ray_mesh
+        from lightpycl_tpu.spectral import trace_spectral_multichip
+
+        els = _scene_coated_window()
+        src = _beam(n=256, seed=4)
+        o, d, p = src.sample()
+        rays = RayBatch.from_arrays(o, d, p, capacity=4096)
+        pd1, led1, names, _ = spectral.trace_spectral(els, rays, WLS,
+                                                      iterations=8)
+        rays2 = RayBatch.from_arrays(o, d, p, capacity=4096)
+        mesh = make_ray_mesh(8)
+        pd8, led8, names8, _ = trace_spectral_multichip(
+            els, rays2, WLS, iterations=8, mesh=mesh)
+        assert names == names8
+        # identical per-detector spectra and per-wavelength ledgers
+        np.testing.assert_allclose(np.asarray(pd8), np.asarray(pd1),
+                                   atol=2e-6)
+        for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
+            np.testing.assert_allclose(np.asarray(getattr(led8, k)),
+                                       np.asarray(getattr(led1, k)),
+                                       atol=2e-6), k
