@@ -118,7 +118,7 @@ print(f"autodiff at nominal: d(rms)/d(c1) = {g:+.4f} (~0: the design IS "
       f"the minimum), d^2(rms)/d(c1)^2 = {H:.2f}")
 print(f"second-order budget E[d rms] = {pred_mean:.5f}; "
       f"curvature-only MC mean = {mc_mean:.5f}")
-assert abs(g) < 0.2 * np.sqrt(H * max(rms0_diff, 1e-9))  # near the optimum
+assert abs(g) < 0.2 * np.sqrt(max(H, 0.0) * max(rms0_diff, 1e-9))
 assert abs(pred_mean - mc_mean) < 0.5 * max(pred_mean, mc_mean)
 # perturbed medians sit above the nominal floor (tilt/decenter barely
 # move the CENTROID-relative rms, and thickness jitter can partially

@@ -229,6 +229,27 @@ def trace_spectral_jit(scene: Scene, sr: SpectralRays, wavelengths,
     return sr, per_det, led
 
 
+def _resolve_spectral(elements, cfg, wavelengths, weights):
+    """Shared setup for the single-device and sharded entry points:
+    validate the scene, sync every material flag from the elements (ONE
+    place — new flags must be added here only), build the scene, default
+    the weights."""
+    from lightpycl_tpu.tracer.scene import build_scene
+
+    validate_spectral_scene(elements)
+    cfg = cfg or TraceConfig()
+    cfg = cfg.replace(
+        has_coatings=any(e.coating_layers() for e in elements
+                         if hasattr(e, "coating_layers")),
+        has_gratings=False, polarization=False, has_diffuse=False,
+        has_metals=any(getattr(e, "metal_n", 0.0) > 0.0 for e in elements))
+    scene, det_names = build_scene(elements, spatial_sort=cfg.cull)
+    wl = jnp.asarray(wavelengths, jnp.float32)
+    if weights is None:
+        weights = jnp.full((wl.shape[0],), 1.0 / wl.shape[0], jnp.float32)
+    return cfg, scene, det_names, wl, weights
+
+
 def trace_spectral(elements, rays: RayBatch, wavelengths, weights=None,
                    cfg: TraceConfig | None = None, iterations: int = 8):
     """Trace one geometry pass carrying W spectral samples per ray.
@@ -238,24 +259,46 @@ def trace_spectral(elements, rays: RayBatch, wavelengths, weights=None,
     uniform). Returns (per_detector (D, W), SpectralLedger, detector_names,
     final SpectralRays).
     """
-    from lightpycl_tpu.tracer.scene import build_scene
-
-    validate_spectral_scene(elements)
-    cfg = cfg or TraceConfig()
-    has_coat = any(e.coating_layers() for e in elements
-                   if hasattr(e, "coating_layers"))
-    cfg = cfg.replace(has_coatings=has_coat, has_gratings=False,
-                      polarization=False, has_diffuse=False,
-                      has_metals=any(getattr(e, "metal_n", 0.0) > 0.0
-                                     for e in elements))
-    scene, det_names = build_scene(elements, spatial_sort=cfg.cull)
-    wl = jnp.asarray(wavelengths, jnp.float32)
-    if weights is None:
-        weights = jnp.full((wl.shape[0],), 1.0 / wl.shape[0], jnp.float32)
+    cfg, scene, det_names, wl, weights = _resolve_spectral(
+        elements, cfg, wavelengths, weights)
     sr = SpectralRays.from_batch(rays, weights)
     sr, per_det, led = trace_spectral_jit(scene, sr, wl, cfg, iterations,
                                           len(det_names))
     return per_det, led, det_names, sr
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "iterations", "mesh",
+                                    "n_detectors"))
+def _trace_spectral_multichip_jit(scene, sr, wl, cfg, iterations, mesh,
+                                  n_detectors):
+    from jax.sharding import PartitionSpec as P
+
+    from lightpycl_tpu.parallel.sharding import RAY_AXIS
+
+    def local(scene, sr, wl):
+        W = sr.P.shape[1]
+        per_det = jnp.zeros((max(n_detectors, 1), W), jnp.float32)
+        z = jnp.zeros((W,), jnp.float32)
+        led = SpectralLedger(
+            emitted=jnp.sum(jnp.where(sr.alive[:, None], sr.P, 0.0),
+                            axis=0),
+            measured=z, absorbed=z, escaped=z, culled=z)
+
+        def body(_, st):
+            sr, per_det, led = st
+            return spectral_step(scene, sr, per_det, led, wl, cfg)
+
+        sr, per_det, led = jax.lax.fori_loop(0, iterations, body,
+                                             (sr, per_det, led))
+        per_det = jax.lax.psum(per_det, RAY_AXIS)
+        led = SpectralLedger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
+        return sr, per_det, led
+
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(), P(RAY_AXIS), P()),
+                         out_specs=(P(RAY_AXIS), P(), P()),
+                         check_vma=False)(scene, sr, wl)
 
 
 def trace_spectral_multichip(elements, rays: RayBatch, wavelengths,
@@ -266,60 +309,34 @@ def trace_spectral_multichip(elements, rays: RayBatch, wavelengths,
     wavelength-parallel loop locally, and the (D, W) per-detector spectra
     plus the per-wavelength ledger psum over ICI — the sharded twin of
     trace_spectral with the same return contract (final SpectralRays stay
-    sharded). rays.capacity must divide the mesh size."""
+    sharded; capacity is auto-padded to a multiple of the mesh size).
+
+    Ray slots are INTERLEAVED round-robin across the shards before
+    placement: RayBatch.from_arrays front-packs live rays, so contiguous
+    block-sharding would pile every live ray (and every Fresnel-split
+    child) onto the first shards while the dead-slot headroom sits idle
+    on the tail shards — per-shard compaction would then cull real power
+    that the single-device trace keeps. Ray order is semantically free,
+    so the interleave is exact.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from lightpycl_tpu.parallel.sharding import RAY_AXIS, make_ray_mesh
-    from lightpycl_tpu.tracer.scene import build_scene
 
-    validate_spectral_scene(elements)
-    cfg = cfg or TraceConfig()
-    cfg = cfg.replace(
-        has_coatings=any(e.coating_layers() for e in elements
-                         if hasattr(e, "coating_layers")),
-        has_gratings=False, polarization=False, has_diffuse=False,
-        has_metals=any(getattr(e, "metal_n", 0.0) > 0.0 for e in elements))
+    cfg, scene, det_names, wl, weights = _resolve_spectral(
+        elements, cfg, wavelengths, weights)
     mesh = mesh or make_ray_mesh()
     n_dev = mesh.devices.size
-    scene, det_names = build_scene(elements, spatial_sort=cfg.cull)
-    wl = jnp.asarray(wavelengths, jnp.float32)
-    if weights is None:
-        weights = jnp.full((wl.shape[0],), 1.0 / wl.shape[0], jnp.float32)
     if rays.capacity % n_dev:
         rays = rays.padded_to(-(-rays.capacity // n_dev) * n_dev)
+    C = rays.capacity
+    S = C // n_dev
+    # round-robin interleave: new shard-s slot j holds old slot j*n_dev+s
+    idx = (jnp.arange(C) % S) * n_dev + jnp.arange(C) // S
+    rays = jax.tree_util.tree_map(lambda x: x[idx], rays)
     sr = SpectralRays.from_batch(rays, weights)
     sr = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(RAY_AXIS))), sr)
-    n_det = len(det_names)
-
-    @functools.partial(jax.jit,
-                       static_argnames=("cfg_", "iters", "mesh_", "nd"))
-    def run(scene, sr, wl, cfg_, iters, mesh_, nd):
-        def local(scene, sr, wl):
-            W = sr.P.shape[1]
-            per_det = jnp.zeros((max(nd, 1), W), jnp.float32)
-            z = jnp.zeros((W,), jnp.float32)
-            led = SpectralLedger(
-                emitted=jnp.sum(jnp.where(sr.alive[:, None], sr.P, 0.0),
-                                axis=0),
-                measured=z, absorbed=z, escaped=z, culled=z)
-
-            def body(_, st):
-                sr, per_det, led = st
-                return spectral_step(scene, sr, per_det, led, wl, cfg_)
-
-            sr, per_det, led = jax.lax.fori_loop(0, iters, body,
-                                                 (sr, per_det, led))
-            per_det = jax.lax.psum(per_det, RAY_AXIS)
-            led = SpectralLedger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
-            return sr, per_det, led
-
-        from jax.sharding import PartitionSpec as P
-
-        return jax.shard_map(local, mesh=mesh_,
-                             in_specs=(P(), P(RAY_AXIS), P()),
-                             out_specs=(P(RAY_AXIS), P(), P()),
-                             check_vma=False)(scene, sr, wl)
-
-    sr, per_det, led = run(scene, sr, wl, cfg, iterations, mesh, n_det)
+    sr, per_det, led = _trace_spectral_multichip_jit(
+        scene, sr, wl, cfg, iterations, mesh, len(det_names))
     return per_det, led, det_names, sr

@@ -137,11 +137,16 @@ class TestSpectralParity:
 
 class TestSpectralMultichip:
     def test_sharded_matches_single_device(self):
+        # REALISTIC load: 1024 live rays at the standard 4x split
+        # headroom, spanning ALL 8 shards (the round-robin interleave
+        # gives each shard 128 live rays + its share of the headroom —
+        # without it, shards 0-1 would hold every live ray, overflow at
+        # the first Fresnel split, and cull ~0.6% of real power)
         from lightpycl_tpu.parallel.sharding import make_ray_mesh
         from lightpycl_tpu.spectral import trace_spectral_multichip
 
         els = _scene_coated_window()
-        src = _beam(n=256, seed=4)
+        src = _beam(n=1024, seed=4)
         o, d, p = src.sample()
         rays = RayBatch.from_arrays(o, d, p, capacity=4096)
         pd1, led1, names, _ = spectral.trace_spectral(els, rays, WLS,
@@ -151,10 +156,13 @@ class TestSpectralMultichip:
         pd8, led8, names8, _ = trace_spectral_multichip(
             els, rays2, WLS, iterations=8, mesh=mesh)
         assert names == names8
-        # identical per-detector spectra and per-wavelength ledgers
+        # nothing culled on either path; spectra and ledgers agree to f32
+        # summation-order noise (8-way psum + interleaved accumulation
+        # order; ~5e-6 at 1024 rays)
+        assert float(np.abs(np.asarray(led8.culled)).max()) < 1e-6
         np.testing.assert_allclose(np.asarray(pd8), np.asarray(pd1),
-                                   atol=2e-6)
+                                   atol=2e-5)
         for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
             np.testing.assert_allclose(np.asarray(getattr(led8, k)),
                                        np.asarray(getattr(led1, k)),
-                                       atol=2e-6), k
+                                       atol=2e-5, err_msg=k)
