@@ -24,6 +24,7 @@ if os.environ.get("LPCL_FORCE_CPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,9 @@ dop = degree_of_polarization(res.measured_stokes[sel],
                              res.measured_power[sel])
 
 arr = lambda x: jnp.atleast_1d(jnp.asarray(x, jnp.float32))
+# jit the analytic helper: the axon TPU backend lacks the EAGER
+# f32 -> complex64 convert op (fine under jit, where XLA lowers it)
+metal_rs_rp = jax.jit(metal_rs_rp)
 rs45, rp45 = metal_rs_rp(arr(np.cos(np.radians(45.0))), arr(1.0),
                          arr(AL_N), arr(AL_K))
 Rs, Rp = float(jnp.abs(rs45)[0]) ** 2, float(jnp.abs(rp45)[0]) ** 2

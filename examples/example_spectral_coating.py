@@ -67,7 +67,11 @@ T_meas = per_det[names.index("T")] * W
 # backward power is R1 + T1^2 R2 + ... (both faces coated); the front
 # interface dominates inside the stopband
 arr = jnp.asarray
-R1 = np.array([float(multilayer_reflectance(
+# jit: the axon TPU backend lacks the EAGER f32 -> complex64 convert
+import jax as _jax
+
+_ml = _jax.jit(multilayer_reflectance)
+R1 = np.array([float(_ml(
     arr([1.0]), arr([1.0]), [arr([n]) for n, _ in STACK],
     [arr([h]) for _, h in STACK], arr([N_SUB]), arr([wl]))[0])
     for wl in wls])
