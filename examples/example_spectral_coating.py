@@ -95,4 +95,6 @@ res = tr.trace(src, els, trace_iterations=10,
 t_one = res.wall_time
 print(f"scalar trace at one wavelength: {t_one:.2f}s -> x{N_WL} = "
       f"{N_WL * t_one:.1f}s for the same spectrum; spectral speedup "
-      f"~{N_WL * t_one / t_spectral:.1f}x")
+      f"~{N_WL * t_one / t_spectral:.1f}x (small sizes are compile-"
+      "dominated; the steady-state record is 28.8x at 262k rays — "
+      "benchmarks/spectral_bench.py)")
