@@ -240,6 +240,40 @@ class OpticalElements:
         poly = [(-width / 2.0, 0.0), (width / 2.0, 0.0), (0.0, height)]
         return self.extrude(poly, length, material=material, ior=ior, **kw)
 
+    def cylindrical_lens(self, r: float, aperture: float = 1.0,
+                         thickness: float = 0.2, length: float = 1.0,
+                         ior: float = 1.5, center=(0, 0, 0),
+                         **kw) -> GeoObject:
+        """Plano-convex CYLINDRICAL lens (extension: line-focus optics —
+        laser-sheet generators, anamorphic pairs, astigmatism demos).
+
+        Powered in x only: flat entrance face in the z = 0 plane, circular-
+        arc exit surface of radius `r` with vertex at z = `thickness`,
+        extruded `length` along y (the unpowered axis). A collimated +z
+        beam focuses to a LINE parallel to y at the plano-convex focal
+        distance f = r / (n - 1) behind the exit vertex; the y extent is
+        untouched. `aperture` is the full x width (chord), so r >= a/2.
+        """
+        a = aperture / 2.0
+        if r <= a:
+            raise ValueError("cylindrical_lens needs r > aperture/2")
+        sag = r - np.sqrt(r * r - a * a)
+        if sag >= thickness:
+            raise ValueError(
+                "edge thickness <= 0: increase `thickness` or `r`")
+        # CCW cross-section in xy (y becomes the optical z after the
+        # rotation below): flat base, then the arc from +a back to -a
+        xs = np.linspace(a, -a, self.n_radial + 1)
+        arc = [(x, thickness - (r - np.sqrt(r * r - x * x))) for x in xs]
+        poly = [(-a, 0.0), (a, 0.0)] + arc[1:-1] + [(-a, arc[-1][1])]
+        obj = self.extrude(poly, length, material=Material.REFRACTIVE,
+                           ior=ior, **kw)
+        # rotate +90 deg about x: polygon y -> +z (flat entrance in the
+        # z = 0 plane, arc vertex at z = +thickness), extrusion z -> -y
+        # (symmetric, so the length stays centered)
+        obj.rotate((1, 0, 0), np.pi / 2.0)
+        return obj.translate(center)
+
     # -- optical surfaces ----------------------------------------------------
 
     def parabolic_mirror(self, focus: float = 1.0, diameter: float = 2.0,

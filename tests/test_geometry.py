@@ -135,3 +135,48 @@ class TestTransforms:
         m = merge([oe.cube(1.0), oe.cube(1.0, center=(3, 0, 0))])
         assert m.num_triangles == 24
         assert is_watertight(m)
+
+
+class TestCylindricalLens:
+    """Plano-convex cylindrical lens: line focus in x only (extension)."""
+
+    def test_line_focus_at_thick_lens_bfd(self):
+        import lightpycl_tpu as L
+        from lightpycl_tpu.analysis import spot_diagram
+        from lightpycl_tpu.sources import CollimatedSource
+        from lightpycl_tpu.tracer.engine import Tracer
+
+        n, R, t = 1.5, 0.6, 0.2
+        oe = L.optical_elements(n_segments=32, n_radial=64)
+        lens = oe.cylindrical_lens(R, aperture=0.8, thickness=t,
+                                   length=1.2, ior=n)
+        dome = oe.sphere(radius=8.0, material="measure", name="dome")
+        src = CollimatedSource(center=(0, 0, -0.5), direction=(0, 0, 1),
+                               diameter=0.16, power=1.0, ray_count=2000,
+                               seed=3)
+        res = Tracer().trace(src, [lens, dome], trace_iterations=5,
+                             capacity=8000)
+        assert res.power_conservation_error() < 1e-5
+        sel = res.measured_power > 0.5 * res.measured_power.max()
+        pos, dirs = res.measured_pos[sel], res.measured_dir[sel]
+        # flat-entrance plano-convex: rear principal plane sits AT the
+        # curved exit vertex, so the paraxial line focus is at
+        # z = t + R/(n-1) exactly
+        z_th = t + R / (n - 1.0)
+        zs = np.linspace(z_th - 0.4, z_th + 0.4, 41)
+        sx = [spot_diagram(pos, dirs, z)["xy"][:, 0].std() for z in zs]
+        z_best = zs[int(np.argmin(sx))]
+        assert z_best == pytest.approx(z_th, abs=0.05)
+        # a LINE: x collapses, y stays the beam's extent
+        xy = spot_diagram(pos, dirs, z_best)["xy"]
+        assert xy[:, 1].std() > 8.0 * xy[:, 0].std()
+        assert xy[:, 1].std() == pytest.approx(0.16 / 4.0, rel=0.15)
+
+    def test_parameter_validation(self):
+        import lightpycl_tpu as L
+
+        oe = L.optical_elements()
+        with pytest.raises(ValueError, match="aperture"):
+            oe.cylindrical_lens(0.3, aperture=0.8)
+        with pytest.raises(ValueError, match="edge thickness"):
+            oe.cylindrical_lens(0.42, aperture=0.8, thickness=0.05)
