@@ -262,10 +262,12 @@ class OpticalElements:
             raise ValueError(
                 "edge thickness <= 0: increase `thickness` or `r`")
         # CCW cross-section in xy (y becomes the optical z after the
-        # rotation below): flat base, then the arc from +a back to -a
+        # rotation below): flat base, then the FULL arc from +a back to -a
+        # (arc already contains both rim corner points, at y > 0, so none
+        # duplicate the base vertices)
         xs = np.linspace(a, -a, self.n_radial + 1)
         arc = [(x, thickness - (r - np.sqrt(r * r - x * x))) for x in xs]
-        poly = [(-a, 0.0), (a, 0.0)] + arc[1:-1] + [(-a, arc[-1][1])]
+        poly = [(-a, 0.0), (a, 0.0)] + arc
         obj = self.extrude(poly, length, material=Material.REFRACTIVE,
                            ior=ior, **kw)
         # rotate +90 deg about x: polygon y -> +z (flat entrance in the

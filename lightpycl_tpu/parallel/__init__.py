@@ -5,7 +5,6 @@ from lightpycl_tpu.parallel.sharding import (
 )
 from lightpycl_tpu.parallel.mesh2d import make_mesh2d, place, trace_mesh2d
 from lightpycl_tpu.parallel.tri_sharding import (
-    gather_hit_attributes,
     intersect_tri_sharded,
     make_tri_mesh,
     shard_scene,
@@ -18,7 +17,6 @@ __all__ = [
     "make_tri_mesh",
     "shard_scene",
     "intersect_tri_sharded",
-    "gather_hit_attributes",
     "make_mesh2d",
     "place",
     "trace_mesh2d",

@@ -80,16 +80,17 @@ def intersect_tri_sharded(scene: Scene, o, d, cfg: TraceConfig, mesh: Mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
-def gather_hit_attributes(scene: Scene, tri: jnp.ndarray, mesh: Mesh):
-    """Fetch the CORE per-hit triangle attributes (mat, normal, ior,
-    reflectivity, detector_id) from the owning shard: the winner
-    contributes, psum combines. tri is the GLOBAL index from
-    intersect_tri_sharded (-1 miss).
+def _gather_hit_attributes(scene: Scene, tri: jnp.ndarray, mesh: Mesh):
+    """PRIVATE (test anchor only): fetch the CORE per-hit triangle
+    attributes (mat, normal, ior, reflectivity, detector_id) from the
+    owning shard: the winner contributes, psum combines. tri is the GLOBAL
+    index from intersect_tri_sharded (-1 miss).
 
     This is the minimal building-block demonstration of the
-    winner-contributes pattern; the production triangle-sharded trace
-    (parallel/mesh2d.py) mirrors step.gather_hit_attrs' FULL column set
-    (dispersion, optics, coatings, metals) — extend there, not here.
+    winner-contributes pattern and carries only 5 of the 17 attribute
+    columns; the production triangle-sharded trace (parallel/mesh2d.py)
+    mirrors step.gather_hit_attrs' FULL column set (dispersion, optics,
+    coatings, metals) — use and extend that, not this.
     """
     n_shards = mesh.shape[TRI_AXIS]
     shard_size = scene.num_triangles_padded // n_shards

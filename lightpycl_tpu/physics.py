@@ -387,7 +387,9 @@ def multilayer_amplitudes(cos_i, n1, layers_n, layers_h, n_sub, wl):
                |eta_1 B + C|^2 — EXACTLY 1 - |r|^2 for a lossless stack,
                and exactly 0 under substrate TIR (Re(eta_sub) = 0);
       Xt     : complex transmission cross term sqrt(Ts Tp)
-               e^{i (arg ts - arg tp)} for the Mueller s2/s3 block (the
+               e^{i (arg tp - arg ts)} — i.e. Xt = conj(ts) tp up to real
+               positive factors, matching the reflection cross-term
+               convention Xr = conj(rs) rp — for the Mueller s2/s3 block (the
                E- vs H-field p-amplitude conventions differ only by real
                positive factors, so the PHASE is convention-free).
 

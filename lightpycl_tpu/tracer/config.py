@@ -32,9 +32,13 @@ class TraceConfig:
                         this fraction (reference: power-dissipation cutoff)
       hist_azimuth_bins / hist_polar_bins: detector histogram shape
       hist_mode:        'position'  — bin spherical angles of the hit point
-                        relative to the scene origin (hemisphere detector
+                        relative to `hist_center` (hemisphere detector
                         directivity, the reference's analysis);
                         'direction' — bin the arriving ray direction
+      hist_center:      center the 'position' histogram binning about this
+                        point (default origin — set it to the detector
+                        dome's center for off-origin detectors, or the
+                        directivity histogram silently skews)
       tri_chunk:        triangle tile size for the jnp intersect scan
       backend:          'auto' | 'pallas' | 'jnp' intersect implementation
       allow_splitting:  False skips the refracted-child slots and the 2C
@@ -59,6 +63,7 @@ class TraceConfig:
     hist_azimuth_bins: int = 36
     hist_polar_bins: int = 18
     hist_mode: str = "position"
+    hist_center: tuple = (0.0, 0.0, 0.0)
     tri_chunk: int = 512
     backend: str = "auto"
     allow_splitting: bool = True
@@ -82,11 +87,12 @@ class TraceConfig:
     # the scene has no GRATING elements — the branchless math costs ~7% of
     # a full trace otherwise
     has_gratings: bool = True
-    # True computes the single-layer thin-film R(lambda, theta) branch for
-    # every dielectric hit (safe default for direct step users with coated
-    # elements); the engine sets it False when no element has a coating.
-    # The POLARIZED path ignores coatings (the engine refuses the
-    # combination — thin films are unpolarized-model only for now).
+    # True computes the thin-film R(lambda, theta) branch (multilayer
+    # stacks supported) for every dielectric hit (safe default for direct
+    # step users with coated elements); the engine sets it False when no
+    # element has a coating. Under polarization=True the coated lanes use
+    # the characteristic-matrix Mueller split (physics.polarized_film_split)
+    # instead of the scalar Airy recursion.
     has_coatings: bool = True
     # True enables the Lambertian-scatter branch (Material.DIFFUSE), which
     # DRAWS RANDOM NUMBERS: trace_step then requires a PRNG key, so unlike

@@ -323,11 +323,13 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         ).astype(jnp.float32)
         refl_eff = jnp.where(is_metal, refl * R_metal, refl)
 
-    # dielectric reflectance: bare Fresnel, or the single-layer thin-film
+    # dielectric reflectance: bare Fresnel, or the multilayer thin-film
     # R(lambda, theta) where the triangle is coated (extension over the
     # reference). Directions and medium bookkeeping are unchanged — Snell
-    # n1 -> n2 holds across a thin film. Polarized path: unsupported, the
-    # engine refuses coated scenes with polarization=True.
+    # n1 -> n2 holds across a thin film. This scalar branch is skipped
+    # under polarization=True because coated lanes are then handled by the
+    # characteristic-matrix Mueller split (physics.polarized_film_split)
+    # in the polarized branch below.
     R_diel = sn["R"]
     if cfg.has_coatings and not cfg.polarization:
         cn, ch = attrs["coat_ior"], attrs["coat_thickness"]  # (C, L)
@@ -688,8 +690,10 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
     n_az, n_pol = det.hist.shape
     if cfg.hist_mode == "direction":
         v = rays.d
-    else:  # 'position': far-field direction of the hit point
-        v = physics.normalize(sh.hit_point)
+    else:  # 'position': far-field direction of the hit point as seen from
+        # cfg.hist_center (default origin; set it for off-origin domes)
+        v = physics.normalize(
+            sh.hit_point - jnp.asarray(cfg.hist_center, jnp.float32))
     az = jnp.arctan2(v[:, 1], v[:, 0])  # [-pi, pi)
     az = jnp.where(az < 0, az + 2.0 * np.pi, az)
     pol = jnp.arccos(jnp.clip(v[:, 2], -1.0, 1.0))

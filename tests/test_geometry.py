@@ -180,3 +180,24 @@ class TestCylindricalLens:
             oe.cylindrical_lens(0.3, aperture=0.8)
         with pytest.raises(ValueError, match="edge thickness"):
             oe.cylindrical_lens(0.42, aperture=0.8, thickness=0.05)
+
+    def test_cross_section_mirror_symmetric(self):
+        # regression: the +x rim used to be replaced by a slanted chamfer
+        # one radial step wide (arc[0] dropped from the cross-section) while
+        # the -x rim was square — full-chord rays then hit a spurious facet.
+        # The vertex set must be exactly mirror-symmetric under x -> -x.
+        import lightpycl_tpu as L
+
+        oe = L.optical_elements(n_segments=16, n_radial=9)  # odd: no x=0 luck
+        lens = oe.cylindrical_lens(0.6, aperture=0.8, thickness=0.2,
+                                   length=1.0)
+        v = np.asarray(lens.vertices)[:, :3]
+        flipped = v * np.array([-1.0, 1.0, 1.0])
+        # every flipped vertex must coincide with some original vertex
+        d2 = ((flipped[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+        assert d2.min(axis=1).max() < 1e-12
+        # both rims present at full aperture: vertices at x = +-a, z = rim
+        a, rim_z = 0.4, 0.2 - (0.6 - np.sqrt(0.6**2 - 0.4**2))
+        for sx in (+a, -a):
+            sel = np.isclose(v[:, 0], sx, atol=1e-9)
+            assert np.isclose(v[sel][:, 2].max(), rim_z, atol=1e-9)

@@ -212,6 +212,22 @@ class TestHistModes:
         assert np.allclose(r_pos.hist.sum(axis=0), r_dir.hist.sum(axis=0),
                            atol=1e-5)
 
+    def test_hist_center_recenters_off_origin_dome(self):
+        # the same scene translated off-origin, binned about hist_center,
+        # must reproduce the origin-centered histogram bin for bin
+        oe2 = L.optical_elements(n_segments=24, n_radial=8)
+        src0 = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                                diameter=0.5, ray_count=500, seed=7)
+        r0 = Tracer().trace(src0, [oe2.hemisphere(10.0, name="dome")],
+                            trace_iterations=2, hist_mode="position")
+        shift = (3.0, -2.0, 5.0)
+        dome = oe2.hemisphere(10.0, name="dome").translate(shift)
+        src1 = CollimatedSource(center=shift, direction=(0, 0, 1),
+                                diameter=0.5, ray_count=500, seed=7)
+        r1 = Tracer().trace(src1, [dome], trace_iterations=2,
+                            hist_mode="position", hist_center=shift)
+        assert np.allclose(r1.hist, r0.hist, atol=1e-5)
+
 
 class TestPolarizedDeviceMode:
     def test_device_loop_carries_stokes(self):

@@ -7,7 +7,7 @@ import pytest
 
 import lightpycl_tpu as L
 from lightpycl_tpu.parallel.tri_sharding import (
-    gather_hit_attributes,
+    _gather_hit_attributes,
     intersect_tri_sharded,
     make_tri_mesh,
     shard_scene,
@@ -52,7 +52,7 @@ def test_gather_hit_attributes(setup):
     mesh = make_tri_mesh(8)
     sharded = shard_scene(scene, mesh)
     _, tri = intersect_tri_sharded(sharded, o, d, CFG, mesh)
-    mat, normal, ior, refl, det = gather_hit_attributes(sharded, tri, mesh)
+    mat, normal, ior, refl, det = _gather_hit_attributes(sharded, tri, mesh)
     tri_np = np.asarray(tri)
     hit = tri_np >= 0
     safe = np.maximum(tri_np, 0)
