@@ -56,7 +56,7 @@ def main():
     def run_spectral():
         rays = RayBatch.from_arrays(o, d, p, capacity=2 * RAYS)
         t0 = time.perf_counter()
-        per_det, led, names, sr = spectral.trace_spectral(
+        per_det, led, names, sr, _ = spectral.trace_spectral(
             els, rays, wls, iterations=ITERS)
         jax.block_until_ready(per_det)
         return time.perf_counter() - t0, np.asarray(per_det), names

@@ -21,7 +21,7 @@ if os.environ.get("LPCL_FORCE_CPU"):
 import jax.numpy as jnp
 import numpy as np
 
-from lightpycl_tpu import optical_elements, spectral
+from lightpycl_tpu import optical_elements
 from lightpycl_tpu.physics import multilayer_reflectance
 from lightpycl_tpu.sources import CollimatedSource
 from lightpycl_tpu.tracer.engine import Tracer
@@ -51,17 +51,21 @@ rays = RayBatch.from_arrays(o, d, p, capacity=4 * RAY_COUNT)
 
 wls = np.linspace(0.40, 0.75, N_WL)
 
-t0 = time.perf_counter()
-per_det, led, names, _ = spectral.trace_spectral(els, rays, wls,
-                                                 iterations=10)
-per_det = np.asarray(per_det)
-t_spectral = time.perf_counter() - t0
+# engine API: one call, same TraceResult surface as a scalar trace plus
+# the (D, W) spectra (equivalently: CL_Tracer().iterative_tracer(...,
+# wavelengths=wls) from a ported reference script)
+tr = Tracer()
+res_sp = tr.trace_spectral(src, wls, elements=els, trace_iterations=10,
+                           rays=rays)
+t_spectral = res_sp.wall_time
 print(f"spectral trace: {N_WL} wavelengths x {RAY_COUNT} rays "
       f"in {t_spectral:.2f}s (one geometry pass)")
 
 W = len(wls)
-R_meas = per_det[names.index("R")] * W         # columns carry 1/W power
-T_meas = per_det[names.index("T")] * W
+R_meas = res_sp.detector_spectrum("R") * W     # columns carry 1/W power
+T_meas = res_sp.detector_spectrum("T") * W
+# the scalar analysis surface exists too: angular histogram + ledger
+assert abs(res_sp.hist.sum() - res_sp.ledger["measured"]) < 1e-5
 
 # analytic single-interface comparison: at normal incidence the measured
 # backward power is R1 + T1^2 R2 + ... (both faces coated); the front
@@ -87,7 +91,6 @@ assert R_meas[peak] > 0.68          # (HL)^3: R1 ~ 0.70 + back-face return
 
 # scalar-alternative timing: the same scene traced at ONE wavelength,
 # scaled by W (lower bound: W independent traces, W compiles amortized out)
-tr = Tracer()
 res = tr.trace(src, els, trace_iterations=10,
                rays=RayBatch.from_arrays(o, d, p, capacity=4 * RAY_COUNT,
                                          wavelengths=WL0),

@@ -69,13 +69,32 @@ class CL_Tracer(Tracer):
 
     def iterative_tracer(self, light_source, meshes, trace_iterations=16,
                          max_ray_len=1e3, ior_env=1.0, record_paths=None,
-                         power_dissipated=None, **kw) -> TraceResult:
+                         power_dissipated=None, wavelengths=None,
+                         spectral_weights=None, **kw) -> TraceResult:
         """Run the full iterative trace (reference main entry point,
         SURVEY.md §4.3). Measured rays are harvested per iteration (host
         mode), matching reference semantics. `power_dissipated` is the
-        reference's early-exit fraction (alias of dissipation_target)."""
+        reference's early-exit fraction (alias of dissipation_target).
+
+        `wavelengths` (um, optional) turns the SAME script spectral: one
+        wavelength-parallel trace (Tracer.trace_spectral) whose
+        TraceResult additionally carries per_detector_spectrum (D, W) —
+        the one-kwarg upgrade path from a reference script to a spectral
+        study. Spectral runs are device-mode (no per-ray harvest /
+        record_paths); `spectral_weights` sets the per-wavelength power
+        split (default uniform)."""
         if power_dissipated is not None:
             kw.setdefault("dissipation_target", float(power_dissipated))
+        if wavelengths is not None:
+            kw.pop("dissipation_target", None)  # no early exit in spectral
+            mode = kw.pop("mode", "device")
+            return self.trace_spectral(
+                light_source, wavelengths, elements=meshes,
+                weights=spectral_weights,
+                trace_iterations=int(trace_iterations),
+                max_ray_len=float(max_ray_len), ior_env=float(ior_env),
+                mode=mode, **kw,
+            )
         # mode='host' keeps reference semantics (per-iteration measured-ray
         # harvest); 'device'/'multichip'/'mesh2d' scale the same script up
         mode = kw.pop("mode", "host")

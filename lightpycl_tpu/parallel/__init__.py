@@ -1,4 +1,6 @@
 from lightpycl_tpu.parallel.sharding import (
+    deinterleave_rays,
+    interleave_rays,
     make_ray_mesh,
     shard_rays,
     trace_multichip,
@@ -11,6 +13,8 @@ from lightpycl_tpu.parallel.tri_sharding import (
 )
 
 __all__ = [
+    "deinterleave_rays",
+    "interleave_rays",
     "make_ray_mesh",
     "shard_rays",
     "trace_multichip",

@@ -39,12 +39,32 @@ def make_mesh2d(n_tris: int, n_rays: int) -> Mesh:
     return Mesh(devs.reshape(n_tris, n_rays), (TRI_AXIS, RAY_AXIS))
 
 
-def place(scene: Scene, rays: RayBatch, mesh: Mesh):
-    scene_sh = jax.tree_util.tree_map(
+def place_scene(scene: Scene, mesh: Mesh) -> Scene:
+    """Shard the scene's triangle soup over the "tris" axis (replicated
+    over "rays")."""
+    return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(TRI_AXIS))), scene)
-    rays_sh = jax.tree_util.tree_map(
+
+
+def place_rays(rays: RayBatch, mesh: Mesh,
+               interleave: bool = True) -> RayBatch:
+    """Shard the ray batch over the "rays" axis (replicated over "tris").
+    Ray slots are round-robin-interleaved across the ray shards first
+    (same reasoning as sharding.interleave_rays: block-sharding a
+    front-packed batch piles live rays onto the first shards and
+    overflows per-shard compaction)."""
+    from lightpycl_tpu.parallel.sharding import interleave_rays
+
+    if interleave:
+        rays = interleave_rays(rays, mesh.shape[RAY_AXIS])
+    return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(RAY_AXIS))), rays)
-    return scene_sh, rays_sh
+
+
+def place(scene: Scene, rays: RayBatch, mesh: Mesh, interleave: bool = True):
+    """Shard the scene over "tris" and the rays over "rays" (see
+    place_scene / place_rays)."""
+    return place_scene(scene, mesh), place_rays(rays, mesh, interleave)
 
 
 @functools.partial(jax.jit,

@@ -38,8 +38,50 @@ def make_ray_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devs[:n]), (RAY_AXIS,))
 
 
-def shard_rays(rays: RayBatch, mesh: Mesh) -> RayBatch:
-    """Place a RayBatch sharded along capacity over the mesh's ray axis."""
+def interleave_rays(rays: RayBatch, n_shards: int) -> RayBatch:
+    """Round-robin-permute ray slots so contiguous shard blocks each hold
+    every n_shards-th slot: shard s, in-shard slot r gets original slot
+    r * n_shards + s.
+
+    Why: RayBatch.from_arrays front-packs live rays, so contiguous
+    block-sharding piles every live ray (and every Fresnel-split child)
+    onto the first shards while the dead-slot headroom sits idle on the
+    tail shards — per-shard compaction then culls real power that the
+    single-device trace keeps (measured ~0.6% under the engine-documented
+    4x capacity-headroom pattern). Ray order is semantically free, so the
+    interleave is exact; `deinterleave_rays` is the inverse.
+    """
+    if n_shards <= 1:
+        return rays
+    C = rays.capacity
+    if C % n_shards:
+        raise ValueError(
+            f"capacity {C} not divisible by {n_shards} shards — pad first "
+            "(RayBatch.padded_to)")
+    S = C // n_shards
+    j = jnp.arange(C)
+    idx = (j % S) * n_shards + j // S
+    return jax.tree_util.tree_map(lambda x: x[idx], rays)
+
+
+def deinterleave_rays(rays: RayBatch, n_shards: int) -> RayBatch:
+    """Inverse of `interleave_rays`: restore original slot order (applied
+    to rays_out on the way back so TraceResult slot order is stable)."""
+    if n_shards <= 1:
+        return rays
+    C = rays.capacity
+    S = C // n_shards
+    i = jnp.arange(C)
+    inv = (i % n_shards) * S + i // n_shards
+    return jax.tree_util.tree_map(lambda x: x[inv], rays)
+
+
+def shard_rays(rays: RayBatch, mesh: Mesh, interleave: bool = True) -> RayBatch:
+    """Place a RayBatch sharded along capacity over the mesh's ray axis,
+    round-robin-interleaving slots across the shards first (see
+    `interleave_rays`; pass interleave=False for raw block placement)."""
+    if interleave:
+        rays = interleave_rays(rays, mesh.devices.size)
     sh = NamedSharding(mesh, P(RAY_AXIS))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), rays)
 

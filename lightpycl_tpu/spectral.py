@@ -34,9 +34,11 @@ import jax.numpy as jnp
 from lightpycl_tpu import physics
 from lightpycl_tpu.materials import Material
 from lightpycl_tpu.tracer.config import TraceConfig
-from lightpycl_tpu.tracer.rays import RayBatch
+from lightpycl_tpu.tracer.rays import DetectorState, RayBatch
 from lightpycl_tpu.tracer.scene import Scene
-from lightpycl_tpu.tracer.step import gather_hit_attrs, intersect
+from lightpycl_tpu.tracer.step import (
+    accumulate_detector_arrays, gather_hit_attrs, intersect,
+)
 
 
 class SpectralRays(NamedTuple):
@@ -98,10 +100,15 @@ def validate_spectral_scene(elements) -> None:
                 "directions / polarization / RNG)")
 
 
-def spectral_step(scene: Scene, sr: SpectralRays, per_det, led: SpectralLedger,
+def spectral_step(scene: Scene, sr: SpectralRays, det: DetectorState,
+                  per_det, led: SpectralLedger,
                   wavelengths, cfg: TraceConfig):
     """One bounce of the wavelength-parallel trace. Geometry identical to
-    tracer/step.py's shade (same physics helpers); power is (C, W)."""
+    tracer/step.py's shade (same physics helpers); power is (C, W).
+    `det` (angular histogram / per-detector totals / planar image)
+    accumulates the ROW-TOTAL measured power through the same binning code
+    as the scalar engine (accumulate_detector_arrays); `per_det` keeps the
+    full (D, W) per-detector spectra."""
     C, W = sr.P.shape
     t, tri = intersect(scene, sr.o, sr.d, cfg, alive=sr.alive)
     hit_valid = (tri >= 0) & sr.alive
@@ -170,6 +177,9 @@ def spectral_step(scene: Scene, sr: SpectralRays, per_det, led: SpectralLedger,
     measured_P = jnp.where(is_meas[:, None], live_P, 0.0)
     did = jnp.clip(attrs["detector_id"], 0, per_det.shape[0] - 1)
     per_det = per_det.at[did].add(measured_P)
+    det = accumulate_detector_arrays(
+        det, hit_point, sr.d, jnp.sum(measured_P, axis=1),
+        attrs["detector_id"], cfg)
 
     absorbed = (bulk_absorbed
                 + jnp.sum(jnp.where(is_term[:, None], live_P, 0.0), axis=0)
@@ -206,13 +216,15 @@ def spectral_step(scene: Scene, sr: SpectralRays, per_det, led: SpectralLedger,
         escaped=led.escaped + escaped,
         culled=led.culled + culled_cols,
     )
-    return new_sr, per_det, led
+    return new_sr, det, per_det, led
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "iterations", "n_detectors"))
 def trace_spectral_jit(scene: Scene, sr: SpectralRays, wavelengths,
                        cfg: TraceConfig, iterations: int, n_detectors: int):
     W = sr.P.shape[1]
+    det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
+                              n_detectors, cfg.image_bins)
     per_det = jnp.zeros((max(n_detectors, 1), W), jnp.float32)
     z = jnp.zeros((W,), jnp.float32)
     led = SpectralLedger(
@@ -221,12 +233,123 @@ def trace_spectral_jit(scene: Scene, sr: SpectralRays, wavelengths,
     )
 
     def body(_, state):
-        sr, per_det, led = state
-        return spectral_step(scene, sr, per_det, led, wavelengths, cfg)
+        sr, det, per_det, led = state
+        return spectral_step(scene, sr, det, per_det, led, wavelengths, cfg)
 
-    sr, per_det, led = jax.lax.fori_loop(
-        0, iterations, body, (sr, per_det, led))
-    return sr, per_det, led
+    sr, det, per_det, led = jax.lax.fori_loop(
+        0, iterations, body, (sr, det, per_det, led))
+    return sr, det, per_det, led
+
+
+def spread_rays_over_wavelengths(rays: RayBatch, wavelengths,
+                                 weights) -> RayBatch:
+    """Flatten the wavelength axis into the ray axis: a (W * C)-capacity
+    batch where lane k (slots [k*C, (k+1)*C)) is a wavelength-stamped copy
+    of `rays` carrying weights[k] of each ray's power. This is the
+    DISPERSIVE counterpart of SpectralRays.from_batch: every ray carries
+    its own wavelength, so refraction angles (Cauchy glass) and grating
+    orders resolve per wavelength at the cost of W geometry passes' worth
+    of intersection work — batched into ONE trace."""
+    wl = jnp.asarray(wavelengths, jnp.float32)
+    w = jnp.asarray(weights, jnp.float32)
+    W = wl.shape[0]
+    C = rays.capacity
+
+    def tile(x):
+        return jnp.concatenate([x] * W, axis=0)
+
+    return rays._replace(
+        o=tile(rays.o), d=tile(rays.d),
+        power=tile(rays.power) * jnp.repeat(w, C),
+        ior=tile(rays.ior), alive=tile(rays.alive),
+        wavelength=jnp.repeat(wl, C),
+        absorb=tile(rays.absorb),
+        s1=tile(rays.s1), s2=tile(rays.s2), s3=tile(rays.s3),
+        basis=tile(rays.basis), opl=tile(rays.opl),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "iterations", "n_detectors"))
+def trace_spectral_dispersive_jit(scene: Scene, rays: RayBatch, wl_grid,
+                                  cfg: TraceConfig, iterations: int,
+                                  n_detectors: int, key=None):
+    """Fixed-depth scalar trace of a wavelength-flattened batch with an
+    extra (D, W) per-(detector, wavelength) accumulator. Reuses the full
+    scalar physics (dispersion, gratings, metals, coatings, polarization);
+    the wavelength bin of each measured ray is recovered from its carried
+    wavelength (nearest grid point — exact, since children copy the parent
+    wavelength verbatim)."""
+    from lightpycl_tpu.tracer.step import trace_step
+
+    D = max(n_detectors, 1)
+    W = wl_grid.shape[0]
+    det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
+                              D, cfg.image_bins)
+    from lightpycl_tpu.tracer.rays import Ledger
+
+    led = Ledger.start(jnp.sum(jnp.where(rays.alive, rays.power, 0.0)))
+    per_dw = jnp.zeros((D, W), jnp.float32)
+    base_key = key if key is not None else jax.random.key(cfg.seed)
+
+    def body(i, st):
+        rays, det, per_dw, led = st
+        k = jax.random.fold_in(base_key, i) if cfg.needs_rng else None
+        rays, det, led, aux = trace_step(scene, rays, det, led, cfg, key=k)
+        # aux.m_* are front-compacted; slots past measured_count carry
+        # zero power, so the scatter-add of the full buffer is exact
+        wl_idx = jnp.argmin(jnp.abs(aux.m_wl[:, None] - wl_grid[None, :]),
+                            axis=1)
+        did = jnp.clip(aux.m_det, 0, D - 1)
+        per_dw = per_dw.at[did, wl_idx].add(aux.m_power)
+        return rays, det, per_dw, led
+
+    rays, det, per_dw, led = jax.lax.fori_loop(
+        0, iterations, body, (rays, det, per_dw, led))
+    return rays, det, per_dw, led
+
+
+def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
+                              weights=None, cfg: TraceConfig | None = None,
+                              iterations: int = 8, key=None):
+    """Wavelength-BATCHED trace for dispersive scenes (Cauchy glass,
+    gratings — everything trace_spectral's shared-geometry model rejects).
+
+    The W wavelengths each get a stamped copy of the ray batch
+    (spread_rays_over_wavelengths) and ONE jitted trace of W * C rays
+    runs them together: one compile, one dispatch, full device utilization
+    — against W sequential scalar traces this removes per-trace dispatch
+    latency and tail under-utilization (the intersection work itself is
+    inherently W-fold, unlike the achromatic path's true W-for-1 sharing;
+    see benchmarks/spectral_bench.py for measured numbers).
+
+    Returns (per_det (D, W), Ledger (TOTAL power — per-wavelength
+    conservation is not separable here; the spectra themselves are per
+    wavelength), detector_names, final RayBatch, DetectorState).
+    """
+    from lightpycl_tpu.tracer.scene import build_scene
+
+    cfg = cfg or TraceConfig()
+    cfg = cfg.replace(
+        has_coatings=any(e.coating_layers() for e in elements
+                         if hasattr(e, "coating_layers")),
+        has_gratings=any(e.material == Material.GRATING for e in elements),
+        has_metals=any(getattr(e, "metal_n", 0.0) > 0.0 for e in elements),
+        has_diffuse=any(e.material == Material.DIFFUSE for e in elements))
+    if any(e.material in (Material.POLARIZER, Material.WAVEPLATE)
+           for e in elements) and not cfg.polarization:
+        raise ValueError("polarizer/waveplate elements need "
+                         "TraceConfig(polarization=True)")
+    if cfg.needs_rng and key is None:
+        key = jax.random.key(cfg.seed)
+    scene, det_names = build_scene(elements, spatial_sort=cfg.cull)
+    wl = jnp.asarray(wavelengths, jnp.float32)
+    if weights is None:
+        weights = jnp.full((wl.shape[0],), 1.0 / wl.shape[0], jnp.float32)
+    big = spread_rays_over_wavelengths(rays, wl, weights)
+    rays_out, det, per_dw, led = trace_spectral_dispersive_jit(
+        scene, big, wl, cfg, iterations, len(det_names), key=key)
+    return per_dw, led, det_names, rays_out, det
 
 
 def _resolve_spectral(elements, cfg, wavelengths, weights):
@@ -257,14 +380,16 @@ def trace_spectral(elements, rays: RayBatch, wavelengths, weights=None,
     elements: GeoObjects (validated achromatic); rays: a RayBatch whose
     per-ray power is split over `wavelengths` (um) by `weights` (default
     uniform). Returns (per_detector (D, W), SpectralLedger, detector_names,
-    final SpectralRays).
+    final SpectralRays, DetectorState) — the DetectorState carries the
+    angular histogram, per-detector row totals, and planar image of the
+    ROW-TOTAL measured power, binned exactly like the scalar engine.
     """
     cfg, scene, det_names, wl, weights = _resolve_spectral(
         elements, cfg, wavelengths, weights)
     sr = SpectralRays.from_batch(rays, weights)
-    sr, per_det, led = trace_spectral_jit(scene, sr, wl, cfg, iterations,
-                                          len(det_names))
-    return per_det, led, det_names, sr
+    sr, det, per_det, led = trace_spectral_jit(scene, sr, wl, cfg, iterations,
+                                               len(det_names))
+    return per_det, led, det_names, sr, det
 
 
 @functools.partial(jax.jit,
@@ -278,6 +403,8 @@ def _trace_spectral_multichip_jit(scene, sr, wl, cfg, iterations, mesh,
 
     def local(scene, sr, wl):
         W = sr.P.shape[1]
+        det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
+                                  n_detectors, cfg.image_bins)
         per_det = jnp.zeros((max(n_detectors, 1), W), jnp.float32)
         z = jnp.zeros((W,), jnp.float32)
         led = SpectralLedger(
@@ -286,18 +413,19 @@ def _trace_spectral_multichip_jit(scene, sr, wl, cfg, iterations, mesh,
             measured=z, absorbed=z, escaped=z, culled=z)
 
         def body(_, st):
-            sr, per_det, led = st
-            return spectral_step(scene, sr, per_det, led, wl, cfg)
+            sr, det, per_det, led = st
+            return spectral_step(scene, sr, det, per_det, led, wl, cfg)
 
-        sr, per_det, led = jax.lax.fori_loop(0, iterations, body,
-                                             (sr, per_det, led))
+        sr, det, per_det, led = jax.lax.fori_loop(0, iterations, body,
+                                                  (sr, det, per_det, led))
+        det = DetectorState(*(jax.lax.psum(x, RAY_AXIS) for x in det))
         per_det = jax.lax.psum(per_det, RAY_AXIS)
         led = SpectralLedger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
-        return sr, per_det, led
+        return sr, det, per_det, led
 
     return jax.shard_map(local, mesh=mesh,
                          in_specs=(P(), P(RAY_AXIS), P()),
-                         out_specs=(P(RAY_AXIS), P(), P()),
+                         out_specs=(P(RAY_AXIS), P(), P(), P()),
                          check_vma=False)(scene, sr, wl)
 
 
@@ -321,7 +449,9 @@ def trace_spectral_multichip(elements, rays: RayBatch, wavelengths,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from lightpycl_tpu.parallel.sharding import RAY_AXIS, make_ray_mesh
+    from lightpycl_tpu.parallel.sharding import (
+        RAY_AXIS, interleave_rays, make_ray_mesh,
+    )
 
     cfg, scene, det_names, wl, weights = _resolve_spectral(
         elements, cfg, wavelengths, weights)
@@ -329,14 +459,10 @@ def trace_spectral_multichip(elements, rays: RayBatch, wavelengths,
     n_dev = mesh.devices.size
     if rays.capacity % n_dev:
         rays = rays.padded_to(-(-rays.capacity // n_dev) * n_dev)
-    C = rays.capacity
-    S = C // n_dev
-    # round-robin interleave: new shard-s slot j holds old slot j*n_dev+s
-    idx = (jnp.arange(C) % S) * n_dev + jnp.arange(C) // S
-    rays = jax.tree_util.tree_map(lambda x: x[idx], rays)
+    rays = interleave_rays(rays, n_dev)
     sr = SpectralRays.from_batch(rays, weights)
     sr = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(RAY_AXIS))), sr)
-    sr, per_det, led = _trace_spectral_multichip_jit(
+    sr, det, per_det, led = _trace_spectral_multichip_jit(
         scene, sr, wl, cfg, iterations, mesh, len(det_names))
-    return per_det, led, det_names, sr
+    return per_det, led, det_names, sr, det

@@ -57,6 +57,10 @@ class TraceResult:
     wall_time: float
     segments: list                # [(starts, ends, alive)] if record_paths
     final_live_power: float
+    # spectral runs only (Tracer.trace_spectral); None on scalar traces
+    per_detector_spectrum: Optional[np.ndarray] = None  # (D, W)
+    wavelengths: Optional[np.ndarray] = None            # (W,) [um]
+    spectral_ledger: Optional[dict] = None  # each entry (W,) per-lambda
 
     @property
     def tests_per_second(self) -> float:
@@ -79,6 +83,16 @@ class TraceResult:
         if name not in self.detector_names:
             raise KeyError(f"unknown detector {name!r}; have {self.detector_names}")
         return float(self.per_detector[self.detector_names.index(name)])
+
+    def detector_spectrum(self, name: str) -> np.ndarray:
+        """(W,) per-wavelength measured power on the named detector
+        (spectral runs only — Tracer.trace_spectral)."""
+        if self.per_detector_spectrum is None:
+            raise ValueError("not a spectral run: use Tracer.trace_spectral"
+                             " (or iterative_tracer(..., wavelengths=...))")
+        if name not in self.detector_names:
+            raise KeyError(f"unknown detector {name!r}; have {self.detector_names}")
+        return self.per_detector_spectrum[self.detector_names.index(name)]
 
     def power_conservation_error(self) -> float:
         l = self.ledger
@@ -222,6 +236,159 @@ class Tracer:
         )
         return result
 
+    def trace_spectral(self, source, wavelengths, elements=None,
+                       weights=None, trace_iterations=None,
+                       capacity=None, mode: str = "device", mesh=None,
+                       rays=None, method: str = "auto",
+                       **cfg_overrides) -> TraceResult:
+        """Spectral trace, first-class in the engine: the TraceResult has
+        the same angular histogram, per-detector totals, planar image, and
+        ledger as a scalar trace, plus `per_detector_spectrum` (D, W) and
+        `wavelengths`. Power weighting per wavelength comes from `weights`
+        (default uniform).
+
+        Two execution methods (`method`):
+          * 'shared'  — ONE geometry pass carries W spectral samples per
+            ray (lightpycl_tpu.spectral.trace_spectral, ~W x speedup).
+            Requires achromatic geometry (no dispersive glass, gratings,
+            polarization, diffuse); also fills `spectral_ledger`
+            (per-lambda conservation).
+          * 'batched' — the W wavelengths each get a wavelength-stamped
+            copy of the rays and ONE jitted trace of W * C rays runs the
+            full scalar physics (dispersion, gratings, coatings, metals):
+            one compile / one dispatch instead of W sequential traces.
+            Ledger is total-power only.
+          * 'auto' (default) — 'shared' when the scene qualifies, else
+            'batched': a prism or grating spectrometer script works with
+            the same call.
+
+        mode="multichip" (shared method only) shards the rays over a 1-D
+        device mesh exactly like Tracer.trace(mode="multichip").
+        Measured-ray lists / record_paths have no spectral equivalent —
+        use scalar host-mode traces.
+
+        rays_traced / intersection_tests count GEOMETRY passes honestly:
+        once for 'shared' (the W columns ride the same intersections),
+        W-fold for 'batched'.
+        """
+        from lightpycl_tpu import spectral as spectral_mod
+
+        cfg = self.cfg
+        if trace_iterations is not None:
+            cfg_overrides["trace_iterations"] = int(trace_iterations)
+        if cfg_overrides:
+            cfg = cfg.replace(**cfg_overrides)
+        if elements is not None:
+            self.set_elements(elements)
+        if self.scene is None:
+            raise ValueError("no scene: pass `elements` or call set_elements()")
+        if rays is None:
+            origins, dirs, powers = source.sample()
+            wls_src = (source.sample_wavelengths()
+                       if hasattr(source, "sample_wavelengths") else None)
+            if wls_src is not None:
+                log.warning("trace_spectral ignores the source's own "
+                            "wavelength spectrum; the `wavelengths` grid "
+                            "+ `weights` define the spectral sampling")
+            rays = RayBatch.from_arrays(origins, dirs, powers,
+                                        ior_env=cfg.ior_env,
+                                        capacity=capacity)
+        if method == "auto":
+            try:
+                spectral_mod.validate_spectral_scene(self.elements)
+                method = "shared"
+            except ValueError:
+                method = "batched"
+        C = rays.capacity
+        W = len(np.atleast_1d(np.asarray(wavelengths)))
+        emitted_rows = float(np.asarray(
+            jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
+        log.info("spectral trace start: capacity %d, %d wavelengths, "
+                 "%d triangles, %d iterations, mode=%s, method=%s", C, W,
+                 self.num_triangles, cfg.trace_iterations, mode, method)
+        t0 = time.perf_counter()
+        spectral_ledger = None
+        if method == "batched":
+            if mode != "device":
+                raise ValueError(
+                    "method='batched' (dispersive) spectral tracing is "
+                    "device-mode only for now; shard the flattened batch "
+                    "through Tracer.trace(mode='multichip') manually if "
+                    "needed")
+            cfg_b = self._check_polarization(self._tune_splitting(cfg))
+            per_det, led, det_names, rays_out, det = (
+                spectral_mod.trace_spectral_dispersive(
+                    self.elements, rays, wavelengths, weights=weights,
+                    cfg=cfg_b, iterations=cfg.trace_iterations))
+            jax.block_until_ready(led)
+            live = float(np.asarray(jnp.sum(
+                jnp.where(rays_out.alive, rays_out.power, 0.0))))
+            ledger = led.as_dict()
+            geom_rays = W * C
+        elif mode == "device":
+            per_det, led, det_names, sr, det = spectral_mod.trace_spectral(
+                self.elements, rays, wavelengths, weights=weights, cfg=cfg,
+                iterations=cfg.trace_iterations)
+            jax.block_until_ready(led)
+            live = float(np.asarray(jnp.sum(
+                jnp.where(sr.alive[:, None], sr.P, 0.0))))
+            ledger = {k: float(np.sum(np.asarray(v)))
+                      for k, v in led._asdict().items()}
+            spectral_ledger = {k: np.asarray(v)
+                               for k, v in led._asdict().items()}
+            geom_rays = C
+        elif mode == "multichip":
+            per_det, led, det_names, sr, det = (
+                spectral_mod.trace_spectral_multichip(
+                    self.elements, rays, wavelengths, weights=weights,
+                    cfg=cfg, iterations=cfg.trace_iterations, mesh=mesh))
+            jax.block_until_ready(led)
+            live = float(np.asarray(jnp.sum(
+                jnp.where(sr.alive[:, None], sr.P, 0.0))))
+            ledger = {k: float(np.sum(np.asarray(v)))
+                      for k, v in led._asdict().items()}
+            spectral_ledger = {k: np.asarray(v)
+                               for k, v in led._asdict().items()}
+            geom_rays = C
+        else:
+            raise ValueError(
+                f"trace_spectral mode must be 'device' or 'multichip', "
+                f"got {mode!r}")
+        wall = time.perf_counter() - t0
+        per_det = np.asarray(per_det)
+        result = TraceResult(
+            measured_pos=np.zeros((0, 3), np.float32),
+            measured_dir=np.zeros((0, 3), np.float32),
+            measured_power=np.zeros((0,), np.float32),
+            measured_det=np.zeros((0,), np.int32),
+            measured_wavelength=np.zeros((0,), np.float32),
+            measured_stokes=np.zeros((0, 3), np.float32),
+            measured_opl=np.zeros((0,), np.float32),
+            hist=np.asarray(det.hist),
+            per_detector=per_det.sum(axis=1),
+            image=np.asarray(det.image),
+            detector_names=list(det_names),
+            ledger=ledger,
+            iterations_run=cfg.trace_iterations,
+            rays_traced=geom_rays * cfg.trace_iterations,
+            intersection_tests=(geom_rays * cfg.trace_iterations
+                                * self.num_triangles),
+            wall_time=wall,
+            segments=[],
+            final_live_power=live,
+            per_detector_spectrum=per_det,
+            wavelengths=np.atleast_1d(
+                np.asarray(wavelengths, np.float32)),
+            spectral_ledger=spectral_ledger,
+        )
+        # sanity: ledger totals must reproduce the emitted power
+        assert abs(result.ledger["emitted"] - emitted_rows) < 1e-4 * max(
+            emitted_rows, 1.0)
+        self.last_result = result
+        log.info("spectral trace done (%s): %.3fs, %.3g tests/s",
+                 method, wall, result.tests_per_second)
+        return result
+
     def _check_polarization(self, cfg: TraceConfig) -> TraceConfig:
         from lightpycl_tpu.materials import Material
 
@@ -274,19 +441,20 @@ class Tracer:
         t0 = time.perf_counter()
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import (
-                shard_rays, trace_multichip,
+                deinterleave_rays, shard_rays, trace_multichip,
             )
 
             if record_paths:
                 log.warning("record_paths requires mode='host'; multichip "
                             "mode returns no path segments")
-            rays = shard_rays(rays, mesh)
+            rays = shard_rays(rays, mesh)  # round-robin interleave + place
             key = (jax.random.key(cfg.seed)
                    if cfg.needs_rng else None)
             rays_out, det, led = trace_multichip(
                 self.scene, rays, cfg, cfg.trace_iterations, mesh,
                 n_detectors=max(len(self.detector_names), 1), key=key,
             )
+            rays_out = deinterleave_rays(rays_out, mesh.devices.size)
             jax.block_until_ready(led)
             wall = time.perf_counter() - t0
             result = self._package(
@@ -294,7 +462,10 @@ class Tracer:
                 record_paths=False,
             )
         elif mode == "mesh2d":
-            from lightpycl_tpu.parallel.mesh2d import place, trace_mesh2d
+            from lightpycl_tpu.parallel.mesh2d import (
+                RAY_AXIS, place, trace_mesh2d,
+            )
+            from lightpycl_tpu.parallel.sharding import deinterleave_rays
 
             if record_paths:
                 log.warning("record_paths requires mode='host'; mesh2d "
@@ -306,6 +477,7 @@ class Tracer:
                 scene_sh, rays, cfg, cfg.trace_iterations, mesh,
                 n_detectors=max(len(self.detector_names), 1), key=key,
             )
+            rays_out = deinterleave_rays(rays_out, mesh.shape[RAY_AXIS])
             jax.block_until_ready(led)
             wall = time.perf_counter() - t0
             result = self._package(
@@ -398,6 +570,12 @@ class Tracer:
         runs the full cfg.trace_iterations (the sharded loop has no
         early-exit); leftover live power is culled into the ledger either
         way, so conservation stays exact.
+
+        mode="mesh2d" additionally shards the TRIANGLES over the first
+        axis of a 2-axis ("tris", "rays") mesh (required kwarg) — the
+        over-HBM-mesh x mega-ray corner (BASELINE configs 4 AND 5 at
+        once). The scene is placed once; each batch shards its rays over
+        the "rays" axis like Tracer.trace(mode="mesh2d").
         """
         import jax.numpy as jnp
 
@@ -408,14 +586,30 @@ class Tracer:
             raise ValueError("no scene: pass `elements` or call set_elements()")
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
+        scene_sh = None
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import make_ray_mesh
 
             mesh = mesh or make_ray_mesh()
             n_shards = mesh.devices.size
+        elif mode == "mesh2d":
+            from lightpycl_tpu.parallel.mesh2d import (
+                RAY_AXIS, TRI_AXIS, place_scene,
+            )
+
+            if mesh is None:
+                raise ValueError(
+                    "mode='mesh2d' needs mesh=make_mesh2d(n_tris, n_rays)")
+            if self.scene.num_triangles_padded % mesh.shape[TRI_AXIS]:
+                raise ValueError(
+                    f"padded triangle count {self.scene.num_triangles_padded}"
+                    f" not divisible by the {mesh.shape[TRI_AXIS]}-way "
+                    "triangle axis")
+            n_shards = mesh.shape[RAY_AXIS]
+            scene_sh = place_scene(self.scene, mesh)  # once, reused per batch
         elif mode != "device":
-            raise ValueError(f"trace_batched mode must be 'device' or "
-                             f"'multichip', got {mode!r}")
+            raise ValueError(f"trace_batched mode must be 'device', "
+                             f"'multichip' or 'mesh2d', got {mode!r}")
         n_batches = max(1, total_rays // batch_size)
         if total_rays != n_batches * batch_size:
             log.warning(
@@ -480,6 +674,20 @@ class Tracer:
                          if cfg.needs_rng else None)
                 rays, det_b, led_b = trace_multichip(
                     self.scene, rays, cfg, cfg.trace_iterations, mesh,
+                    n_detectors=n_det, key=key_b)
+                batch_iters.append(cfg.trace_iterations)
+            elif mode == "mesh2d":
+                from lightpycl_tpu.parallel.mesh2d import (
+                    place_rays, trace_mesh2d,
+                )
+
+                rays = place_rays(
+                    rays.padded_to(-(-rays.capacity // n_shards) * n_shards),
+                    mesh)
+                key_b = (jax.random.fold_in(k, 0x5757)
+                         if cfg.needs_rng else None)
+                rays, det_b, led_b = trace_mesh2d(
+                    scene_sh, rays, cfg, cfg.trace_iterations, mesh,
                     n_detectors=n_det, key=key_b)
                 batch_iters.append(cfg.trace_iterations)
             else:

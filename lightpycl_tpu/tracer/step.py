@@ -682,27 +682,31 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
 # Detector accumulation
 # --------------------------------------------------------------------------
 
-def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
-                        cfg: TraceConfig) -> DetectorState:
-    """Scatter-add measured power into the (azimuth x polar) histogram and
-    per-detector totals (reference: measurement-surface collection +
-    directivity binning, SURVEY.md §3/§4.4 — moved on-device)."""
+def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
+                               measured_power, det_id,
+                               cfg: TraceConfig) -> DetectorState:
+    """Scatter-add measured power into the (azimuth x polar) histogram,
+    per-detector totals, and the optional planar image, from bare arrays:
+    hit_point (C, 3), dirs (C, 3) arrival directions, measured_power (C,)
+    (zero on unmeasured slots), det_id (C,) i32. Shared by the scalar
+    shade epilogue (accumulate_detector) and the wavelength-parallel
+    spectral path, which bins row-total power through the same code."""
     n_az, n_pol = det.hist.shape
     if cfg.hist_mode == "direction":
-        v = rays.d
+        v = dirs
     else:  # 'position': far-field direction of the hit point as seen from
         # cfg.hist_center (default origin; set it for off-origin domes)
         v = physics.normalize(
-            sh.hit_point - jnp.asarray(cfg.hist_center, jnp.float32))
+            hit_point - jnp.asarray(cfg.hist_center, jnp.float32))
     az = jnp.arctan2(v[:, 1], v[:, 0])  # [-pi, pi)
     az = jnp.where(az < 0, az + 2.0 * np.pi, az)
     pol = jnp.arccos(jnp.clip(v[:, 2], -1.0, 1.0))
     ia = jnp.clip((az / (2.0 * np.pi) * n_az).astype(jnp.int32), 0, n_az - 1)
     ip = jnp.clip((pol / np.pi * n_pol).astype(jnp.int32), 0, n_pol - 1)
     flat = ia * n_pol + ip
-    hist = det.hist.reshape(-1).at[flat].add(sh.measured_power).reshape(n_az, n_pol)
-    did = jnp.clip(sh.det_id, 0, det.per_detector.shape[0] - 1)
-    per_det = det.per_detector.at[did].add(sh.measured_power)
+    hist = det.hist.reshape(-1).at[flat].add(measured_power).reshape(n_az, n_pol)
+    did = jnp.clip(det_id, 0, det.per_detector.shape[0] - 1)
+    per_det = det.per_detector.at[did].add(measured_power)
 
     image = det.image
     if cfg.image_bins > 0:
@@ -711,7 +715,7 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
         from lightpycl_tpu.sources import _frame
 
         F = jnp.asarray(_frame(cfg.image_normal), jnp.float32)
-        rel = sh.hit_point - jnp.asarray(cfg.image_center, jnp.float32)
+        rel = hit_point - jnp.asarray(cfg.image_center, jnp.float32)
         # elementwise dot, NOT a matmul: TPU's default matmul precision
         # truncates geometry to bf16 (see CLAUDE.md)
         x = jnp.sum(rel * F[0], axis=1)
@@ -725,9 +729,18 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
         inside = (ix >= 0) & (ix < nb) & (iy >= 0) & (iy < nb)
         flat_img = jnp.where(inside, ix * nb + iy, nb * nb)
         image = jnp.pad(image.reshape(-1), (0, 1)).at[flat_img].add(
-            sh.measured_power
+            measured_power
         )[:-1].reshape(nb, nb)
     return DetectorState(hist, per_det, image)
+
+
+def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
+                        cfg: TraceConfig) -> DetectorState:
+    """Scatter-add measured power into the (azimuth x polar) histogram and
+    per-detector totals (reference: measurement-surface collection +
+    directivity binning, SURVEY.md §3/§4.4 — moved on-device)."""
+    return accumulate_detector_arrays(det, sh.hit_point, rays.d,
+                                      sh.measured_power, sh.det_id, cfg)
 
 
 # --------------------------------------------------------------------------

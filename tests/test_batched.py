@@ -53,6 +53,49 @@ def test_checkpoint_resume_no_double_count(tmp_path):
         res_full.ledger["emitted"], rel=1e-5)
 
 
+def test_batched_mesh2d_matches_device(tmp_path):
+    """trace_batched(mode='mesh2d'): the over-HBM-mesh x mega-ray corner
+    (BASELINE configs 4 AND 5 at once). 4 batches on a 2x4 (tris x rays)
+    mesh must reproduce the single-device batched run, checkpoint-resume
+    included (with a refractive element so splitting/compaction is live)."""
+    from lightpycl_tpu.parallel.mesh2d import make_mesh2d
+
+    els2 = els() + [oe.biconvex_lens(1.0, 0.6, 0.1, ior=1.5,
+                                     center=(0, 0, 1.0))]
+    src = CollimatedSource(center=(0, 0, 3), direction=(0, 0, -1),
+                           diameter=1.5, ray_count=256)
+    tr1 = Tracer(TraceConfig(trace_iterations=4))
+    res1 = tr1.trace_batched(src, total_rays=1024, batch_size=256,
+                             elements=els2, seed=5)
+    mesh = make_mesh2d(2, 4)
+    tr2 = Tracer(TraceConfig(trace_iterations=4))
+    res2 = tr2.trace_batched(src, total_rays=1024, batch_size=256,
+                             elements=els2, seed=5, mode="mesh2d",
+                             mesh=mesh)
+    assert res2.ledger["emitted"] == pytest.approx(res1.ledger["emitted"],
+                                                   rel=1e-6)
+    assert res2.ledger["measured"] == pytest.approx(res1.ledger["measured"],
+                                                    rel=1e-4)
+    np.testing.assert_allclose(res2.hist, res1.hist, atol=1e-5)
+    acc2 = sum(res2.ledger[key] for key in
+               ("measured", "absorbed", "escaped", "culled"))
+    assert acc2 == pytest.approx(res2.ledger["emitted"], rel=1e-5)
+
+    # checkpoint-resume through the mesh2d driver: no double counting
+    ck = str(tmp_path / "run2d.npz")
+    tr3 = Tracer(TraceConfig(trace_iterations=4))
+    tr3.trace_batched(src, total_rays=1024, batch_size=256, elements=els2,
+                      checkpoint_path=ck, seed=5, max_batches=2,
+                      mode="mesh2d", mesh=mesh)
+    res3 = tr3.trace_batched(src, total_rays=1024, batch_size=256,
+                             elements=els2, checkpoint_path=ck, seed=5,
+                             mode="mesh2d", mesh=mesh)
+    assert res3.ledger["measured"] == pytest.approx(
+        res2.ledger["measured"], rel=1e-5)
+    assert res3.ledger["emitted"] == pytest.approx(
+        res2.ledger["emitted"], rel=1e-5)
+
+
 def test_batched_multichip_matches_device():
     """trace_batched(mode='multichip') shards each mega-batch over the
     virtual 8-device mesh; detector/ledger aggregates must match the

@@ -144,20 +144,18 @@ def test_mesh2d_dual_order_grating_matches_single_device():
     p = np.full(n, 1.0 / n)
     cfg = TraceConfig(hist_azimuth_bins=16, hist_polar_bins=8)
 
-    # capacity 8n: from_arrays front-packs the n live rays, so on a
-    # 4-way RAY axis they ALL land in shard 0; after the dual-order split
-    # that shard needs 2n child slots of its own (global capacity 8n).
-    # Anything smaller top-k-culls the weaker 0th-order children there —
-    # exactly accounted in 'culled', but then the runs legitimately
-    # differ.
+    # capacity 4n (the standard split headroom): place() round-robin
+    # interleaves the front-packed live rays across the 4-way RAY axis, so
+    # each shard holds n/4 live rays + its share of the headroom and the
+    # dual-order split never overflows per-shard compaction.
     res1 = Tracer(cfg).trace(
         None, els, trace_iterations=3, mode="device",
         rays=RayBatch.from_arrays(o, d, p, wavelengths=0.6,
-                                  capacity=8 * n))
+                                  capacity=4 * n))
 
     scene, _ = L.build_scene(els)
     mesh = make_mesh2d(2, 4)
-    rays2 = RayBatch.from_arrays(o, d, p, wavelengths=0.6, capacity=8 * n)
+    rays2 = RayBatch.from_arrays(o, d, p, wavelengths=0.6, capacity=4 * n)
     scene_sh, rays_sh = place(scene, rays2, mesh)
     _, det, led = trace_mesh2d(scene_sh, rays_sh, cfg, 3, mesh)
 

@@ -13,6 +13,17 @@ from lightpycl_tpu.tracer.oracle import trace_oracle
 from lightpycl_tpu.tracer.rays import RayBatch
 
 
+def _grating(oe, rng):
+    gr = oe.rectangle(rng.uniform(0.5, 1.5), rng.uniform(0.5, 1.5),
+                      material="grating",
+                      axis=tuple(rng.normal(size=3) + 1e-3),
+                      grating_period=rng.uniform(0.8, 2.5),
+                      grating_order=int(rng.integers(1, 3)),
+                      reflectivity=rng.uniform(0.6, 1.0))
+    gr.order0_fraction = float(rng.uniform(0.0, 0.5))
+    return gr
+
+
 def random_scene(rng):
     """2-4 random primitives around the origin plus an enclosing measure
     sphere so power has somewhere to land."""
@@ -39,6 +50,15 @@ def random_scene(rng):
                             material="mirror"),
         lambda: oe.rectangle(rng.uniform(0.5, 1.5), rng.uniform(0.5, 1.5),
                              material="measure", name="panel"),
+        # complex-index metal mirror (r2 physics tier): angle-dependent
+        # R(theta) from the complex Fresnel amplitudes
+        lambda: oe.cylinder(rng.uniform(0.2, 0.5), rng.uniform(0.3, 0.8),
+                            material="mirror",
+                            metal_n=rng.uniform(0.1, 3.0),
+                            metal_k=rng.uniform(0.5, 8.0)),
+        # dual-order reflection grating: order-m child + specular 0th-order
+        # leak (interacts with every other material via the split buffer)
+        lambda: _grating(oe, rng),
     ]
     els = []
     for _ in range(rng.integers(2, 5)):
@@ -51,19 +71,30 @@ def random_scene(rng):
 
 
 def random_source(rng):
-    if rng.uniform() < 0.5:
+    u = rng.uniform()
+    if u < 0.4:
         return CollimatedSource(center=tuple(rng.uniform(-0.5, 0.5, 3)),
                                 direction=tuple(rng.normal(size=3) + 1e-3),
                                 diameter=rng.uniform(0.3, 1.0),
                                 power=float(rng.uniform(0.5, 2.0)),
                                 ray_count=384, seed=int(rng.integers(1e6)))
+    if u < 0.7:
+        from lightpycl_tpu.sources import AreaSource
+
+        return AreaSource(center=tuple(rng.uniform(-0.5, 0.5, 3)),
+                          direction=tuple(rng.normal(size=3) + 1e-3),
+                          radius=rng.uniform(0.1, 0.5),
+                          power=float(rng.uniform(0.5, 2.0)),
+                          emission=("lambertian" if rng.uniform() < 0.5
+                                    else "isotropic"),
+                          ray_count=384, seed=int(rng.integers(1e6)))
     return light_source(center=tuple(rng.uniform(-0.5, 0.5, 3)),
                         direction=tuple(rng.normal(size=3) + 1e-3),
                         power=float(rng.uniform(0.5, 2.0)),
                         ray_count=384, seed=int(rng.integers(1e6)))
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 59])
+@pytest.mark.parametrize("seed", [11, 23, 37, 59, 71, 83, 97, 101])
 def test_random_scene_conserves_and_matches_oracle(seed):
     rng = np.random.default_rng(seed)
     els = random_scene(rng)
@@ -88,3 +119,19 @@ def test_random_scene_conserves_and_matches_oracle(seed):
     np.add.at(per_det, ora["measured_det"].astype(int),
               ora["measured_power"])
     np.testing.assert_allclose(res.per_detector, per_det, atol=2e-4)
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29])
+def test_random_scene_roulette_conserves(seed):
+    """Russian roulette on the randomized scenes (r2 physics tier): no
+    oracle parity (roulette is stochastic) but the ledger invariant must
+    hold exactly — boosts and kills are accounted in 'culled'."""
+    rng = np.random.default_rng(seed)
+    els = random_scene(rng)
+    src = random_source(rng)
+    o, d, p = src.sample()
+    res = Tracer(TraceConfig(roulette_threshold=5e-3)).trace(
+        src, els, trace_iterations=6,
+        rays=RayBatch.from_arrays(o, d, p, capacity=8 * len(p)))
+    assert res.power_conservation_error() < 1e-4
+    assert res.hist.sum() == pytest.approx(res.ledger["measured"], abs=1e-4)

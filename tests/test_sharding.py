@@ -164,6 +164,95 @@ class TestEngineMultichip:
             trace_multichip(scene, rays, cfg, 4, mesh)
 
 
+def coated_window_els():
+    """Split-heavy scene (the spectral suite's coated window): every ray
+    splits at both window faces, so per-shard compaction headroom matters."""
+    win = oe.cube(size=(1.0, 1.0, 0.25), material="refractive", ior=1.52,
+                  coat_ior=1.38, coat_thickness=0.55 / (4 * 1.38), name="win")
+    fwd = oe.disc(radius=1.5, center=(0, 0, 2.0), material="measure",
+                  name="fwd")
+    back = oe.disc(radius=1.5, center=(0, 0, -2.0), material="measure",
+                   name="back")
+    shell = oe.sphere(radius=8.0, material="terminator")
+    return [win, fwd, back, shell]
+
+
+class TestShardInterleave:
+    """Regression for the silent-power-cull bug class: contiguous
+    block-sharding of a front-packed RayBatch piles every live ray onto
+    the first shards, overflows per-shard compaction at the first Fresnel
+    split, and silently culls ~0.6% of power (6x the parity budget) even
+    though the GLOBAL capacity has 4x headroom. shard_rays round-robin
+    interleaves slots across shards, making the sharded trace exactly
+    match the single-device one (modulo f32 psum order)."""
+
+    def _realistic_load(self):
+        els = coated_window_els()
+        src = CollimatedSource(center=(0, 0, -1.0), direction=(0, 0, 1),
+                               diameter=0.5, ray_count=1024, power=1.0,
+                               seed=4)
+        o, d, p = src.sample()
+        return els, src, o, d, p
+
+    def test_multichip_headroom_zero_cull(self):
+        els, src, o, d, p = self._realistic_load()
+        res1 = Tracer(TraceConfig()).trace(
+            src, els, trace_iterations=8, mode="device",
+            rays=RayBatch.from_arrays(o, d, p, capacity=4096),
+            dissipation_target=1.0)
+        res8 = Tracer(TraceConfig()).trace(
+            src, els, trace_iterations=8, mode="multichip",
+            rays=RayBatch.from_arrays(o, d, p, capacity=4096))
+        assert abs(res1.ledger["culled"]) < 1e-6
+        assert abs(res8.ledger["culled"]) < 1e-6
+        # 1e-4 abs: f32 psum/scatter order noise at 8 shards x 8 bounces
+        # (~3e-5 observed); the block-sharding bug this guards against is
+        # ~6e-3 — two orders larger
+        for k in ("emitted", "measured", "absorbed", "escaped"):
+            assert res8.ledger[k] == pytest.approx(res1.ledger[k],
+                                                   abs=1e-4), k
+        np.testing.assert_allclose(res8.per_detector, res1.per_detector,
+                                   atol=1e-4)
+
+    def test_mesh2d_headroom_zero_cull(self):
+        from lightpycl_tpu.parallel.mesh2d import make_mesh2d
+
+        els, src, o, d, p = self._realistic_load()
+        res1 = Tracer(TraceConfig()).trace(
+            src, els, trace_iterations=8, mode="device",
+            rays=RayBatch.from_arrays(o, d, p, capacity=4096),
+            dissipation_target=1.0)
+        res2 = Tracer(TraceConfig()).trace(
+            src, els, trace_iterations=8, mode="mesh2d",
+            mesh=make_mesh2d(2, 4),
+            rays=RayBatch.from_arrays(o, d, p, capacity=4096))
+        assert abs(res2.ledger["culled"]) < 1e-6
+        for k in ("emitted", "measured", "absorbed", "escaped"):
+            assert res2.ledger[k] == pytest.approx(res1.ledger[k],
+                                                   abs=1e-4), k
+        np.testing.assert_allclose(res2.per_detector, res1.per_detector,
+                                   atol=1e-4)
+
+    def test_interleave_roundtrip(self):
+        from lightpycl_tpu.parallel.sharding import (
+            deinterleave_rays, interleave_rays,
+        )
+
+        rng = np.random.default_rng(0)
+        rays = RayBatch.from_arrays(
+            rng.normal(size=(64, 3)), np.tile([0, 0, 1.0], (64, 1)),
+            rng.uniform(0.1, 1.0, 64), capacity=256)
+        perm = interleave_rays(rays, 8)
+        # each shard block holds every 8th original slot
+        assert np.allclose(np.asarray(perm.power)[: 256 // 8],
+                           np.asarray(rays.power)[::8])
+        back = deinterleave_rays(perm, 8)
+        for a, b in zip(back, rays):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError, match="divisible"):
+            interleave_rays(rays, 7)
+
+
 class TestCullUnderSharding:
     def test_cull_multichip_matches_brute(self):
         """cfg.cull inside the sharded path (per-shard Morton reorder +

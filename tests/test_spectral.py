@@ -50,7 +50,7 @@ class TestSpectralParity:
         # scalar trace ranks by per-wavelength power, so overflow culling
         # is the one place the two may legitimately differ
         rays = RayBatch.from_arrays(o, d, p, capacity=4096)
-        per_det, led, names, _ = spectral.trace_spectral(
+        per_det, led, names, _, _ = spectral.trace_spectral(
             els, rays, WLS, iterations=8)
         assert float(np.abs(np.asarray(led.culled)).max()) < 1e-7
         per_det = np.asarray(per_det)
@@ -75,7 +75,7 @@ class TestSpectralParity:
         src = _beam(n=200, seed=9)
         o, d, p = src.sample()
         rays = RayBatch.from_arrays(o, d, p, capacity=800)
-        _, led, _, sr = spectral.trace_spectral(els, rays, WLS, iterations=8)
+        _, led, _, sr, _ = spectral.trace_spectral(els, rays, WLS, iterations=8)
         live = np.asarray(jnp.sum(
             jnp.where(sr.alive[:, None], sr.P, 0.0), axis=0))
         emitted = np.asarray(led.emitted)
@@ -87,7 +87,7 @@ class TestSpectralParity:
         src = _beam(n=400, seed=5)
         o, d, p = src.sample()
         rays = RayBatch.from_arrays(o, d, p, capacity=1600)
-        per_det, led, names, _ = spectral.trace_spectral(
+        per_det, led, names, _, _ = spectral.trace_spectral(
             els, rays, WLS, iterations=8)
         fwd = np.asarray(per_det)[names.index("fwd")]
         back = np.asarray(per_det)[names.index("back")]
@@ -122,7 +122,7 @@ class TestSpectralParity:
         src = _beam(n=300, seed=11)
         o, d, p = src.sample()
         rays = RayBatch.from_arrays(o, d, p, capacity=1200)
-        per_det, led, names, _ = spectral.trace_spectral(
+        per_det, led, names, _, _ = spectral.trace_spectral(
             els, rays, [0.45, 0.55, 0.65], iterations=6)
         per_det = np.asarray(per_det)
         assert np.allclose(per_det[:, 0], per_det[:, 1], rtol=1e-6)
@@ -133,6 +133,207 @@ class TestSpectralParity:
                              mode="device", dissipation_target=1.0)
         assert per_det[0].sum() == pytest.approx(
             res.detector_power("dome"), rel=2e-4)
+
+
+class TestEngineSpectral:
+    """Tracer.trace_spectral: the wavelength-parallel path as a first-class
+    engine citizen — same L5 analysis surface (angular histogram, planar
+    image, per-detector totals, ledger) as a scalar trace, checked against
+    W independent scalar traces."""
+
+    def test_hist_image_match_scalar_traces(self):
+        els = _scene_coated_window()
+        src = _beam(n=400, seed=5)
+        o, d, p = src.sample()
+        wls = [0.45, 0.55, 0.65]
+        cfg = dict(hist_azimuth_bins=12, hist_polar_bins=10, image_bins=16,
+                   image_center=(0, 0, 2.0), image_halfwidth=1.5)
+        tr = Tracer()
+        res_sp = tr.trace_spectral(
+            src, wls, elements=els, trace_iterations=8,
+            rays=RayBatch.from_arrays(o, d, p, capacity=1600), **cfg)
+        assert res_sp.per_detector_spectrum.shape == (2, 3)
+        np.testing.assert_allclose(res_sp.per_detector,
+                                   res_sp.per_detector_spectrum.sum(axis=1),
+                                   atol=1e-6)
+        # spectral hist/image == mean over wavelengths of the scalar runs
+        # (each column carries 1/W of the power)
+        hists, images, per_det = [], [], []
+        for wl in wls:
+            res = Tracer().trace(
+                src, els, trace_iterations=8, mode="device",
+                rays=RayBatch.from_arrays(o, d, p, capacity=1600,
+                                          wavelengths=wl),
+                dissipation_target=1.0, **cfg)
+            hists.append(res.hist)
+            images.append(res.image)
+            per_det.append(res.per_detector)
+        np.testing.assert_allclose(res_sp.hist, np.mean(hists, axis=0),
+                                   atol=2e-5)
+        np.testing.assert_allclose(res_sp.image, np.mean(images, axis=0),
+                                   atol=2e-5)
+        np.testing.assert_allclose(res_sp.per_detector,
+                                   np.mean(per_det, axis=0), atol=2e-5)
+        assert res_sp.image.sum() > 0.1  # forward disc sits in the image
+
+    def test_engine_spectral_conservation_and_ledger(self):
+        els = _scene_coated_window()
+        src = _beam(n=200, seed=9)
+        res = Tracer().trace_spectral(src, WLS, elements=els,
+                                      trace_iterations=8, capacity=800)
+        # scalar ledger = per-lambda ledger summed; conservation holds
+        acc = sum(res.ledger[k] for k in
+                  ("measured", "absorbed", "escaped", "culled"))
+        assert acc + res.final_live_power == pytest.approx(
+            res.ledger["emitted"], rel=1e-5)
+        for k, v in res.spectral_ledger.items():
+            assert v.shape == (len(WLS),)
+            assert res.ledger[k] == pytest.approx(float(v.sum()), abs=1e-6)
+        assert res.wavelengths.shape == (len(WLS),)
+        with pytest.raises(KeyError):
+            res.detector_spectrum("nope")
+
+    def test_engine_spectral_multichip_matches_device(self):
+        els = _scene_coated_window()
+        src = _beam(n=512, seed=12)
+        o, d, p = src.sample()
+        r_dev = Tracer().trace_spectral(
+            src, WLS, elements=els, trace_iterations=8,
+            rays=RayBatch.from_arrays(o, d, p, capacity=2048))
+        r_mc = Tracer().trace_spectral(
+            src, WLS, elements=els, trace_iterations=8, mode="multichip",
+            rays=RayBatch.from_arrays(o, d, p, capacity=2048))
+        np.testing.assert_allclose(r_mc.per_detector_spectrum,
+                                   r_dev.per_detector_spectrum, atol=2e-5)
+        np.testing.assert_allclose(r_mc.hist, r_dev.hist, atol=2e-5)
+
+    def test_compat_one_kwarg_spectral(self):
+        from lightpycl_tpu.compat import CL_Tracer
+
+        els = _scene_coated_window()
+        src = _beam(n=200, seed=3)
+        tracer = CL_Tracer()
+        res = tracer.iterative_tracer(src, els, trace_iterations=8,
+                                      wavelengths=WLS, capacity=800)
+        assert res.per_detector_spectrum.shape == (2, len(WLS))
+        # the quarter-wave AR signature comes through the compat surface
+        back = res.detector_spectrum("back")
+        assert back.argmin() == WLS.index(0.55)
+        # scalar getters still work on the spectral result
+        assert tracer.get_power_ledger()["measured"] > 0.9
+
+
+class TestDispersiveSpectral:
+    """Wavelength-BATCHED tracing (trace_spectral_dispersive) for the
+    scenes the shared-geometry model rejects: the lambda axis flattens
+    into the ray axis and one trace runs the full scalar physics. Anchor:
+    column k must reproduce an independent scalar trace at wavelength k."""
+
+    def _prism_scene(self):
+        from lightpycl_tpu.materials import SF10
+
+        a, b = SF10
+        oe_p = optical_elements(n_segments=24, n_radial=8)
+        prism = oe_p.prism(width=1.04, height=0.3, length=1.0, ior=a)
+        prism.dispersion_b = b
+        dome = oe_p.sphere(10.0, material="measure", name="dome")
+        return [prism, dome]
+
+    def _prism_beam(self, n=128):
+        return CollimatedSource(center=(0.3, -0.5, 0), direction=(0, 1, 0),
+                                diameter=0.04, ray_count=n, power=1.0,
+                                seed=2)
+
+    def test_prism_matches_sequential_scalar_traces(self):
+        els = self._prism_scene()
+        wls3 = [0.40, 0.55, 0.70]
+        src = self._prism_beam()
+        o, d, p = src.sample()
+        rays = RayBatch.from_arrays(o, d, p, capacity=512)
+        per_dw, led, names, rays_out, det = \
+            spectral.trace_spectral_dispersive(els, rays, wls3,
+                                               iterations=6)
+        per_dw = np.asarray(per_dw)
+        assert per_dw.shape == (1, 3)
+        for k, wl in enumerate(wls3):
+            res = Tracer().trace(
+                src, els, trace_iterations=6, mode="device",
+                rays=RayBatch.from_arrays(o, d, p, capacity=512,
+                                          wavelengths=wl),
+                dissipation_target=1.0)
+            assert per_dw[0, k] * 3 == pytest.approx(
+                res.detector_power("dome"), rel=5e-4, abs=1e-6), wl
+        # total-power conservation on the flattened batch
+        live = float(np.asarray(jnp.sum(jnp.where(
+            rays_out.alive, rays_out.power, 0.0))))
+        acc = float(np.asarray(led.accounted()))
+        assert acc + live == pytest.approx(1.0, rel=1e-5)
+        # the detector state rode along: hist total == measured total
+        assert float(np.asarray(det.hist).sum()) == pytest.approx(
+            float(np.asarray(led.measured)), abs=1e-5)
+
+    def test_grating_scene_matches_scalar(self):
+        gr = oe.rectangle(4.0, 4.0, material="grating", axis=(1, 0, 0),
+                          grating_period=1.2, grating_order=1,
+                          reflectivity=0.9)
+        gr.order0_fraction = 0.25
+        els = [gr, oe.sphere(radius=5.0, material="measure", name="dome")]
+        n = 64
+        o = np.tile([0.0, 0.0, 2.0], (n, 1))
+        d = np.tile([0.0, 0.0, -1.0], (n, 1))
+        p = np.full(n, 1.0 / n)
+        wls3 = [0.45, 0.60, 0.75]
+        rays = RayBatch.from_arrays(o, d, p, capacity=8 * n)
+        per_dw, led, names, _, _ = spectral.trace_spectral_dispersive(
+            els, rays, wls3, iterations=3)
+        per_dw = np.asarray(per_dw)
+        for k, wl in enumerate(wls3):
+            res = Tracer().trace(
+                None, els, trace_iterations=3, mode="device",
+                rays=RayBatch.from_arrays(o, d, p, capacity=8 * n,
+                                          wavelengths=wl),
+                dissipation_target=1.0)
+            assert per_dw[0, k] * 3 == pytest.approx(
+                res.detector_power("dome"), rel=5e-4, abs=1e-6), wl
+
+    def test_engine_auto_dispatch(self):
+        # dispersive scene -> 'batched' (no per-lambda ledger); achromatic
+        # scene -> 'shared' (spectral_ledger present). Same call both ways.
+        els = self._prism_scene()
+        src = self._prism_beam(n=64)
+        res = Tracer().trace_spectral(src, [0.45, 0.55, 0.65],
+                                      elements=els, trace_iterations=5,
+                                      capacity=256)
+        assert res.spectral_ledger is None
+        assert res.per_detector_spectrum.shape == (1, 3)
+        assert res.detector_spectrum("dome").sum() > 0.3
+        acc = sum(res.ledger[k] for k in
+                  ("measured", "absorbed", "escaped", "culled"))
+        assert acc + res.final_live_power == pytest.approx(
+            res.ledger["emitted"], rel=1e-5)
+        # geometry-pass accounting is W-fold for the batched method
+        assert res.rays_traced == 3 * 256 * 5
+
+        res2 = Tracer().trace_spectral(_beam(n=64), WLS,
+                                       elements=_scene_coated_window(),
+                                       trace_iterations=4, capacity=256)
+        assert res2.spectral_ledger is not None
+        assert res2.rays_traced == 256 * 4
+
+    def test_spread_rays_lanes(self):
+        from lightpycl_tpu.spectral import spread_rays_over_wavelengths
+
+        o = np.random.default_rng(0).normal(size=(8, 3))
+        rays = RayBatch.from_arrays(o, np.tile([0, 0, 1.0], (8, 1)),
+                                    np.ones(8))
+        big = spread_rays_over_wavelengths(
+            rays, [0.4, 0.6], jnp.asarray([0.25, 0.75]))
+        assert big.capacity == 16
+        assert np.allclose(np.asarray(big.wavelength[:8]), 0.4)
+        assert np.allclose(np.asarray(big.wavelength[8:]), 0.6)
+        assert np.allclose(np.asarray(big.power[:8]), 0.25)
+        assert np.allclose(np.asarray(big.power[8:]), 0.75)
+        assert np.allclose(np.asarray(big.o[8:]), np.asarray(rays.o[:8]))
 
 
 class TestSpectralMultichip:
@@ -149,11 +350,11 @@ class TestSpectralMultichip:
         src = _beam(n=1024, seed=4)
         o, d, p = src.sample()
         rays = RayBatch.from_arrays(o, d, p, capacity=4096)
-        pd1, led1, names, _ = spectral.trace_spectral(els, rays, WLS,
+        pd1, led1, names, _, _ = spectral.trace_spectral(els, rays, WLS,
                                                       iterations=8)
         rays2 = RayBatch.from_arrays(o, d, p, capacity=4096)
         mesh = make_ray_mesh(8)
-        pd8, led8, names8, _ = trace_spectral_multichip(
+        pd8, led8, names8, _, _ = trace_spectral_multichip(
             els, rays2, WLS, iterations=8, mesh=mesh)
         assert names == names8
         # nothing culled on either path; spectra and ledgers agree to f32
