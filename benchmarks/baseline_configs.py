@@ -107,6 +107,15 @@ def main():
     src4 = CollimatedSource(center=(0, 0, 5.0), direction=(0, 0, -1),
                             diameter=3.5, power=1.0, ray_count=4_000_000)
     tr4 = Tracer(TraceConfig(trace_iterations=4))
+    # warm accounting (one metric definition of record, BASELINE.md): the
+    # first batch pays the jit compile (~tens of seconds over the axon
+    # tunnel) — run one batch to compile, record that cost explicitly,
+    # then time the full run warm so tests_per_s is the steady state the
+    # 100M-ray runs actually sustain.
+    t0 = time.perf_counter()
+    tr4.trace_batched(src4, total_rays=4_000_000, batch_size=4_000_000,
+                      elements=[bowl, dome4])
+    compile_first_batch_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     res4 = tr4.trace_batched(src4, total_rays=n4, batch_size=4_000_000,
                              elements=[bowl, dome4])
@@ -117,7 +126,8 @@ def main():
                               - sum(res4.ledger[k] for k in
                                     ("measured", "absorbed", "escaped", "culled")))
          / res4.ledger["emitted"],
-         wall_s=wall, tests_per_s=res4.intersection_tests / wall)
+         wall_s=wall, tests_per_s=res4.intersection_tests / wall,
+         warm=True, compile_first_batch_s=compile_first_batch_s)
 
     # ---- config 5: multichip (real mesh if >1 device, else note) ----------
     n_dev = len(jax.devices())

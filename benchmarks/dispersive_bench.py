@@ -71,11 +71,14 @@ def main():
                              mode="device", dissipation_target=1.0)
         return res.wall_time, res.detector_power("dome")
 
-    # warm up compiles, then measure second runs
+    # warm up compiles, then report the MIN of 3 timed runs (single runs
+    # vary ~2x over the axon tunnel — CLAUDE.md timing note)
     run_batched()
-    t_batched, per_dw, names = run_batched()
+    runs = [run_batched() for _ in range(3)]
+    t_batched, per_dw, names = min(runs, key=lambda r: r[0])
     run_scalar(wls[0])
-    t_scal, p_scal = run_scalar(wls[0])
+    t_scal, p_scal = min((run_scalar(wls[0]) for _ in range(3)),
+                         key=lambda r: r[0])
 
     # physical sanity before recording timings: batched column 0 must
     # reproduce the scalar trace at the same wavelength

@@ -46,3 +46,20 @@ for line in (0.4861, 0.6563):
           f"(grating equation: {line / PERIOD:.4f}), "
           f"power={res.measured_power[sel].sum():.4f}")
 print(f"conservation error: {res.power_conservation_error():.2e}")
+
+# full spectral response in ONE call: gratings make the geometry
+# wavelength-dependent, so trace_spectral auto-dispatches to the
+# wavelength-BATCHED method (the lambda axis flattens into the ray axis)
+wl_grid = np.linspace(0.40, 0.70, 7)
+src1 = CollimatedSource(center=(0, 0, 2.0), direction=(0, 0, -1),
+                        diameter=0.5, power=1.0,
+                        ray_count=min(RAY_COUNT, 5000), seed=1)
+res_sp = Tracer().trace_spectral(src1, wl_grid, elements=els,
+                                 trace_iterations=3)
+spec = res_sp.detector_spectrum("dome") * len(wl_grid)
+print("dome spectral response (batched dispersive trace):")
+for wl, s in zip(wl_grid, spec):
+    print(f"  {wl:.2f} um: {s:.4f}")
+acc = sum(res_sp.ledger[k] for k in
+          ("measured", "absorbed", "escaped", "culled"))
+assert abs(acc + res_sp.final_live_power - res_sp.ledger["emitted"]) < 1e-4

@@ -269,49 +269,117 @@ def spread_rays_over_wavelengths(rays: RayBatch, wavelengths,
     )
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "iterations", "n_detectors"))
-def trace_spectral_dispersive_jit(scene: Scene, rays: RayBatch, wl_grid,
-                                  cfg: TraceConfig, iterations: int,
-                                  n_detectors: int, key=None):
+def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
+                     cfg: TraceConfig, iterations: int, n_detectors: int,
+                     base_key):
     """Fixed-depth scalar trace of a wavelength-flattened batch with an
     extra (D, W) per-(detector, wavelength) accumulator. Reuses the full
     scalar physics (dispersion, gratings, metals, coatings, polarization);
     the wavelength bin of each measured ray is recovered from its carried
     wavelength (nearest grid point — exact, since children copy the parent
-    wavelength verbatim)."""
-    from lightpycl_tpu.tracer.step import trace_step
+    wavelength verbatim).
 
-    D = max(n_detectors, 1)
-    W = wl_grid.shape[0]
-    det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
-                              D, cfg.image_bins)
+    The loop mirrors step.trace_step but accumulates the spectra directly
+    from the shade outputs instead of going through trace_step's
+    measured-ray harvest aux: the front-compaction epilogue there is a
+    13-column cumsum scatter over every slot — dead code XLA prunes in
+    device-mode traces, but live (and dominant at W * C slots) if the
+    spectra are read from aux. Shared by the single-device jit and the
+    per-shard body of the multichip entry point."""
+    from lightpycl_tpu.tracer import step as step_mod
     from lightpycl_tpu.tracer.rays import Ledger
 
+    D = max(n_detectors, 1)
+    det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
+                              D, cfg.image_bins)
     led = Ledger.start(jnp.sum(jnp.where(rays.alive, rays.power, 0.0)))
-    per_dw = jnp.zeros((D, W), jnp.float32)
-    base_key = key if key is not None else jax.random.key(cfg.seed)
+    per_dw = jnp.zeros((D, wl_grid.shape[0]), jnp.float32)
 
     def body(i, st):
         rays, det, per_dw, led = st
         k = jax.random.fold_in(base_key, i) if cfg.needs_rng else None
-        rays, det, led, aux = trace_step(scene, rays, det, led, cfg, key=k)
-        # aux.m_* are front-compacted; slots past measured_count carry
-        # zero power, so the scatter-add of the full buffer is exact
-        wl_idx = jnp.argmin(jnp.abs(aux.m_wl[:, None] - wl_grid[None, :]),
-                            axis=1)
-        did = jnp.clip(aux.m_det, 0, D - 1)
-        per_dw = per_dw.at[did, wl_idx].add(aux.m_power)
+        if cfg.cull:
+            rays = step_mod.reorder_rays(scene, rays)
+        t, tri = step_mod.intersect(scene, rays.o, rays.d, cfg,
+                                    alive=rays.alive)
+        sh = step_mod.shade(scene, rays, t, tri, cfg, key=k)
+        det = step_mod.accumulate_detector(det, sh, rays, cfg)
+        # the parent's carried wavelength indexes the spectral column
+        wl_idx = jnp.argmin(jnp.abs(rays.wavelength[:, None]
+                                    - wl_grid[None, :]), axis=1)
+        did = jnp.clip(sh.det_id, 0, D - 1)
+        per_dw = per_dw.at[did, wl_idx].add(sh.measured_power)
+        rr_delta = jnp.float32(0.0)
+        if cfg.roulette_threshold > 0.0:
+            sh, rr_delta = step_mod.roulette(sh, cfg, k)
+        # GLOBAL top-k compaction over all 2*W*C children. A per-
+        # wavelength-lane variant (W batched small top-ks, per-lambda cull
+        # fairness) was built and measured SLOWER on v5e (1.87s vs 1.43s
+        # on the 16-wavelength prism bench): the (W, 2C) take_along_axis
+        # gathers over the 12 child arrays cost more than the smaller
+        # sorts save. Under adequate headroom (zero cull) the two are
+        # physically identical, so the simpler global form stays.
+        new_rays, culled = step_mod.compact(sh, rays.capacity, cfg)
+        led = Ledger(
+            emitted=led.emitted,
+            measured=led.measured + jnp.sum(sh.measured_power),
+            absorbed=led.absorbed + sh.absorbed,
+            escaped=led.escaped + sh.escaped,
+            culled=led.culled + culled + rr_delta + sh.policy_dropped,
+        )
+        return new_rays, det, per_dw, led
+
+    return jax.lax.fori_loop(0, iterations, body,
+                             (rays, det, per_dw, led))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "iterations", "n_detectors"))
+def trace_spectral_dispersive_jit(scene: Scene, rays: RayBatch, wl_grid,
+                                  cfg: TraceConfig, iterations: int,
+                                  n_detectors: int, key=None):
+    base_key = key if key is not None else jax.random.key(cfg.seed)
+    return _dispersive_loop(scene, rays, wl_grid, cfg, iterations,
+                            n_detectors, base_key)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "iterations", "n_detectors",
+                                    "mesh"))
+def trace_spectral_dispersive_multichip_jit(scene: Scene, rays: RayBatch,
+                                            wl_grid, cfg: TraceConfig,
+                                            iterations: int,
+                                            n_detectors: int, mesh,
+                                            key=None):
+    """Sharded twin of trace_spectral_dispersive_jit: the flattened
+    wavelength-stamped batch shards over the 1-D ray mesh (scene + grid
+    replicated), each shard runs the dispersive loop locally, and the
+    DetectorState, (D, W) spectra, and ledger psum over ICI."""
+    from jax.sharding import PartitionSpec as P
+
+    from lightpycl_tpu.parallel.sharding import RAY_AXIS
+    from lightpycl_tpu.tracer.rays import Ledger
+
+    base = key if key is not None else jax.random.key(cfg.seed)
+
+    def local(scene, rays, wl, base):
+        shard_key = jax.random.fold_in(base, jax.lax.axis_index(RAY_AXIS))
+        rays, det, per_dw, led = _dispersive_loop(
+            scene, rays, wl, cfg, iterations, n_detectors, shard_key)
+        det = DetectorState(*(jax.lax.psum(x, RAY_AXIS) for x in det))
+        per_dw = jax.lax.psum(per_dw, RAY_AXIS)
+        led = Ledger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
         return rays, det, per_dw, led
 
-    rays, det, per_dw, led = jax.lax.fori_loop(
-        0, iterations, body, (rays, det, per_dw, led))
-    return rays, det, per_dw, led
+    return jax.shard_map(local, mesh=mesh,
+                         in_specs=(P(), P(RAY_AXIS), P(), P()),
+                         out_specs=(P(RAY_AXIS), P(), P(), P()),
+                         check_vma=False)(scene, rays, wl_grid, base)
 
 
 def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
                               weights=None, cfg: TraceConfig | None = None,
-                              iterations: int = 8, key=None):
+                              iterations: int = 8, key=None, mesh=None):
     """Wavelength-BATCHED trace for dispersive scenes (Cauchy glass,
     gratings — everything trace_spectral's shared-geometry model rejects).
 
@@ -326,6 +394,10 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
     Returns (per_det (D, W), Ledger (TOTAL power — per-wavelength
     conservation is not separable here; the spectra themselves are per
     wavelength), detector_names, final RayBatch, DetectorState).
+
+    `mesh` (optional 1-D jax.sharding.Mesh) shards the flattened batch
+    over the ray axis — round-robin interleaved first, like every sharded
+    path — with DetectorState / spectra / ledger psum'd over ICI.
     """
     from lightpycl_tpu.tracer.scene import build_scene
 
@@ -347,8 +419,26 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
     if weights is None:
         weights = jnp.full((wl.shape[0],), 1.0 / wl.shape[0], jnp.float32)
     big = spread_rays_over_wavelengths(rays, wl, weights)
-    rays_out, det, per_dw, led = trace_spectral_dispersive_jit(
-        scene, big, wl, cfg, iterations, len(det_names), key=key)
+    if mesh is None:
+        rays_out, det, per_dw, led = trace_spectral_dispersive_jit(
+            scene, big, wl, cfg, iterations, len(det_names), key=key)
+        return per_dw, led, det_names, rays_out, det
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lightpycl_tpu.parallel.sharding import (
+        RAY_AXIS, deinterleave_rays, interleave_rays,
+    )
+
+    n_dev = mesh.devices.size
+    if big.capacity % n_dev:
+        big = big.padded_to(-(-big.capacity // n_dev) * n_dev)
+    big = interleave_rays(big, n_dev)
+    big = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(RAY_AXIS))), big)
+    rays_out, det, per_dw, led = trace_spectral_dispersive_multichip_jit(
+        scene, big, wl, cfg, iterations, len(det_names), mesh, key=key)
+    rays_out = deinterleave_rays(rays_out, n_dev)
     return per_dw, led, det_names, rays_out, det
 
 

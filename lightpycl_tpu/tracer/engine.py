@@ -262,8 +262,10 @@ class Tracer:
             'batched': a prism or grating spectrometer script works with
             the same call.
 
-        mode="multichip" (shared method only) shards the rays over a 1-D
-        device mesh exactly like Tracer.trace(mode="multichip").
+        mode="multichip" shards the rays over a 1-D device mesh exactly
+        like Tracer.trace(mode="multichip") — for 'shared' the spectral
+        rows shard; for 'batched' the wavelength-flattened W * C batch
+        shards (round-robin interleaved, detector/spectra/ledger psum'd).
         Measured-ray lists / record_paths have no spectral equivalent —
         use scalar host-mode traces.
 
@@ -284,15 +286,19 @@ class Tracer:
             raise ValueError("no scene: pass `elements` or call set_elements()")
         if rays is None:
             origins, dirs, powers = source.sample()
-            wls_src = (source.sample_wavelengths()
-                       if hasattr(source, "sample_wavelengths") else None)
-            if wls_src is not None:
+            # a source carrying its own (non-degenerate) spectrum would be
+            # silently overridden by the wavelength grid — warn
+            wl_attr = getattr(source, "wavelength", None)
+            if isinstance(wl_attr, (tuple, list, np.ndarray)):
                 log.warning("trace_spectral ignores the source's own "
                             "wavelength spectrum; the `wavelengths` grid "
                             "+ `weights` define the spectral sampling")
             rays = RayBatch.from_arrays(origins, dirs, powers,
                                         ior_env=cfg.ior_env,
                                         capacity=capacity)
+        if method not in ("auto", "shared", "batched"):
+            raise ValueError(f"trace_spectral method must be 'auto', "
+                             f"'shared' or 'batched', got {method!r}")
         if method == "auto":
             try:
                 spectral_mod.validate_spectral_scene(self.elements)
@@ -309,17 +315,21 @@ class Tracer:
         t0 = time.perf_counter()
         spectral_ledger = None
         if method == "batched":
-            if mode != "device":
+            if mode == "multichip":
+                from lightpycl_tpu.parallel.sharding import make_ray_mesh
+                mesh_b = mesh if mesh is not None else make_ray_mesh()
+            elif mode == "device":
+                mesh_b = None
+            else:
                 raise ValueError(
-                    "method='batched' (dispersive) spectral tracing is "
-                    "device-mode only for now; shard the flattened batch "
-                    "through Tracer.trace(mode='multichip') manually if "
-                    "needed")
+                    f"trace_spectral(method='batched') mode must be "
+                    f"'device' or 'multichip', got {mode!r}")
             cfg_b = self._check_polarization(self._tune_splitting(cfg))
             per_det, led, det_names, rays_out, det = (
                 spectral_mod.trace_spectral_dispersive(
                     self.elements, rays, wavelengths, weights=weights,
-                    cfg=cfg_b, iterations=cfg.trace_iterations))
+                    cfg=cfg_b, iterations=cfg.trace_iterations,
+                    mesh=mesh_b))
             jax.block_until_ready(led)
             live = float(np.asarray(jnp.sum(
                 jnp.where(rays_out.alive, rays_out.power, 0.0))))

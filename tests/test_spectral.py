@@ -367,3 +367,70 @@ class TestSpectralMultichip:
             np.testing.assert_allclose(np.asarray(getattr(led8, k)),
                                        np.asarray(getattr(led1, k)),
                                        atol=2e-5, err_msg=k)
+
+    def test_dispersive_sharded_matches_single_device(self):
+        # the wavelength-BATCHED (dispersive) path sharded over 8 chips:
+        # 3 wavelengths x 256 live rays at 4x headroom -> 3072-slot
+        # flattened batch, round-robin interleaved so every shard holds
+        # live rays from every wavelength lane. Spectra + ledger must
+        # match the single-device dispersive trace with zero culling.
+        from lightpycl_tpu.materials import SF10
+        from lightpycl_tpu.parallel.sharding import make_ray_mesh
+
+        a, b = SF10
+        oe_p = optical_elements(n_segments=24, n_radial=8)
+        prism = oe_p.prism(width=1.04, height=0.3, length=1.0, ior=a)
+        prism.dispersion_b = b
+        els = [prism, oe_p.sphere(10.0, material="measure", name="dome")]
+        src = CollimatedSource(center=(0.3, -0.5, 0), direction=(0, 1, 0),
+                               diameter=0.04, ray_count=256, power=1.0,
+                               seed=7)
+        o, d, p = src.sample()
+        wls3 = [0.40, 0.55, 0.70]
+        pd1, led1, names, _, det1 = spectral.trace_spectral_dispersive(
+            els, RayBatch.from_arrays(o, d, p, capacity=1024), wls3,
+            iterations=6)
+        pd8, led8, names8, rays8, det8 = spectral.trace_spectral_dispersive(
+            els, RayBatch.from_arrays(o, d, p, capacity=1024), wls3,
+            iterations=6, mesh=make_ray_mesh(8))
+        assert names == names8
+        assert float(np.asarray(led8.culled)) < 1e-6
+        np.testing.assert_allclose(np.asarray(pd8), np.asarray(pd1),
+                                   atol=2e-5)
+        for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
+            assert float(np.asarray(getattr(led8, k))) == pytest.approx(
+                float(np.asarray(getattr(led1, k))), abs=2e-5), k
+        # detector state psum'd exactly once: angular hist totals agree
+        np.testing.assert_allclose(np.asarray(det8.hist).sum(),
+                                   np.asarray(det1.hist).sum(), atol=2e-5)
+        # deinterleaved rays_out conserves the live remainder
+        live8 = float(np.asarray(jnp.sum(jnp.where(
+            rays8.alive, rays8.power, 0.0))))
+        acc8 = float(np.asarray(led8.accounted()))
+        assert acc8 + live8 == pytest.approx(1.0, rel=1e-5)
+
+    def test_engine_batched_multichip(self):
+        # engine-level: one kwarg turns the dispersive spectrometer
+        # multichip; result must match the device-mode engine run
+        from lightpycl_tpu.materials import SF10
+
+        a, b = SF10
+        oe_p = optical_elements(n_segments=24, n_radial=8)
+        prism = oe_p.prism(width=1.04, height=0.3, length=1.0, ior=a)
+        prism.dispersion_b = b
+        els = [prism, oe_p.sphere(10.0, material="measure", name="dome")]
+        src = CollimatedSource(center=(0.3, -0.5, 0), direction=(0, 1, 0),
+                               diameter=0.04, ray_count=128, power=1.0,
+                               seed=5)
+        wls3 = [0.45, 0.55, 0.65]
+        r1 = Tracer().trace_spectral(src, wls3, elements=els,
+                                     trace_iterations=5, capacity=512)
+        r8 = Tracer().trace_spectral(src, wls3, elements=els,
+                                     trace_iterations=5, capacity=512,
+                                     mode="multichip")
+        assert r1.spectral_ledger is None and r8.spectral_ledger is None
+        np.testing.assert_allclose(r8.per_detector_spectrum,
+                                   r1.per_detector_spectrum, atol=2e-5)
+        for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
+            assert r8.ledger[k] == pytest.approx(r1.ledger[k],
+                                                 abs=2e-5), k
