@@ -63,3 +63,10 @@ for wl, s in zip(wl_grid, spec):
 acc = sum(res_sp.ledger[k] for k in
           ("measured", "absorbed", "escaped", "culled"))
 assert abs(acc + res_sp.final_live_power - res_sp.ledger["emitted"]) < 1e-4
+# conservation holds PER WAVELENGTH too: each ledger column closes on its
+# own lambda lane (live remainder = emitted - accounted per column)
+lw = res_sp.spectral_ledger
+acc_w = lw["measured"] + lw["absorbed"] + lw["escaped"] + lw["culled"]
+assert (lw["emitted"] - acc_w >= -1e-5).all()
+print("per-wavelength ledger closes: max open fraction "
+      f"{(lw['emitted'] - acc_w).max():.2e} (live rays still tracing)")

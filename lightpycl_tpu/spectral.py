@@ -285,18 +285,41 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
     13-column cumsum scatter over every slot — dead code XLA prunes in
     device-mode traces, but live (and dominant at W * C slots) if the
     spectra are read from aux. Shared by the single-device jit and the
-    per-shard body of the multichip entry point."""
+    per-shard body of the multichip entry point.
+
+    Returns (rays, det, per_dw, led_w) where led_w is a PER-WAVELENGTH
+    Ledger — every entry a (W,) column, conserving per column:
+    emitted[w] == measured[w] + absorbed[w] + escaped[w] + culled[w] +
+    live_final[w]. measured/escaped/dropped bin exactly by the parent's
+    carried wavelength (ShadeOut.escaped_power / .dropped_power);
+    absorbed[w] is the per-column residual of shade's power flow
+    (live_in - measured - escaped - dropped - child_total, which the
+    scalar ledger invariant proves equals shade's absorbed to fp
+    rounding); culled[w] = child_total[w] - live_after_compaction[w] +
+    dropped[w], which attributes roulette kills, below-cutoff drops and
+    top-k overflow to the wavelength of the culled child. The scalar
+    Ledger is the column sum (see the jit wrappers)."""
     from lightpycl_tpu.tracer import step as step_mod
     from lightpycl_tpu.tracer.rays import Ledger
 
     D = max(n_detectors, 1)
+    W = wl_grid.shape[0]
     det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
                               D, cfg.image_bins)
-    led = Ledger.start(jnp.sum(jnp.where(rays.alive, rays.power, 0.0)))
-    per_dw = jnp.zeros((D, wl_grid.shape[0]), jnp.float32)
+    per_dw = jnp.zeros((D, W), jnp.float32)
+
+    def bin_by(wl, power):
+        idx = jnp.argmin(jnp.abs(wl[:, None] - wl_grid[None, :]), axis=1)
+        return idx, jnp.zeros((W,), jnp.float32).at[idx].add(power)
+
+    _, emitted_w = bin_by(rays.wavelength,
+                          jnp.where(rays.alive, rays.power, 0.0))
+    z = jnp.zeros((W,), jnp.float32)
+    led_w = Ledger(emitted=emitted_w, measured=z, absorbed=z, escaped=z,
+                   culled=z)
 
     def body(i, st):
-        rays, det, per_dw, led = st
+        rays, det, per_dw, led_w = st
         k = jax.random.fold_in(base_key, i) if cfg.needs_rng else None
         if cfg.cull:
             rays = step_mod.reorder_rays(scene, rays)
@@ -305,13 +328,19 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
         sh = step_mod.shade(scene, rays, t, tri, cfg, key=k)
         det = step_mod.accumulate_detector(det, sh, rays, cfg)
         # the parent's carried wavelength indexes the spectral column
-        wl_idx = jnp.argmin(jnp.abs(rays.wavelength[:, None]
-                                    - wl_grid[None, :]), axis=1)
+        wl_idx, live_before_w = bin_by(
+            rays.wavelength, jnp.where(rays.alive, rays.power, 0.0))
         did = jnp.clip(sh.det_id, 0, D - 1)
         per_dw = per_dw.at[did, wl_idx].add(sh.measured_power)
-        rr_delta = jnp.float32(0.0)
+        m_w = z.at[wl_idx].add(sh.measured_power)
+        e_w = z.at[wl_idx].add(sh.escaped_power)
+        d_w = z.at[wl_idx].add(sh.dropped_power)
+        # children binned BEFORE roulette/compaction so the per-lambda
+        # cull column captures everything dropped after shade
+        _, c_w = bin_by(sh.child_wavelength,
+                        jnp.where(sh.child_alive, sh.child_power, 0.0))
         if cfg.roulette_threshold > 0.0:
-            sh, rr_delta = step_mod.roulette(sh, cfg, k)
+            sh, _ = step_mod.roulette(sh, cfg, k)
         # GLOBAL top-k compaction over all 2*W*C children. A per-
         # wavelength-lane variant (W batched small top-ks, per-lambda cull
         # fairness) was built and measured SLOWER on v5e (1.87s vs 1.43s
@@ -319,18 +348,22 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
         # gathers over the 12 child arrays cost more than the smaller
         # sorts save. Under adequate headroom (zero cull) the two are
         # physically identical, so the simpler global form stays.
-        new_rays, culled = step_mod.compact(sh, rays.capacity, cfg)
-        led = Ledger(
-            emitted=led.emitted,
-            measured=led.measured + jnp.sum(sh.measured_power),
-            absorbed=led.absorbed + sh.absorbed,
-            escaped=led.escaped + sh.escaped,
-            culled=led.culled + culled + rr_delta + sh.policy_dropped,
+        new_rays, _ = step_mod.compact(sh, rays.capacity, cfg)
+        _, live_after_w = bin_by(
+            new_rays.wavelength,
+            jnp.where(new_rays.alive, new_rays.power, 0.0))
+        led_w = Ledger(
+            emitted=led_w.emitted,
+            measured=led_w.measured + m_w,
+            absorbed=led_w.absorbed
+            + (live_before_w - m_w - e_w - d_w - c_w),
+            escaped=led_w.escaped + e_w,
+            culled=led_w.culled + (c_w - live_after_w) + d_w,
         )
-        return new_rays, det, per_dw, led
+        return new_rays, det, per_dw, led_w
 
     return jax.lax.fori_loop(0, iterations, body,
-                             (rays, det, per_dw, led))
+                             (rays, det, per_dw, led_w))
 
 
 @functools.partial(jax.jit,
@@ -338,9 +371,13 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
 def trace_spectral_dispersive_jit(scene: Scene, rays: RayBatch, wl_grid,
                                   cfg: TraceConfig, iterations: int,
                                   n_detectors: int, key=None):
+    from lightpycl_tpu.tracer.rays import Ledger
+
     base_key = key if key is not None else jax.random.key(cfg.seed)
-    return _dispersive_loop(scene, rays, wl_grid, cfg, iterations,
-                            n_detectors, base_key)
+    rays, det, per_dw, led_w = _dispersive_loop(
+        scene, rays, wl_grid, cfg, iterations, n_detectors, base_key)
+    led = Ledger(*(jnp.sum(x) for x in led_w))
+    return rays, det, per_dw, led, led_w
 
 
 @functools.partial(jax.jit,
@@ -364,16 +401,17 @@ def trace_spectral_dispersive_multichip_jit(scene: Scene, rays: RayBatch,
 
     def local(scene, rays, wl, base):
         shard_key = jax.random.fold_in(base, jax.lax.axis_index(RAY_AXIS))
-        rays, det, per_dw, led = _dispersive_loop(
+        rays, det, per_dw, led_w = _dispersive_loop(
             scene, rays, wl, cfg, iterations, n_detectors, shard_key)
         det = DetectorState(*(jax.lax.psum(x, RAY_AXIS) for x in det))
         per_dw = jax.lax.psum(per_dw, RAY_AXIS)
-        led = Ledger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
-        return rays, det, per_dw, led
+        led_w = Ledger(*(jax.lax.psum(x, RAY_AXIS) for x in led_w))
+        led = Ledger(*(jnp.sum(x) for x in led_w))
+        return rays, det, per_dw, led, led_w
 
     return jax.shard_map(local, mesh=mesh,
                          in_specs=(P(), P(RAY_AXIS), P(), P()),
-                         out_specs=(P(RAY_AXIS), P(), P(), P()),
+                         out_specs=(P(RAY_AXIS), P(), P(), P(), P()),
                          check_vma=False)(scene, rays, wl_grid, base)
 
 
@@ -391,9 +429,11 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
     inherently W-fold, unlike the achromatic path's true W-for-1 sharing;
     see benchmarks/spectral_bench.py for measured numbers).
 
-    Returns (per_det (D, W), Ledger (TOTAL power — per-wavelength
-    conservation is not separable here; the spectra themselves are per
-    wavelength), detector_names, final RayBatch, DetectorState).
+    Returns (per_det (D, W), Ledger (total power), detector_names, final
+    RayBatch, DetectorState, per-wavelength Ledger — every entry a (W,)
+    column conserving emitted[w] == measured[w] + absorbed[w] +
+    escaped[w] + culled[w] + live_final[w]; the scalar Ledger is its
+    column sum).
 
     `mesh` (optional 1-D jax.sharding.Mesh) shards the flattened batch
     over the ray axis — round-robin interleaved first, like every sharded
@@ -420,9 +460,9 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
         weights = jnp.full((wl.shape[0],), 1.0 / wl.shape[0], jnp.float32)
     big = spread_rays_over_wavelengths(rays, wl, weights)
     if mesh is None:
-        rays_out, det, per_dw, led = trace_spectral_dispersive_jit(
+        rays_out, det, per_dw, led, led_w = trace_spectral_dispersive_jit(
             scene, big, wl, cfg, iterations, len(det_names), key=key)
-        return per_dw, led, det_names, rays_out, det
+        return per_dw, led, det_names, rays_out, det, led_w
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -436,10 +476,12 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
     big = interleave_rays(big, n_dev)
     big = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(RAY_AXIS))), big)
-    rays_out, det, per_dw, led = trace_spectral_dispersive_multichip_jit(
-        scene, big, wl, cfg, iterations, len(det_names), mesh, key=key)
+    rays_out, det, per_dw, led, led_w = (
+        trace_spectral_dispersive_multichip_jit(
+            scene, big, wl, cfg, iterations, len(det_names), mesh,
+            key=key))
     rays_out = deinterleave_rays(rays_out, n_dev)
-    return per_dw, led, det_names, rays_out, det
+    return per_dw, led, det_names, rays_out, det, led_w
 
 
 def _resolve_spectral(elements, cfg, wavelengths, weights):

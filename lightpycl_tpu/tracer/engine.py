@@ -257,7 +257,9 @@ class Tracer:
             copy of the rays and ONE jitted trace of W * C rays runs the
             full scalar physics (dispersion, gratings, coatings, metals):
             one compile / one dispatch instead of W sequential traces.
-            Ledger is total-power only.
+            Also fills `spectral_ledger`: measured/escaped bin exactly by
+            each ray's carried wavelength; absorbed/culled per column via
+            shade's power-flow residual (exact to fp rounding).
           * 'auto' (default) — 'shared' when the scene qualifies, else
             'batched': a prism or grating spectrometer script works with
             the same call.
@@ -325,7 +327,7 @@ class Tracer:
                     f"trace_spectral(method='batched') mode must be "
                     f"'device' or 'multichip', got {mode!r}")
             cfg_b = self._check_polarization(self._tune_splitting(cfg))
-            per_det, led, det_names, rays_out, det = (
+            per_det, led, det_names, rays_out, det, led_w = (
                 spectral_mod.trace_spectral_dispersive(
                     self.elements, rays, wavelengths, weights=weights,
                     cfg=cfg_b, iterations=cfg.trace_iterations,
@@ -334,6 +336,8 @@ class Tracer:
             live = float(np.asarray(jnp.sum(
                 jnp.where(rays_out.alive, rays_out.power, 0.0))))
             ledger = led.as_dict()
+            spectral_ledger = {k: np.asarray(v)
+                               for k, v in led_w._asdict().items()}
             geom_rays = W * C
         elif mode == "device":
             per_det, led, det_names, sr, det = spectral_mod.trace_spectral(

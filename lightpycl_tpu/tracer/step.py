@@ -213,6 +213,12 @@ class ShadeOut(NamedTuple):
     det_id: jnp.ndarray        # (C,) i32
     absorbed: jnp.ndarray      # () power absorbed this step
     escaped: jnp.ndarray       # () power escaped (miss) this step
+    escaped_power: jnp.ndarray  # (C,) per-parent escaped power (zero on
+    #   non-miss slots; escaped == sum(escaped_power)). Lets spectral
+    #   tracing bin the ledger per wavelength without re-deriving is_miss.
+    dropped_power: jnp.ndarray  # (C,) per-parent power dropped by
+    #   allow_splitting=False (policy_dropped == sum(dropped_power);
+    #   all-zero when splitting is enabled)
 
 
 def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
@@ -561,7 +567,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         pa = jnp.where(is_gr, pa * (1.0 - g0), pa)
         if cfg.polarization:
             pb_pol = jnp.where(is_gr, live_p * refl * g0, pb_pol)
-    policy_dropped = jnp.float32(0.0)
+    dropped_power = jnp.zeros_like(live_p)
     if cfg.allow_splitting:
         # child B at slot C + i: refracted branch (dielectric) or the
         # straight-through transmitted branch (beamsplitter: direction and
@@ -624,15 +630,14 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # not the unpolarized Fresnel split, or conservation breaks by
         # (R_pol - R_unpol) per ray.
         if cfg.polarization:
-            policy_dropped = jnp.sum(pb_pol)
+            dropped_power = pb_pol
         else:
-            policy_dropped = jnp.sum(
-                jnp.where(is_refr, live_p * (1.0 - R_diel),
-                          jnp.where(is_bs, live_p * (1.0 - refl), 0.0)))
+            dropped_power = jnp.where(
+                is_refr, live_p * (1.0 - R_diel),
+                jnp.where(is_bs, live_p * (1.0 - refl), 0.0))
             if cfg.has_gratings:
-                policy_dropped = policy_dropped + jnp.sum(
-                    jnp.where(is_gr, live_p * refl * attrs["grating_g0"],
-                              0.0))
+                dropped_power = dropped_power + jnp.where(
+                    is_gr, live_p * refl * attrs["grating_g0"], 0.0)
         if cfg.polarization:
             child_s1, child_s2, child_s3 = a_s1, a_s2, a_s3
             child_basis = new_basis
@@ -665,16 +670,18 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # model does not carry: the engine refuses such scenes; direct
         # step users get full absorption so the ledger still balances
         absorbed = absorbed + jnp.sum(jnp.where(is_optic, live_p, 0.0))
-    escaped = jnp.sum(jnp.where(is_miss, live_p, 0.0))
+    escaped_power = jnp.where(is_miss, live_p, 0.0)
+    escaped = jnp.sum(escaped_power)
     measured_power = jnp.where(is_meas, live_p, 0.0)
 
     return ShadeOut(
         child_o, child_d, child_power, child_ior, child_wl, child_ab,
-        policy_dropped,
+        jnp.sum(dropped_power),
         child_s1, child_s2, child_s3, child_basis, child_opl,
         child_alive,
         hit_point, is_meas, measured_power, det_id,
         absorbed, escaped,
+        escaped_power, dropped_power,
     )
 
 

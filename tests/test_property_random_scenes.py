@@ -121,6 +121,43 @@ def test_random_scene_conserves_and_matches_oracle(seed):
     np.testing.assert_allclose(res.per_detector, per_det, atol=2e-4)
 
 
+@pytest.mark.parametrize("seed", [7, 19, 43])
+def test_random_dispersive_spectral_ledger_closes(seed):
+    """Wavelength-batched spectral tracing on randomized DISPERSIVE scenes
+    (Cauchy glass + random other materials): every per-wavelength ledger
+    column must close independently and the columns must sum to the
+    scalar ledger — the r3 per-lambda bookkeeping on arbitrary geometry,
+    not just the hand-picked prism anchor."""
+    rng = np.random.default_rng(seed)
+    els = random_scene(rng)
+    # force the scene dispersive: Cauchy B on a glass cube (and half the
+    # time a grating too) so method='auto' must take the batched path
+    glass = L.optical_elements(20, 7).cube(
+        rng.uniform(0.3, 0.8), material="refractive",
+        ior=rng.uniform(1.4, 1.8))
+    glass.dispersion_b = float(rng.uniform(0.005, 0.02))
+    glass.rotate(rng.normal(size=3) + 1e-3, rng.uniform(0, np.pi))
+    els.insert(0, glass)
+    src = random_source(rng)
+    wls = np.linspace(0.42, 0.68, 4)
+    res = Tracer().trace_spectral(src, wls, elements=els,
+                                  trace_iterations=5,
+                                  capacity=4 * 384, method="batched")
+    lw = res.spectral_ledger
+    assert lw is not None and all(v.shape == (4,) for v in lw.values())
+    acc_w = lw["measured"] + lw["absorbed"] + lw["escaped"] + lw["culled"]
+    # each column closes up to its own live remainder (non-negative) and
+    # the total live power accounts for the whole gap
+    open_w = lw["emitted"] - acc_w
+    assert (open_w > -1e-5).all()
+    assert open_w.sum() == pytest.approx(res.final_live_power, abs=1e-4)
+    for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
+        assert lw[k].sum() == pytest.approx(res.ledger[k], abs=1e-5), k
+    assert (lw["measured"] >= -1e-7).all() and (lw["culled"] >= -1e-5).all()
+    np.testing.assert_allclose(res.per_detector_spectrum.sum(axis=0),
+                               lw["measured"], atol=1e-5)
+
+
 @pytest.mark.parametrize("seed", [5, 17, 29])
 def test_random_scene_roulette_conserves(seed):
     """Russian roulette on the randomized scenes (r2 physics tier): no

@@ -250,11 +250,32 @@ class TestDispersiveSpectral:
         src = self._prism_beam()
         o, d, p = src.sample()
         rays = RayBatch.from_arrays(o, d, p, capacity=512)
-        per_dw, led, names, rays_out, det = \
+        per_dw, led, names, rays_out, det, led_w = \
             spectral.trace_spectral_dispersive(els, rays, wls3,
                                                iterations=6)
         per_dw = np.asarray(per_dw)
         assert per_dw.shape == (1, 3)
+        # per-wavelength ledger: every column conserves (live binned by
+        # the surviving rays' carried wavelengths)
+        wl_arr = np.asarray([0.40, 0.55, 0.70], np.float32)
+        r_wl = np.asarray(rays_out.wavelength)
+        r_live = np.where(np.asarray(rays_out.alive),
+                          np.asarray(rays_out.power), 0.0)
+        live_w = np.zeros(3)
+        np.add.at(live_w, np.abs(r_wl[:, None] - wl_arr).argmin(1), r_live)
+        acc_w = sum(np.asarray(getattr(led_w, k)) for k in
+                    ("measured", "absorbed", "escaped", "culled"))
+        np.testing.assert_allclose(acc_w + live_w,
+                                   np.asarray(led_w.emitted), atol=2e-6)
+        # column sums == the scalar ledger
+        for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
+            assert float(np.asarray(getattr(led_w, k)).sum()) == \
+                pytest.approx(float(np.asarray(getattr(led, k))),
+                              abs=2e-6), k
+        # the measured column is the detector-summed spectrum (atol covers
+        # the differing f32 accumulation orders of the two scatters)
+        np.testing.assert_allclose(np.asarray(led_w.measured),
+                                   per_dw.sum(axis=0), atol=5e-6)
         for k, wl in enumerate(wls3):
             res = Tracer().trace(
                 src, els, trace_iterations=6, mode="device",
@@ -284,7 +305,7 @@ class TestDispersiveSpectral:
         p = np.full(n, 1.0 / n)
         wls3 = [0.45, 0.60, 0.75]
         rays = RayBatch.from_arrays(o, d, p, capacity=8 * n)
-        per_dw, led, names, _, _ = spectral.trace_spectral_dispersive(
+        per_dw, led, names, _, _, _ = spectral.trace_spectral_dispersive(
             els, rays, wls3, iterations=3)
         per_dw = np.asarray(per_dw)
         for k, wl in enumerate(wls3):
@@ -297,14 +318,18 @@ class TestDispersiveSpectral:
                 res.detector_power("dome"), rel=5e-4, abs=1e-6), wl
 
     def test_engine_auto_dispatch(self):
-        # dispersive scene -> 'batched' (no per-lambda ledger); achromatic
-        # scene -> 'shared' (spectral_ledger present). Same call both ways.
+        # dispersive scene -> 'batched'; achromatic scene -> 'shared'.
+        # Same call both ways; both carry a per-lambda spectral_ledger.
         els = self._prism_scene()
         src = self._prism_beam(n=64)
         res = Tracer().trace_spectral(src, [0.45, 0.55, 0.65],
                                       elements=els, trace_iterations=5,
                                       capacity=256)
-        assert res.spectral_ledger is None
+        assert res.spectral_ledger is not None
+        assert all(v.shape == (3,) for v in res.spectral_ledger.values())
+        for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
+            assert res.spectral_ledger[k].sum() == pytest.approx(
+                res.ledger[k], abs=2e-6), k
         assert res.per_detector_spectrum.shape == (1, 3)
         assert res.detector_spectrum("dome").sum() > 0.3
         acc = sum(res.ledger[k] for k in
@@ -387,12 +412,13 @@ class TestSpectralMultichip:
                                seed=7)
         o, d, p = src.sample()
         wls3 = [0.40, 0.55, 0.70]
-        pd1, led1, names, _, det1 = spectral.trace_spectral_dispersive(
+        pd1, led1, names, _, det1, lw1 = spectral.trace_spectral_dispersive(
             els, RayBatch.from_arrays(o, d, p, capacity=1024), wls3,
             iterations=6)
-        pd8, led8, names8, rays8, det8 = spectral.trace_spectral_dispersive(
-            els, RayBatch.from_arrays(o, d, p, capacity=1024), wls3,
-            iterations=6, mesh=make_ray_mesh(8))
+        pd8, led8, names8, rays8, det8, lw8 = \
+            spectral.trace_spectral_dispersive(
+                els, RayBatch.from_arrays(o, d, p, capacity=1024), wls3,
+                iterations=6, mesh=make_ray_mesh(8))
         assert names == names8
         assert float(np.asarray(led8.culled)) < 1e-6
         np.testing.assert_allclose(np.asarray(pd8), np.asarray(pd1),
@@ -400,6 +426,10 @@ class TestSpectralMultichip:
         for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
             assert float(np.asarray(getattr(led8, k))) == pytest.approx(
                 float(np.asarray(getattr(led1, k))), abs=2e-5), k
+            # per-wavelength ledger psum'd once: columns match per column
+            np.testing.assert_allclose(np.asarray(getattr(lw8, k)),
+                                       np.asarray(getattr(lw1, k)),
+                                       atol=2e-5, err_msg=k)
         # detector state psum'd exactly once: angular hist totals agree
         np.testing.assert_allclose(np.asarray(det8.hist).sum(),
                                    np.asarray(det1.hist).sum(), atol=2e-5)
@@ -428,7 +458,12 @@ class TestSpectralMultichip:
         r8 = Tracer().trace_spectral(src, wls3, elements=els,
                                      trace_iterations=5, capacity=512,
                                      mode="multichip")
-        assert r1.spectral_ledger is None and r8.spectral_ledger is None
+        assert r1.spectral_ledger is not None
+        assert r8.spectral_ledger is not None
+        for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
+            np.testing.assert_allclose(r8.spectral_ledger[k],
+                                       r1.spectral_ledger[k],
+                                       atol=2e-5, err_msg=k)
         np.testing.assert_allclose(r8.per_detector_spectrum,
                                    r1.per_detector_spectrum, atol=2e-5)
         for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
