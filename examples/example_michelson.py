@@ -45,3 +45,31 @@ print(f"output port power: {res.detector_power('output'):.6f} "
       f"(theory 2RT = {2 * R * (1 - R):.6f})")
 print(f"returned to source (escaped): {res.ledger['escaped']:.6f}")
 print(f"conservation error: {res.power_conservation_error():.2e}")
+
+# --- coherent fringes (no reference equivalent): offset one arm mirror and
+# watch the output intensity follow the two-beam law I/I0 = cos^2(2 pi d/wl)
+from lightpycl_tpu.tracer.rays import RayBatch
+
+WL = 0.5  # wavelength in SCENE units (only OPL/wl enters the phase)
+o, dvec, p = src.sample()
+
+
+def fringe_intensity(arm_d):
+    bench = [els[0],
+             els[1].copy().translate((-arm_d, 0, 0)),
+             els[2], els[3]]
+    r = Tracer().trace(
+        None, bench, trace_iterations=6,
+        rays=RayBatch.from_arrays(o, dvec, p, capacity=8 * RAY_COUNT,
+                                  wavelengths=WL),
+        coherent=True, image_bins=32, image_center=(1.5, 0.0, 0.0),
+        image_normal=(1.0, 0.0, 0.0), image_halfwidth=0.6)
+    return r.image_coherent.sum()
+
+
+i0 = fringe_intensity(0.0)
+print("\narm offset  ->  coherent output (two-beam law)")
+for d in (0.0, WL / 8, WL / 4, 3 * WL / 8, WL / 2):
+    ratio = fringe_intensity(d) / i0
+    theory = (1 + np.cos(4 * np.pi * d / WL)) / 2
+    print(f"  {d / WL:4.2f} wl: I/I0 = {ratio:.4f}  (theory {theory:.4f})")

@@ -19,7 +19,7 @@ from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
 # bump when RayBatch/DetectorState/Ledger fields change meaning; loaders
 # may forward-fill fields ADDED since an older version but must never
 # guess at incompatible ones
-SCHEMA_VERSION = 2
+SCHEMA_VERSION = 3  # v3 adds DetectorState.image_amp (coherent imaging)
 
 
 def normalize_path(path: str) -> str:
@@ -89,8 +89,15 @@ def load_state(path: str):
 
         out["rays"] = RayBatch(*[_field(f) for f in RayBatch._fields])
     if "det_hist" in z:
+        def _det_field(f):
+            if f"det_{f}" in z:
+                return jnp.asarray(z[f"det_{f}"])
+            # fields added after the checkpoint was written (v<=2 has no
+            # image_amp): coherent accumulation starts from zero
+            return jnp.zeros((2, 1, 1), jnp.float32)
+
         out["detector"] = DetectorState(
-            *[jnp.asarray(z[f"det_{f}"]) for f in DetectorState._fields])
+            *[_det_field(f) for f in DetectorState._fields])
     if "led_emitted" in z:
         out["ledger"] = Ledger(*[jnp.asarray(z[f"led_{f}"]) for f in Ledger._fields])
     for k in z.files:

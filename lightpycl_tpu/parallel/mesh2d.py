@@ -93,7 +93,8 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
         my_tri = jax.lax.axis_index(TRI_AXIS)
         is_rank0 = (my_tri == 0).astype(jnp.float32)
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
-                                  n_detectors, cfg.image_bins)
+                                  n_detectors, cfg.image_bins,
+                                  coherent=cfg.coherent)
         led = Ledger.start(
             jnp.sum(jnp.where(rays.alive, rays.power, 0.0)) * is_rank0)
         if cfg.needs_rng:
@@ -171,11 +172,8 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
 
         rays, det, led = jax.lax.fori_loop(0, iterations, body,
                                            (rays, det, led))
-        det = DetectorState(
-            jax.lax.psum(jax.lax.psum(det.hist, TRI_AXIS), RAY_AXIS),
-            jax.lax.psum(jax.lax.psum(det.per_detector, TRI_AXIS), RAY_AXIS),
-            jax.lax.psum(jax.lax.psum(det.image, TRI_AXIS), RAY_AXIS),
-        )
+        det = DetectorState(*(jax.lax.psum(jax.lax.psum(x, TRI_AXIS),
+                                           RAY_AXIS) for x in det))
         led = Ledger(*(jax.lax.psum(jax.lax.psum(x, TRI_AXIS), RAY_AXIS)
                        for x in led))
         return rays, det, led

@@ -115,7 +115,7 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
         led = Ledger.start(jnp.sum(jnp.where(rays.alive, rays.power, 0.0)))
         det = DetectorState.zeros(
             cfg.hist_azimuth_bins, cfg.hist_polar_bins, n_detectors,
-            cfg.image_bins
+            cfg.image_bins, coherent=cfg.coherent
         )
         if cfg.needs_rng:
             shard_key = jax.random.fold_in(
@@ -129,11 +129,7 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
             return rays, det, led
 
         rays, det, led = jax.lax.fori_loop(0, iterations, body, (rays, det, led))
-        det = DetectorState(
-            jax.lax.psum(det.hist, RAY_AXIS),
-            jax.lax.psum(det.per_detector, RAY_AXIS),
-            jax.lax.psum(det.image, RAY_AXIS),
-        )
+        det = DetectorState(*(jax.lax.psum(x, RAY_AXIS) for x in det))
         led = Ledger(*(jax.lax.psum(x, RAY_AXIS) for x in led))
         return rays, det, led
 

@@ -114,6 +114,21 @@ class TraceConfig:
     image_center: tuple = (0.0, 0.0, 0.0)
     image_normal: tuple = (0.0, 0.0, 1.0)
     image_halfwidth: float = 1.0
+    # coherent imaging (extension — the reference is pure incoherent ray
+    # power): alongside the incoherent `image`, accumulate the complex
+    # field amplitude sqrt(P) * exp(i 2 pi OPL / lambda) of every measured
+    # ray into the image grid (DetectorState.image_amp). |A|^2 per pixel
+    # is the interference pattern (Michelson fringes, Newton's rings);
+    # phase uses the fractional part of OPL/lambda so f32 stays exact over
+    # many-wave path lengths. UNITS: OPL accumulates in scene units and
+    # the phase divides it by the ray's carried wavelength directly, so
+    # express the scene in the same unit as the wavelengths (um) — or
+    # equivalently pass wavelengths in scene units; only the ratio enters.
+    # Monochromatic physics: rays of different
+    # wavelengths would be superposed as if mutually coherent, so the
+    # engine refuses coherent=True on spectral traces and on sources with
+    # a wavelength spectrum. Requires image_bins > 0.
+    coherent: bool = False
 
     @property
     def needs_rng(self) -> bool:

@@ -61,6 +61,9 @@ class TraceResult:
     per_detector_spectrum: Optional[np.ndarray] = None  # (D, W)
     wavelengths: Optional[np.ndarray] = None            # (W,) [um]
     spectral_ledger: Optional[dict] = None  # each entry (W,) per-lambda
+    # coherent runs only (TraceConfig.coherent): (2, nb, nb) re/im field
+    # amplitude sums over measured rays; None on incoherent traces
+    image_amp: Optional[np.ndarray] = None
 
     @property
     def tests_per_second(self) -> float:
@@ -98,6 +101,22 @@ class TraceResult:
         l = self.ledger
         acc = l["measured"] + l["absorbed"] + l["escaped"] + l["culled"]
         return abs(l["emitted"] - acc - self.final_live_power) / max(l["emitted"], 1e-30)
+
+    @property
+    def image_complex(self) -> np.ndarray:
+        """(nb, nb) complex field on the image plane (coherent runs)."""
+        if self.image_amp is None:
+            raise ValueError("not a coherent trace: set "
+                             "TraceConfig(coherent=True, image_bins=...)")
+        return self.image_amp[0] + 1j * self.image_amp[1]
+
+    @property
+    def image_coherent(self) -> np.ndarray:
+        """(nb, nb) interference intensity |sum_rays sqrt(P) e^{i phi}|^2
+        per pixel (coherent runs) — the fringe pattern; `image` remains
+        the incoherent power sum."""
+        a = self.image_complex
+        return (a.real ** 2 + a.imag ** 2)
 
 
 class Tracer:
@@ -178,6 +197,11 @@ class Tracer:
             self.set_elements(elements)
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
+        if cfg.coherent and cfg.image_bins == 0:
+            raise ValueError(
+                "coherent=True accumulates the complex field on the image "
+                "plane: set image_bins (and image_center/image_normal/"
+                "image_halfwidth) too")
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
         if cfg.cull and not getattr(self, "_scene_sorted", False):
@@ -215,7 +239,7 @@ class Tracer:
         emitted = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
                                   max(len(self.detector_names), 1),
-                                  cfg.image_bins)
+                                  cfg.image_bins, coherent=cfg.coherent)
         led = Ledger.start(emitted)
 
         log.info(
@@ -286,6 +310,12 @@ class Tracer:
             self.set_elements(elements)
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
+        if cfg.coherent:
+            raise ValueError(
+                "coherent imaging is monochromatic-scalar only: a spectral "
+                "trace would superpose different wavelengths as if mutually "
+                "coherent. Run Tracer.trace(coherent=True, ...) per "
+                "wavelength instead")
         if rays is None:
             origins, dirs, powers = source.sample()
             # a source carrying its own (non-degenerate) spectrum would be
@@ -569,6 +599,7 @@ class Tracer:
                       checkpoint_path: Optional[str] = None,
                       seed: int = 0, max_batches: Optional[int] = None,
                       mode: str = "device", mesh=None,
+                      capacity: Optional[int] = None,
                       **cfg_overrides) -> TraceResult:
         """Mega-batch driver (BASELINE configs[3]): stream `total_rays`
         through the device in `batch_size` chunks generated ON DEVICE
@@ -590,6 +621,11 @@ class Tracer:
         over-HBM-mesh x mega-ray corner (BASELINE configs 4 AND 5 at
         once). The scene is placed once; each batch shards its rays over
         the "rays" axis like Tracer.trace(mode="mesh2d").
+
+        `capacity` (default batch_size) sets the per-batch slot count:
+        give split-heavy scenes (dielectric stacks, beamsplitters) 2-4x
+        headroom exactly like Tracer.trace(capacity=...), or children
+        overflow top-k compaction and are culled.
         """
         import jax.numpy as jnp
 
@@ -598,6 +634,11 @@ class Tracer:
             self.set_elements(elements)
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
+        if cfg.coherent and cfg.image_bins == 0:
+            raise ValueError(
+                "coherent=True accumulates the complex field on the image "
+                "plane: set image_bins (and image_center/image_normal/"
+                "image_halfwidth) too")
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
         scene_sh = None
@@ -635,6 +676,8 @@ class Tracer:
         per_det64 = np.zeros(n_det)
         nb = max(cfg.image_bins, 1)
         image64 = np.zeros((nb, nb))
+        na = nb if (cfg.coherent and cfg.image_bins > 0) else 1
+        image_amp64 = np.zeros((2, na, na))
         led64 = np.zeros(5)  # emitted, measured, absorbed, escaped, culled
         start_batch = 0
         if checkpoint_path is not None:
@@ -650,6 +693,8 @@ class Tracer:
                 hist64 = np.asarray(st["extra"]["hist64"])
                 per_det64 = np.asarray(st["extra"]["per_det64"])
                 image64 = np.asarray(st["extra"].get("image64", image64))
+                image_amp64 = np.asarray(
+                    st["extra"].get("image_amp64", image_amp64))
                 led64 = np.asarray(st["extra"]["led64"])
                 start_batch = int(st["extra"].get("next_batch", 0))
                 log.info("resuming batched trace at batch %d", start_batch)
@@ -675,7 +720,8 @@ class Tracer:
                 wl = jnp.full((batch_size,), D_LINE_UM, jnp.float32)
             rays = RayBatch.from_arrays(
                 o, d, p * (1.0 / n_batches), ior_env=cfg.ior_env,
-                wavelengths=wl, stokes=getattr(source, "stokes", None))
+                wavelengths=wl, stokes=getattr(source, "stokes", None),
+                capacity=capacity)
             if mode == "multichip":
                 from lightpycl_tpu.parallel.sharding import (
                     shard_rays, trace_multichip,
@@ -707,7 +753,8 @@ class Tracer:
             else:
                 det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
                                             cfg.hist_polar_bins, n_det,
-                                            cfg.image_bins)
+                                            cfg.image_bins,
+                                            coherent=cfg.coherent)
                 led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
                 rays, det_b, led_b, iters_b = step_mod.trace_loop_jit(
                     self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations,
@@ -721,12 +768,14 @@ class Tracer:
             hist64 += np.asarray(det_b.hist, np.float64)
             per_det64 += np.asarray(det_b.per_detector, np.float64)
             image64 += np.asarray(det_b.image, np.float64)
+            image_amp64 += np.asarray(det_b.image_amp, np.float64)
             led64 += np.asarray(jnp.stack(list(led_b)), np.float64)
             if checkpoint_path is not None:
                 from lightpycl_tpu.io.checkpoint import save_state
 
                 save_state(checkpoint_path, hist64=hist64, per_det64=per_det64,
-                           image64=image64, led64=led64, next_batch=b + 1)
+                           image64=image64, image_amp64=image_amp64,
+                           led64=led64, next_batch=b + 1)
             log.info("batch %d/%d done", b + 1, n_batches)
         wall = time.perf_counter() - t0
         traced = done * batch_size
@@ -746,11 +795,13 @@ class Tracer:
                 ("emitted", "measured", "absorbed", "escaped", "culled"),
                 led64.tolist())),
             iterations_run=max(batch_iters, default=0),
-            rays_traced=batch_size * sum(batch_iters),
-            intersection_tests=batch_size * sum(batch_iters) * self.num_triangles,
+            rays_traced=(capacity or batch_size) * sum(batch_iters),
+            intersection_tests=(capacity or batch_size) * sum(batch_iters)
+            * self.num_triangles,
             wall_time=wall,
             segments=[],
             final_live_power=0.0,
+            image_amp=(image_amp64 if image_amp64.shape[1] > 1 else None),
         )
         self.last_result = result
         return result
@@ -802,6 +853,8 @@ class Tracer:
             wall_time=wall,
             segments=segments,
             final_live_power=live_power,
+            image_amp=(np.asarray(det.image_amp)
+                       if det.image_amp.shape[1] > 1 else None),
         )
 
     # -- reference-shaped getters -------------------------------------------

@@ -139,14 +139,19 @@ class DetectorState(NamedTuple):
     hist: jnp.ndarray          # (n_azimuth, n_polar) f32 power histogram
     per_detector: jnp.ndarray  # (D,) f32 total power per measure surface
     image: jnp.ndarray         # (image_bins, image_bins) f32 planar map
+    image_amp: jnp.ndarray     # (2, nb, nb) f32 coherent field (re, im)
+    #   amplitude sums (TraceConfig.coherent; (2, 1, 1) zeros when off)
 
     @staticmethod
     def zeros(n_az: int, n_pol: int, n_detectors: int,
-              image_bins: int = 0) -> "DetectorState":
+              image_bins: int = 0, coherent: bool = False) -> "DetectorState":
+        nb = max(image_bins, 1)
+        na = nb if (coherent and image_bins > 0) else 1
         return DetectorState(
             jnp.zeros((n_az, n_pol), jnp.float32),
             jnp.zeros((max(n_detectors, 1),), jnp.float32),
-            jnp.zeros((max(image_bins, 1), max(image_bins, 1)), jnp.float32),
+            jnp.zeros((nb, nb), jnp.float32),
+            jnp.zeros((2, na, na), jnp.float32),
         )
 
 

@@ -691,13 +691,19 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
 
 def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
                                measured_power, det_id,
-                               cfg: TraceConfig) -> DetectorState:
+                               cfg: TraceConfig, opl=None,
+                               wavelength=None) -> DetectorState:
     """Scatter-add measured power into the (azimuth x polar) histogram,
     per-detector totals, and the optional planar image, from bare arrays:
     hit_point (C, 3), dirs (C, 3) arrival directions, measured_power (C,)
     (zero on unmeasured slots), det_id (C,) i32. Shared by the scalar
     shade epilogue (accumulate_detector) and the wavelength-parallel
-    spectral path, which bins row-total power through the same code."""
+    spectral path, which bins row-total power through the same code.
+
+    With cfg.coherent (and opl/wavelength (C,) provided), additionally
+    scatter-adds the complex field amplitude sqrt(P) e^{i 2 pi OPL/lambda}
+    of each measured ray into det.image_amp — |A|^2 per pixel is the
+    interference pattern (see TraceConfig.coherent)."""
     n_az, n_pol = det.hist.shape
     if cfg.hist_mode == "direction":
         v = dirs
@@ -716,6 +722,7 @@ def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
     per_det = det.per_detector.at[did].add(measured_power)
 
     image = det.image
+    image_amp = det.image_amp
     if cfg.image_bins > 0:
         # planar intensity map: project measured hit points onto the image
         # plane's (u, v) frame and scatter-add power into the pixel grid
@@ -738,7 +745,18 @@ def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
         image = jnp.pad(image.reshape(-1), (0, 1)).at[flat_img].add(
             measured_power
         )[:-1].reshape(nb, nb)
-    return DetectorState(hist, per_det, image)
+        if cfg.coherent and opl is not None and wavelength is not None:
+            amp = jnp.sqrt(jnp.maximum(measured_power, 0.0))
+            # phase from the FRACTIONAL part of OPL/lambda: whole waves
+            # drop out, so f32 keeps sub-wave precision over path lengths
+            # thousands of waves long
+            turns = opl / wavelength
+            phase = 2.0 * np.pi * (turns - jnp.floor(turns))
+            pad_amp = jnp.pad(image_amp.reshape(2, -1), ((0, 0), (0, 1)))
+            pad_amp = pad_amp.at[0, flat_img].add(amp * jnp.cos(phase))
+            pad_amp = pad_amp.at[1, flat_img].add(amp * jnp.sin(phase))
+            image_amp = pad_amp[:, :-1].reshape(image_amp.shape)
+    return DetectorState(hist, per_det, image, image_amp)
 
 
 def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
@@ -746,8 +764,11 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
     """Scatter-add measured power into the (azimuth x polar) histogram and
     per-detector totals (reference: measurement-surface collection +
     directivity binning, SURVEY.md §3/§4.4 — moved on-device)."""
+    C = sh.hit_point.shape[0]
     return accumulate_detector_arrays(det, sh.hit_point, rays.d,
-                                      sh.measured_power, sh.det_id, cfg)
+                                      sh.measured_power, sh.det_id, cfg,
+                                      opl=sh.child_opl[:C],
+                                      wavelength=rays.wavelength)
 
 
 # --------------------------------------------------------------------------
