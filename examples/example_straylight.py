@@ -57,3 +57,23 @@ for label, matl, albedo in (("black  wall", "terminator", 0.0),
     print(f"{label}: stray light at detector = "
           f"{res.detector_power('detector'):.5f} of beam power "
           f"(conservation err {res.power_conservation_error():.1e})")
+
+# --- path provenance (track_paths): WHICH wall-bounce chains deliver the
+# stray light? Host-mode trace with signatures, ranked by power.
+from lightpycl_tpu import analysis
+
+els = build("diffuse", 0.3)
+n_prov = min(RAY_COUNT, 20_000)
+src_small = CollimatedSource(center=(-0.3, 0, 2.2),
+                             direction=(np.sin(th), 0, -np.cos(th)),
+                             diameter=0.2, power=1.0, ray_count=n_prov,
+                             seed=3)
+res = Tracer().trace(src_small, els, trace_iterations=8, mode="host",
+                     capacity=n_prov, track_paths=True)
+print("\ntop stray-light paths into the detector (gray wall): how many "
+      "wall scatters delivered the glare")
+for rec in analysis.ghost_paths(res, elements=els, detector="detector",
+                                top=5):
+    print(f"  {rec['label']:<40} {rec['power']:.5f} "
+          f"({rec['fraction'] * 100:.1f}% of stray total, "
+          f"{rec['count']} rays)")

@@ -531,3 +531,73 @@ def plot_elements_and_rays(elements, segments, max_rays: int = 200, ax=None,
     if show:
         plt.show()
     return ax
+
+
+# --------------------------------------------------------------------------
+# Ghost / stray-light path analysis (TraceConfig.track_paths)
+# --------------------------------------------------------------------------
+
+def decode_path(signature: float, n_elements: int):
+    """Decode one path signature into [(element_index, 'R'|'T'), ...] in
+    bounce order. Inverse of the trace-side encoding (base 2 E + 1; slot-A
+    children — reflected/continuing branch — carry digit 1 + 2 e, slot-B
+    transmitted children 2 + 2 e). Only exact while
+    (2 E + 1) ** bounces < 2**24 (TraceConfig.track_paths docs)."""
+    base = 2 * n_elements + 1
+    digits = []
+    s = int(round(float(signature)))
+    while s > 0:
+        digits.append(s % base)
+        s //= base
+    out = []
+    for d in reversed(digits):
+        if d <= 0:
+            continue
+        out.append(((d - 1) // 2, "R" if (d - 1) % 2 == 0 else "T"))
+    return out
+
+
+def ghost_paths(result, elements=None, top: int = 10, detector=None):
+    """Rank measured power by surface-interaction path (ghost analysis).
+
+    `result` is a TraceResult from Tracer.trace(track_paths=True,
+    mode='host'). Returns up to `top` dicts sorted by power:
+    {'path': [(elem, 'R'|'T'), ...], 'label': 'L0:T -> L0:R -> ...',
+     'power': float, 'count': int, 'fraction': power/measured_total}.
+    `elements` (the traced scene list) supplies names for the label;
+    `detector` restricts to one measure surface by name. The reference
+    has no equivalent (kernels record only hit power) — ray provenance
+    is free here because signatures ride the on-device ray state.
+    """
+    sig = np.asarray(result.measured_path)
+    pw = np.asarray(result.measured_power)
+    if sig.size == 0:
+        raise ValueError("no measured rays with path signatures: run "
+                         "Tracer.trace(track_paths=True, mode='host')")
+    if detector is not None:
+        sel = np.asarray(result.measured_det) == \
+            result.detector_names.index(detector)
+        sig, pw = sig[sel], pw[sel]
+    n_el = len(elements) if elements is not None else None
+    total = pw.sum()
+    out = []
+    uniq, inv = np.unique(sig, return_inverse=True)
+    powers = np.zeros(len(uniq))
+    np.add.at(powers, inv, pw)
+    counts = np.bincount(inv, minlength=len(uniq))
+    order = np.argsort(powers)[::-1][:top]
+    for i in order:
+        rec = {"signature": float(uniq[i]), "power": float(powers[i]),
+               "count": int(counts[i]),
+               "fraction": float(powers[i] / max(total, 1e-30))}
+        if n_el is not None:
+            chain = decode_path(uniq[i], n_el)
+            rec["path"] = chain
+
+            def _name(e):
+                nm = getattr(elements[e], "name", None)
+                return nm or f"elem{e}"
+
+            rec["label"] = " -> ".join(f"{_name(e)}:{b}" for e, b in chain)
+        out.append(rec)
+    return out

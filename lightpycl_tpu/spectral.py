@@ -266,6 +266,7 @@ def spread_rays_over_wavelengths(rays: RayBatch, wavelengths,
         absorb=tile(rays.absorb),
         s1=tile(rays.s1), s2=tile(rays.s2), s3=tile(rays.s3),
         basis=tile(rays.basis), opl=tile(rays.opl),
+        path=tile(rays.path),
     )
 
 

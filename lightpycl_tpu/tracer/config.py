@@ -129,6 +129,16 @@ class TraceConfig:
     # engine refuses coherent=True on spectral traces and on sources with
     # a wavelength spectrum. Requires image_bins > 0.
     coherent: bool = False
+    # ghost / stray-light path tracking (extension): every surviving child
+    # appends a digit (element index, reflected-or-transmitted branch) to
+    # its f32 path signature in base path_base = 2 * n_elements + 1; the
+    # measured-ray harvest (host mode) carries the signature out, and
+    # analysis.ghost_paths decodes + ranks the power by path. Signatures
+    # are exact while path_base^bounces < 2^24 (f32 integer range) —
+    # beyond that they degrade to collision-unlikely lossy grouping.
+    # The engine sets path_base from the scene; host mode only.
+    track_paths: bool = False
+    path_base: int = 0
 
     @property
     def needs_rng(self) -> bool:

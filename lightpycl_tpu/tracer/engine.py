@@ -46,6 +46,8 @@ class TraceResult:
     measured_wavelength: np.ndarray  # (M,) vacuum wavelengths [um]
     measured_stokes: np.ndarray   # (M, 3) Stokes fractions (polarization)
     measured_opl: np.ndarray      # (M,) optical path lengths (n * length)
+    measured_path: np.ndarray     # (M,) path signatures (track_paths runs;
+    #   decode/rank with analysis.ghost_paths)
     hist: np.ndarray              # (n_az, n_pol) power histogram
     per_detector: np.ndarray      # (D,)
     image: np.ndarray             # (image_bins, image_bins) planar map
@@ -202,6 +204,13 @@ class Tracer:
                 "coherent=True accumulates the complex field on the image "
                 "plane: set image_bins (and image_center/image_normal/"
                 "image_halfwidth) too")
+        if cfg.track_paths:
+            if mode != "host":
+                raise ValueError(
+                    "track_paths=True needs mode='host': the measured-ray "
+                    "harvest is what carries the path signatures out")
+            if cfg.path_base == 0:
+                cfg = cfg.replace(path_base=2 * len(self.elements) + 1)
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
         if cfg.cull and not getattr(self, "_scene_sorted", False):
@@ -408,6 +417,7 @@ class Tracer:
             measured_wavelength=np.zeros((0,), np.float32),
             measured_stokes=np.zeros((0, 3), np.float32),
             measured_opl=np.zeros((0,), np.float32),
+            measured_path=np.zeros((0,), np.float32),
             hist=np.asarray(det.hist),
             per_detector=per_det.sum(axis=1),
             image=np.asarray(det.image),
@@ -565,6 +575,7 @@ class Tracer:
                             np.asarray(aux.m_wl[:m]),
                             np.asarray(aux.m_stokes[:m]),
                             np.asarray(aux.m_opl[:m]),
+                            np.asarray(aux.m_path[:m]),
                         )
                     )
                 if record_paths:
@@ -787,6 +798,7 @@ class Tracer:
             measured_wavelength=np.zeros((0,), np.float32),
             measured_stokes=np.zeros((0, 3), np.float32),
             measured_opl=np.zeros((0,), np.float32),
+            measured_path=np.zeros((0,), np.float32),
             hist=hist64,
             per_detector=per_det64,
             image=image64,
@@ -824,6 +836,7 @@ class Tracer:
             wls = np.concatenate([h[4] for h in harvested])
             stk = np.concatenate([h[5] for h in harvested])
             opl = np.concatenate([h[6] for h in harvested])
+            pth = np.concatenate([h[7] for h in harvested])
         else:
             pos = np.zeros((0, 3), np.float32)
             dirs = np.zeros((0, 3), np.float32)
@@ -832,6 +845,7 @@ class Tracer:
             wls = np.zeros((0,), np.float32)
             stk = np.zeros((0, 3), np.float32)
             opl = np.zeros((0,), np.float32)
+            pth = np.zeros((0,), np.float32)
         live_power = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         real_tris = self.num_triangles
         return TraceResult(
@@ -842,6 +856,7 @@ class Tracer:
             measured_wavelength=wls,
             measured_stokes=stk,
             measured_opl=opl,
+            measured_path=pth,
             hist=np.asarray(det.hist),
             per_detector=np.asarray(det.per_detector),
             image=np.asarray(det.image),

@@ -55,6 +55,10 @@ class RayBatch(NamedTuple):
     basis: jnp.ndarray       # (C,3) f32 s-direction reference (unit, perp d)
     opl: jnp.ndarray         # (C,)  f32 accumulated optical path length
     #   (sum of n_medium * geometric length; drives OPD / wavefront maps)
+    path: jnp.ndarray        # (C,)  f32 surface-interaction path signature
+    #   (TraceConfig.track_paths: base-(2E+1) digits, one per bounce,
+    #   encoding (element, reflect/transmit) — ghost/stray-light analysis.
+    #   Exact while path_base^bounces < 2^24; 0 when tracking is off)
 
     @property
     def capacity(self) -> int:
@@ -88,6 +92,7 @@ class RayBatch(NamedTuple):
             s3=ext(self.s3, 0.0),
             basis=jnp.concatenate([self.basis, unit_x]),
             opl=ext(self.opl, 0.0),
+            path=ext(self.path, 0.0),
         )
 
     @staticmethod
@@ -127,6 +132,7 @@ class RayBatch(NamedTuple):
                   for x in stokes]
         return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive, w,
                         jnp.zeros((c,), jnp.float32), sf[0], sf[1], sf[2], b,
+                        jnp.zeros((c,), jnp.float32),
                         jnp.zeros((c,), jnp.float32))
 
 

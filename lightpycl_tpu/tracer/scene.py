@@ -62,6 +62,10 @@ class Scene(NamedTuple):
     #   layer 0 outermost; rows padded with h=0 layers (exactly inert in
     #   the Airy recursion); all-zero row = bare surface. L = the scene's
     #   max stack depth (>= 1)
+    element_id: jnp.ndarray = None  # (T_pad,) i32 index into the elements
+    #   list the scene was built from (-1 on padding); drives
+    #   TraceConfig.track_paths ghost/stray-light signatures. Optional so
+    #   hand-built scenes (diff.py) stay valid — tracking needs build_scene
 
     @property
     def num_triangles_padded(self) -> int:
@@ -108,10 +112,12 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     mn_list, mk_list = [], []
     coat_stacks = []  # (t, [(n, h), ...]) per element; widths equalized below
     detector_names: list[str] = []
-    for obj in objects:
+    elem_list = []
+    for i_obj, obj in enumerate(objects):
         t = obj.num_triangles
         if t == 0:
             continue
+        elem_list.append(np.full(t, i_obj, np.int32))
         tv_list.append(obj.triangle_vertices())  # (t, 3, 3) f64
         mat_list.append(np.full(t, int(obj.material), np.int32))
         ior_list.append(np.full(t, float(obj.ior), np.float64))
@@ -158,6 +164,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     g0_np = np.concatenate(g0_list)
     mn_np = np.concatenate(mn_list)
     mk_np = np.concatenate(mk_list)
+    elem_np = np.concatenate(elem_list)
     # coating stacks, width-equalized to the scene's deepest stack (h = 0
     # padding layers are exactly inert — physics.multilayer_rs_rp)
     L_coat = max((len(layers) for _, layers in coat_stacks), default=0) or 1
@@ -183,6 +190,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         g0_np = g0_np[order]
         mn_np, mk_np = mn_np[order], mk_np[order]
         cior_np, cth_np = cior_np[order], cth_np[order]
+        elem_np = elem_np[order]
     T = len(tv)
     v0 = tv[:, 0]
     e1 = tv[:, 1] - tv[:, 0]
@@ -233,5 +241,6 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         metal_k=jnp.asarray(_p(mk_np, fill=0.0), jnp.float32),
         coat_ior=jnp.asarray(_p(cior_np, fill=0.0), jnp.float32),
         coat_thickness=jnp.asarray(_p(cth_np, fill=0.0), jnp.float32),
+        element_id=jnp.asarray(_p(elem_np, fill=-1), jnp.int32),
     )
     return scene, detector_names

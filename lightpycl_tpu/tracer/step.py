@@ -219,6 +219,9 @@ class ShadeOut(NamedTuple):
     dropped_power: jnp.ndarray  # (C,) per-parent power dropped by
     #   allow_splitting=False (policy_dropped == sum(dropped_power);
     #   all-zero when splitting is enabled)
+    child_path: jnp.ndarray    # (2C,) f32 path signatures
+    #   (cfg.track_paths appends this bounce's (element, branch) digit;
+    #   otherwise the parent signature passes through unchanged)
 
 
 def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
@@ -568,6 +571,16 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         if cfg.polarization:
             pb_pol = jnp.where(is_gr, live_p * refl * g0, pb_pol)
     dropped_power = jnp.zeros_like(live_p)
+    if cfg.track_paths:
+        # ghost/stray-light signatures: slot-A children (reflected /
+        # continuing branch) append digit 1 + 2 e, slot-B children
+        # (transmitted branch) 2 + 2 e, in base cfg.path_base = 2 E + 1
+        # (f32-exact while path_base^bounces < 2^24)
+        elem = jnp.maximum(scene.element_id[safe_tri], 0).astype(jnp.float32)
+        path_a = rays.path * jnp.float32(cfg.path_base) + (1.0 + 2.0 * elem)
+        path_b = rays.path * jnp.float32(cfg.path_base) + (2.0 + 2.0 * elem)
+    else:
+        path_a = path_b = rays.path
     if cfg.allow_splitting:
         # child B at slot C + i: refracted branch (dielectric) or the
         # straight-through transmitted branch (beamsplitter: direction and
@@ -599,6 +612,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_wl = jnp.concatenate([rays.wavelength, rays.wavelength], axis=0)
         child_ab = jnp.concatenate([rays.absorb, refr_absorb], axis=0)
         child_opl = jnp.concatenate([opl_new, opl_new], axis=0)
+        child_path = jnp.concatenate([path_a, path_b], axis=0)
         if cfg.polarization:
             child_s1 = jnp.concatenate([a_s1, b_s1])
             child_s2 = jnp.concatenate([a_s2, b_s2])
@@ -623,6 +637,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_wl = rays.wavelength
         child_ab = rays.absorb
         child_opl = opl_new
+        child_path = path_a
         # direct step-level users can reach this path with refractive or
         # beamsplitter triangles present (the engine forbids it); account
         # the dropped transmitted power so the ledger still balances. The
@@ -681,7 +696,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_alive,
         hit_point, is_meas, measured_power, det_id,
         absorbed, escaped,
-        escaped_power, dropped_power,
+        escaped_power, dropped_power, child_path,
     )
 
 
@@ -813,7 +828,7 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         rays = RayBatch(sh.child_o, sh.child_d, power, sh.child_ior, live,
                         sh.child_wavelength, sh.child_absorb,
                         sh.child_s1, sh.child_s2, sh.child_s3, sh.child_basis,
-                        sh.child_opl)
+                        sh.child_opl, sh.child_path)
         return rays, below
 
     total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
@@ -834,9 +849,10 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         ps1, ps2, ps3 = (scat(x) for x in (sh.child_s1, sh.child_s2, sh.child_s3))
         pbasis = scat(sh.child_basis)
         popl = scat(sh.child_opl)
+        ppath = scat(sh.child_path)
         alive = scat(live, fill=False)
         rays = RayBatch(o, d, power, ior, alive, wl, ab, ps1, ps2, ps3,
-                        pbasis, popl)
+                        pbasis, popl, ppath)
         culled = total_live - jnp.sum(power) + below
         return rays, culled
 
@@ -858,6 +874,7 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         s3=sh.child_s3[idx],
         basis=sh.child_basis[idx],
         opl=sh.child_opl[idx],
+        path=sh.child_path[idx],
     )
     return rays, culled
 
@@ -885,6 +902,9 @@ class StepAux(NamedTuple):
     m_wl: jnp.ndarray            # (C,) wavelengths [um], compacted
     m_stokes: jnp.ndarray        # (C,3) Stokes fractions, compacted
     m_opl: jnp.ndarray           # (C,) optical path lengths, compacted
+    m_path: jnp.ndarray          # (C,) path signatures, compacted
+    #   (the measured PARENT's chain up to this hit; the detector element
+    #   itself is identified by m_det, not appended to the signature)
     measured_count: jnp.ndarray  # () i32
     live_count: jnp.ndarray      # () i32 live rays AFTER the step
 
@@ -914,7 +934,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         culled=led.culled + culled,
     )
     # stream-compact measured rays to the array front with ONE fused
-    # (C, 13) cumsum scatter — separate scatters cost ~14 ms/bounce
+    # (C, 14) cumsum scatter — separate scatters cost ~14 ms/bounce
     # more at 524k rays on v5e. det_id rides along as f32 (exact below
     # 2^24 detectors); device mode never pays any of this (aux is dead
     # code there and XLA removes it).
@@ -926,8 +946,8 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         [sh.hit_point, rays.d, sh.measured_power[:, None],
          rays.wavelength[:, None], rays.s1[:, None], rays.s2[:, None],
          rays.s3[:, None], sh.det_id.astype(jnp.float32)[:, None],
-         sh.child_opl[:C, None]], axis=1)
-    m = jnp.zeros((C + 1, 13), jnp.float32).at[slot].set(
+         sh.child_opl[:C, None], rays.path[:, None]], axis=1)
+    m = jnp.zeros((C + 1, 14), jnp.float32).at[slot].set(
         stacked, mode="drop")[:C]
     m_det = jnp.where(jnp.arange(C) < m_count,
                       m[:, 11].astype(jnp.int32), -1)
@@ -943,6 +963,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         m_wl=m[:, 7],
         m_stokes=m[:, 8:11],
         m_opl=m[:, 12],
+        m_path=m[:, 13],
         measured_count=m_count,
         live_count=jnp.sum(new_rays.alive.astype(jnp.int32)),
     )
