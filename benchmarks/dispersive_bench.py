@@ -59,7 +59,7 @@ def main():
     def run_batched():
         rays = RayBatch.from_arrays(o, d, p, capacity=HEADROOM * C)
         t0 = time.perf_counter()
-        per_dw, led, names, _, _, _ = spectral.trace_spectral_dispersive(
+        per_dw, led, names, _, _, _, _ = spectral.trace_spectral_dispersive(
             els, rays, wls, iterations=ITERS)
         jax.block_until_ready(per_dw)
         return time.perf_counter() - t0, np.asarray(per_dw), names

@@ -73,3 +73,26 @@ for d in (0.0, WL / 8, WL / 4, 3 * WL / 8, WL / 2):
     ratio = fringe_intensity(d) / i0
     theory = (1 + np.cos(4 * np.pi * d / WL)) / 2
     print(f"  {d / WL:4.2f} wl: I/I0 = {ratio:.4f}  (theory {theory:.4f})")
+
+# --- WHITE-LIGHT fringes: a spectral coherent trace keeps one field plane
+# per wavelength (different wavelengths are mutually incoherent); the
+# fringe contrast washes out once the arm offset exceeds the coherence
+# length lc ~ wl^2 / dwl — watch the envelope decay
+wls = np.linspace(0.45, 0.60, 6)
+
+
+def white_light(arm_d):
+    bench = [els[0], els[1].copy().translate((-arm_d, 0, 0)),
+             els[2], els[3]]
+    r = Tracer().trace_spectral(
+        None, wls, elements=bench, trace_iterations=6,
+        rays=RayBatch.from_arrays(o, dvec, p, capacity=8 * RAY_COUNT),
+        coherent=True, image_bins=32, image_center=(1.5, 0.0, 0.0),
+        image_normal=(1.0, 0.0, 0.0), image_halfwidth=0.6)
+    return r.image_coherent.sum()
+
+
+w0 = white_light(0.0)
+print("\nwhite-light (0.45-0.60 um) fringe envelope:")
+for d in (0.0, 0.125, 0.25, 0.5, 1.0, 2.0, 4.0):
+    print(f"  arm offset {d:5.3f}: I/I0 = {white_light(d) / w0:.4f}")

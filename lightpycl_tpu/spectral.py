@@ -308,6 +308,19 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
     det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
                               D, cfg.image_bins)
     per_dw = jnp.zeros((D, W), jnp.float32)
+    # white-light coherent planes: per-wavelength complex field sums on
+    # the image grid (each lambda interferes only with itself; summed
+    # per-lambda intensities are the physical white-light pattern with
+    # its coherence envelope). Flat nb*nb+1 layout: the last slot absorbs
+    # off-grid hits (image_flat_indices contract).
+    spectral_coherent = cfg.coherent and cfg.image_bins > 0
+    nb = cfg.image_bins
+    amp_w = (jnp.zeros((W, 2, nb * nb + 1), jnp.float32)
+             if spectral_coherent else jnp.zeros((1,), jnp.float32))
+    # the scalar accumulator must NOT also sum a single cross-wavelength
+    # plane (different lambdas do not interfere) — its coherent branch is
+    # disabled and the per-lambda planes above are the coherent output
+    cfg_det = cfg.replace(coherent=False) if spectral_coherent else cfg
 
     def bin_by(wl, power):
         idx = jnp.argmin(jnp.abs(wl[:, None] - wl_grid[None, :]), axis=1)
@@ -320,19 +333,26 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
                    culled=z)
 
     def body(i, st):
-        rays, det, per_dw, led_w = st
+        rays, det, per_dw, led_w, amp_w = st
         k = jax.random.fold_in(base_key, i) if cfg.needs_rng else None
         if cfg.cull:
             rays = step_mod.reorder_rays(scene, rays)
         t, tri = step_mod.intersect(scene, rays.o, rays.d, cfg,
                                     alive=rays.alive)
         sh = step_mod.shade(scene, rays, t, tri, cfg, key=k)
-        det = step_mod.accumulate_detector(det, sh, rays, cfg)
+        det = step_mod.accumulate_detector(det, sh, rays, cfg_det)
         # the parent's carried wavelength indexes the spectral column
         wl_idx, live_before_w = bin_by(
             rays.wavelength, jnp.where(rays.alive, rays.power, 0.0))
         did = jnp.clip(sh.det_id, 0, D - 1)
         per_dw = per_dw.at[did, wl_idx].add(sh.measured_power)
+        if spectral_coherent:
+            C = rays.capacity
+            flat = step_mod.image_flat_indices(sh.hit_point, cfg)
+            re, im = step_mod.coherent_amplitudes(
+                sh.measured_power, sh.child_opl[:C], rays.wavelength)
+            amp_w = amp_w.at[wl_idx, 0, flat].add(re)
+            amp_w = amp_w.at[wl_idx, 1, flat].add(im)
         m_w = z.at[wl_idx].add(sh.measured_power)
         e_w = z.at[wl_idx].add(sh.escaped_power)
         d_w = z.at[wl_idx].add(sh.dropped_power)
@@ -361,10 +381,14 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
             escaped=led_w.escaped + e_w,
             culled=led_w.culled + (c_w - live_after_w) + d_w,
         )
-        return new_rays, det, per_dw, led_w
+        return new_rays, det, per_dw, led_w, amp_w
 
-    return jax.lax.fori_loop(0, iterations, body,
-                             (rays, det, per_dw, led_w))
+    rays, det, per_dw, led_w, amp_w = jax.lax.fori_loop(
+        0, iterations, body, (rays, det, per_dw, led_w, amp_w))
+    if spectral_coherent:
+        # drop the off-grid slot, unflatten to (W, 2, nb, nb)
+        amp_w = amp_w[:, :, :nb * nb].reshape(W, 2, nb, nb)
+    return rays, det, per_dw, led_w, amp_w
 
 
 @functools.partial(jax.jit,
@@ -375,10 +399,10 @@ def trace_spectral_dispersive_jit(scene: Scene, rays: RayBatch, wl_grid,
     from lightpycl_tpu.tracer.rays import Ledger
 
     base_key = key if key is not None else jax.random.key(cfg.seed)
-    rays, det, per_dw, led_w = _dispersive_loop(
+    rays, det, per_dw, led_w, amp_w = _dispersive_loop(
         scene, rays, wl_grid, cfg, iterations, n_detectors, base_key)
     led = Ledger(*(jnp.sum(x) for x in led_w))
-    return rays, det, per_dw, led, led_w
+    return rays, det, per_dw, led, led_w, amp_w
 
 
 @functools.partial(jax.jit,
@@ -402,17 +426,18 @@ def trace_spectral_dispersive_multichip_jit(scene: Scene, rays: RayBatch,
 
     def local(scene, rays, wl, base):
         shard_key = jax.random.fold_in(base, jax.lax.axis_index(RAY_AXIS))
-        rays, det, per_dw, led_w = _dispersive_loop(
+        rays, det, per_dw, led_w, amp_w = _dispersive_loop(
             scene, rays, wl, cfg, iterations, n_detectors, shard_key)
         det = DetectorState(*(jax.lax.psum(x, RAY_AXIS) for x in det))
         per_dw = jax.lax.psum(per_dw, RAY_AXIS)
+        amp_w = jax.lax.psum(amp_w, RAY_AXIS)
         led_w = Ledger(*(jax.lax.psum(x, RAY_AXIS) for x in led_w))
         led = Ledger(*(jnp.sum(x) for x in led_w))
-        return rays, det, per_dw, led, led_w
+        return rays, det, per_dw, led, led_w, amp_w
 
     return jax.shard_map(local, mesh=mesh,
                          in_specs=(P(), P(RAY_AXIS), P(), P()),
-                         out_specs=(P(RAY_AXIS), P(), P(), P(), P()),
+                         out_specs=(P(RAY_AXIS), P(), P(), P(), P(), P()),
                          check_vma=False)(scene, rays, wl_grid, base)
 
 
@@ -434,7 +459,10 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
     RayBatch, DetectorState, per-wavelength Ledger — every entry a (W,)
     column conserving emitted[w] == measured[w] + absorbed[w] +
     escaped[w] + culled[w] + live_final[w]; the scalar Ledger is its
-    column sum).
+    column sum, and (W, 2, nb, nb) per-wavelength coherent field planes
+    when cfg.coherent — each lambda interferes only with itself; summing
+    the per-plane intensities gives the white-light pattern with its
+    coherence envelope).
 
     `mesh` (optional 1-D jax.sharding.Mesh) shards the flattened batch
     over the ray axis — round-robin interleaved first, like every sharded
@@ -461,9 +489,10 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
         weights = jnp.full((wl.shape[0],), 1.0 / wl.shape[0], jnp.float32)
     big = spread_rays_over_wavelengths(rays, wl, weights)
     if mesh is None:
-        rays_out, det, per_dw, led, led_w = trace_spectral_dispersive_jit(
-            scene, big, wl, cfg, iterations, len(det_names), key=key)
-        return per_dw, led, det_names, rays_out, det, led_w
+        rays_out, det, per_dw, led, led_w, amp_w = \
+            trace_spectral_dispersive_jit(
+                scene, big, wl, cfg, iterations, len(det_names), key=key)
+        return per_dw, led, det_names, rays_out, det, led_w, amp_w
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -477,12 +506,12 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
     big = interleave_rays(big, n_dev)
     big = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(RAY_AXIS))), big)
-    rays_out, det, per_dw, led, led_w = (
+    rays_out, det, per_dw, led, led_w, amp_w = (
         trace_spectral_dispersive_multichip_jit(
             scene, big, wl, cfg, iterations, len(det_names), mesh,
             key=key))
     rays_out = deinterleave_rays(rays_out, n_dev)
-    return per_dw, led, det_names, rays_out, det, led_w
+    return per_dw, led, det_names, rays_out, det, led_w, amp_w
 
 
 def _resolve_spectral(elements, cfg, wavelengths, weights):

@@ -124,10 +124,13 @@ class TraceConfig:
     # the phase divides it by the ray's carried wavelength directly, so
     # express the scene in the same unit as the wavelengths (um) — or
     # equivalently pass wavelengths in scene units; only the ratio enters.
-    # Monochromatic physics: rays of different
-    # wavelengths would be superposed as if mutually coherent, so the
-    # engine refuses coherent=True on spectral traces and on sources with
-    # a wavelength spectrum. Requires image_bins > 0.
+    # A SCALAR coherent trace superposes every measured ray into one
+    # plane — monochromatic physics (rays of different wavelengths would
+    # wrongly interfere; keep the batch single-wavelength). SPECTRAL
+    # coherent runs (Tracer.trace_spectral + coherent=True) instead keep
+    # per-wavelength field planes (TraceResult.image_amp_spectral) and
+    # sum the per-plane intensities — the physically correct white-light
+    # pattern with its coherence envelope. Requires image_bins > 0.
     coherent: bool = False
     # ghost / stray-light path tracking (extension): every surviving child
     # appends a digit (element index, reflected-or-transmitted branch) to

@@ -66,6 +66,11 @@ class TraceResult:
     # coherent runs only (TraceConfig.coherent): (2, nb, nb) re/im field
     # amplitude sums over measured rays; None on incoherent traces
     image_amp: Optional[np.ndarray] = None
+    # coherent SPECTRAL runs (trace_spectral + coherent): (W, 2, nb, nb)
+    # per-wavelength field planes — each lambda interferes only with
+    # itself; image_coherent sums the per-plane intensities (white-light
+    # pattern with its physical coherence envelope)
+    image_amp_spectral: Optional[np.ndarray] = None
 
     @property
     def tests_per_second(self) -> float:
@@ -114,9 +119,14 @@ class TraceResult:
 
     @property
     def image_coherent(self) -> np.ndarray:
-        """(nb, nb) interference intensity |sum_rays sqrt(P) e^{i phi}|^2
-        per pixel (coherent runs) — the fringe pattern; `image` remains
-        the incoherent power sum."""
+        """(nb, nb) interference intensity per pixel — the fringe pattern;
+        `image` remains the incoherent power sum. Scalar coherent runs:
+        |sum_rays sqrt(P) e^{i phi}|^2. Spectral coherent runs: the
+        weighted per-wavelength intensities summed (wavelengths are
+        mutually incoherent — the white-light pattern)."""
+        if self.image_amp_spectral is not None:
+            a = self.image_amp_spectral
+            return (a[:, 0] ** 2 + a[:, 1] ** 2).sum(axis=0)
         a = self.image_complex
         return (a.real ** 2 + a.imag ** 2)
 
@@ -320,11 +330,19 @@ class Tracer:
         if self.scene is None:
             raise ValueError("no scene: pass `elements` or call set_elements()")
         if cfg.coherent:
-            raise ValueError(
-                "coherent imaging is monochromatic-scalar only: a spectral "
-                "trace would superpose different wavelengths as if mutually "
-                "coherent. Run Tracer.trace(coherent=True, ...) per "
-                "wavelength instead")
+            if cfg.image_bins == 0:
+                raise ValueError(
+                    "coherent=True accumulates the complex field on the "
+                    "image plane: set image_bins too")
+            if method == "shared":
+                raise ValueError(
+                    "coherent spectral tracing needs the wavelength-BATCHED "
+                    "method (per-lambda field planes); use method='batched' "
+                    "or 'auto'")
+            # each lambda must interfere only with itself: the batched
+            # method keeps per-lambda field planes (white-light physics);
+            # 'auto' therefore always dispatches to it under coherent
+            method = "batched"
         if rays is None:
             origins, dirs, powers = source.sample()
             # a source carrying its own (non-degenerate) spectrum would be
@@ -366,7 +384,7 @@ class Tracer:
                     f"trace_spectral(method='batched') mode must be "
                     f"'device' or 'multichip', got {mode!r}")
             cfg_b = self._check_polarization(self._tune_splitting(cfg))
-            per_det, led, det_names, rays_out, det, led_w = (
+            per_det, led, det_names, rays_out, det, led_w, amp_w = (
                 spectral_mod.trace_spectral_dispersive(
                     self.elements, rays, wavelengths, weights=weights,
                     cfg=cfg_b, iterations=cfg.trace_iterations,
@@ -377,6 +395,8 @@ class Tracer:
             ledger = led.as_dict()
             spectral_ledger = {k: np.asarray(v)
                                for k, v in led_w._asdict().items()}
+            image_amp_spectral = (np.asarray(amp_w) if cfg.coherent
+                                  else None)
             geom_rays = W * C
         elif mode == "device":
             per_det, led, det_names, sr, det = spectral_mod.trace_spectral(
@@ -389,6 +409,7 @@ class Tracer:
                       for k, v in led._asdict().items()}
             spectral_ledger = {k: np.asarray(v)
                                for k, v in led._asdict().items()}
+            image_amp_spectral = None
             geom_rays = C
         elif mode == "multichip":
             per_det, led, det_names, sr, det = (
@@ -402,6 +423,7 @@ class Tracer:
                       for k, v in led._asdict().items()}
             spectral_ledger = {k: np.asarray(v)
                                for k, v in led._asdict().items()}
+            image_amp_spectral = None
             geom_rays = C
         else:
             raise ValueError(
@@ -434,6 +456,7 @@ class Tracer:
             wavelengths=np.atleast_1d(
                 np.asarray(wavelengths, np.float32)),
             spectral_ledger=spectral_ledger,
+            image_amp_spectral=image_amp_spectral,
         )
         # sanity: ledger totals must reproduce the emitted power
         assert abs(result.ledger["emitted"] - emitted_rows) < 1e-4 * max(

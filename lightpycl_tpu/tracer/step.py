@@ -741,37 +741,51 @@ def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
     if cfg.image_bins > 0:
         # planar intensity map: project measured hit points onto the image
         # plane's (u, v) frame and scatter-add power into the pixel grid
-        from lightpycl_tpu.sources import _frame
-
-        F = jnp.asarray(_frame(cfg.image_normal), jnp.float32)
-        rel = hit_point - jnp.asarray(cfg.image_center, jnp.float32)
-        # elementwise dot, NOT a matmul: TPU's default matmul precision
-        # truncates geometry to bf16 (see CLAUDE.md)
-        x = jnp.sum(rel * F[0], axis=1)
-        y = jnp.sum(rel * F[1], axis=1)
         nb = cfg.image_bins
-        hw = cfg.image_halfwidth
-        # floor, not int-cast: truncation would alias points just outside
-        # the left/bottom edge into row/column 0
-        ix = jnp.floor((x + hw) / (2 * hw) * nb).astype(jnp.int32)
-        iy = jnp.floor((y + hw) / (2 * hw) * nb).astype(jnp.int32)
-        inside = (ix >= 0) & (ix < nb) & (iy >= 0) & (iy < nb)
-        flat_img = jnp.where(inside, ix * nb + iy, nb * nb)
+        flat_img = image_flat_indices(hit_point, cfg)
         image = jnp.pad(image.reshape(-1), (0, 1)).at[flat_img].add(
             measured_power
         )[:-1].reshape(nb, nb)
         if cfg.coherent and opl is not None and wavelength is not None:
-            amp = jnp.sqrt(jnp.maximum(measured_power, 0.0))
-            # phase from the FRACTIONAL part of OPL/lambda: whole waves
-            # drop out, so f32 keeps sub-wave precision over path lengths
-            # thousands of waves long
-            turns = opl / wavelength
-            phase = 2.0 * np.pi * (turns - jnp.floor(turns))
+            re, im = coherent_amplitudes(measured_power, opl, wavelength)
             pad_amp = jnp.pad(image_amp.reshape(2, -1), ((0, 0), (0, 1)))
-            pad_amp = pad_amp.at[0, flat_img].add(amp * jnp.cos(phase))
-            pad_amp = pad_amp.at[1, flat_img].add(amp * jnp.sin(phase))
+            pad_amp = pad_amp.at[0, flat_img].add(re)
+            pad_amp = pad_amp.at[1, flat_img].add(im)
             image_amp = pad_amp[:, :-1].reshape(image_amp.shape)
     return DetectorState(hist, per_det, image, image_amp)
+
+
+def image_flat_indices(hit_point, cfg: TraceConfig):
+    """(C,) flat pixel index of each hit on the cfg image plane; points
+    outside the grid map to the drop slot nb * nb (callers pad by one).
+    Shared by the incoherent/coherent image scatters and the spectral
+    per-wavelength coherent planes."""
+    from lightpycl_tpu.sources import _frame
+
+    F = jnp.asarray(_frame(cfg.image_normal), jnp.float32)
+    rel = hit_point - jnp.asarray(cfg.image_center, jnp.float32)
+    # elementwise dot, NOT a matmul: TPU's default matmul precision
+    # truncates geometry to bf16 (see CLAUDE.md)
+    x = jnp.sum(rel * F[0], axis=1)
+    y = jnp.sum(rel * F[1], axis=1)
+    nb = cfg.image_bins
+    hw = cfg.image_halfwidth
+    # floor, not int-cast: truncation would alias points just outside
+    # the left/bottom edge into row/column 0
+    ix = jnp.floor((x + hw) / (2 * hw) * nb).astype(jnp.int32)
+    iy = jnp.floor((y + hw) / (2 * hw) * nb).astype(jnp.int32)
+    inside = (ix >= 0) & (ix < nb) & (iy >= 0) & (iy < nb)
+    return jnp.where(inside, ix * nb + iy, nb * nb)
+
+
+def coherent_amplitudes(measured_power, opl, wavelength):
+    """(re, im) of sqrt(P) e^{i 2 pi OPL / lambda} per ray. Phase from the
+    FRACTIONAL part of OPL/lambda: whole waves drop out, so f32 keeps
+    sub-wave precision over path lengths thousands of waves long."""
+    amp = jnp.sqrt(jnp.maximum(measured_power, 0.0))
+    turns = opl / wavelength
+    phase = 2.0 * np.pi * (turns - jnp.floor(turns))
+    return amp * jnp.cos(phase), amp * jnp.sin(phase)
 
 
 def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,

@@ -142,9 +142,9 @@ def test_validation_errors():
                            diameter=0.5, power=1.0, ray_count=16)
     with pytest.raises(ValueError, match="image_bins"):
         Tracer().trace(src, els, coherent=True)
-    with pytest.raises(ValueError, match="monochromatic"):
+    with pytest.raises(ValueError, match="image"):
         Tracer().trace_spectral(src, [0.4, 0.6], elements=els,
-                                coherent=True, image_bins=8)
+                                coherent=True)
 
 
 def test_incoherent_runs_unchanged():
@@ -158,3 +158,77 @@ def test_incoherent_runs_unchanged():
     assert res.image_amp is None
     with pytest.raises(ValueError, match="coherent"):
         _ = res.image_complex
+
+
+class TestWhiteLight:
+    """Spectral coherent imaging: per-wavelength field planes; wavelengths
+    are mutually incoherent, so the white-light pattern is the sum of the
+    per-lambda intensities — with the physical coherence envelope."""
+
+    WLS = [0.46, 0.50, 0.54, 0.58]
+
+    def run(self, arm_d, n=128):
+        src = CollimatedSource(center=(0, 0, -2.0), direction=(0, 0, 1),
+                               diameter=0.5, power=1.0, ray_count=n,
+                               seed=1)
+        return Tracer().trace_spectral(
+            src, self.WLS, elements=michelson(arm_d), trace_iterations=6,
+            capacity=8 * n, coherent=True, image_bins=16,
+            image_center=(1.5, 0.0, 0.0), image_normal=(1.0, 0.0, 0.0),
+            image_halfwidth=1.0)
+
+    def test_white_light_fringe_superposition(self):
+        base = self.run(0.0)
+        amp0 = base.image_amp_spectral
+        assert amp0.shape == (4, 2, 16, 16)
+        i_w0 = (amp0[:, 0] ** 2 + amp0[:, 1] ** 2).sum(axis=(1, 2))  # (W,)
+        assert (i_w0 > 0).all()
+        assert base.image_coherent.sum() == pytest.approx(i_w0.sum(),
+                                                          rel=1e-6)
+        # every arm offset scales EACH wavelength plane by its own
+        # two-beam factor; the total is their incoherent sum — exact
+        for d in (0.1, 0.25, 0.6, 1.1):
+            res = self.run(d)
+            want = sum(
+                iw * (1 + np.cos(4 * np.pi * d / wl)) / 2
+                for iw, wl in zip(i_w0, self.WLS))
+            assert res.image_coherent.sum() == pytest.approx(
+                want, rel=5e-3), d
+
+    def test_coherence_envelope_washout(self):
+        # balanced arms: full contrast. Arm offset far beyond the
+        # coherence length lc ~ lambda^2 / dlambda: fringes wash out and
+        # the total tends to half the balanced (fully constructive) sum
+        base = self.run(0.0).image_coherent.sum()
+        far = self.run(13.07).image_coherent.sum()  # ~50 waves, spread phases
+        assert far < 0.75 * base
+
+    def test_single_wavelength_matches_scalar_coherent(self):
+        # W=1 spectral coherent == the scalar coherent trace, field-exact
+        src = CollimatedSource(center=(0, 0, -2.0), direction=(0, 0, 1),
+                               diameter=0.5, power=1.0, ray_count=64,
+                               seed=2)
+        o, d, p = src.sample()
+        kw = dict(image_bins=8, image_center=(1.5, 0.0, 0.0),
+                  image_normal=(1.0, 0.0, 0.0), image_halfwidth=1.0)
+        els = michelson(WL / 8)
+        r_sp = Tracer().trace_spectral(
+            None, [WL], elements=els, trace_iterations=6, coherent=True,
+            rays=RayBatch.from_arrays(o, d, p, capacity=512), **kw)
+        r_sc = Tracer().trace(
+            None, els, trace_iterations=6, coherent=True,
+            rays=RayBatch.from_arrays(o, d, p, capacity=512,
+                                      wavelengths=WL), **kw)
+        np.testing.assert_allclose(r_sp.image_amp_spectral[0],
+                                   r_sc.image_amp, atol=1e-5)
+        np.testing.assert_allclose(r_sp.image_coherent, r_sc.image_coherent,
+                                   atol=1e-5)
+
+    def test_shared_method_refused(self):
+        src = CollimatedSource(center=(0, 0, -2.0), direction=(0, 0, 1),
+                               diameter=0.5, power=1.0, ray_count=16)
+        with pytest.raises(ValueError, match="batched"):
+            Tracer().trace_spectral(src, [0.5, 0.6],
+                                    elements=michelson(0.0),
+                                    method="shared", coherent=True,
+                                    image_bins=8)

@@ -250,7 +250,7 @@ class TestDispersiveSpectral:
         src = self._prism_beam()
         o, d, p = src.sample()
         rays = RayBatch.from_arrays(o, d, p, capacity=512)
-        per_dw, led, names, rays_out, det, led_w = \
+        per_dw, led, names, rays_out, det, led_w, _ = \
             spectral.trace_spectral_dispersive(els, rays, wls3,
                                                iterations=6)
         per_dw = np.asarray(per_dw)
@@ -305,7 +305,7 @@ class TestDispersiveSpectral:
         p = np.full(n, 1.0 / n)
         wls3 = [0.45, 0.60, 0.75]
         rays = RayBatch.from_arrays(o, d, p, capacity=8 * n)
-        per_dw, led, names, _, _, _ = spectral.trace_spectral_dispersive(
+        per_dw, led, names, _, _, _, _ = spectral.trace_spectral_dispersive(
             els, rays, wls3, iterations=3)
         per_dw = np.asarray(per_dw)
         for k, wl in enumerate(wls3):
@@ -412,10 +412,10 @@ class TestSpectralMultichip:
                                seed=7)
         o, d, p = src.sample()
         wls3 = [0.40, 0.55, 0.70]
-        pd1, led1, names, _, det1, lw1 = spectral.trace_spectral_dispersive(
+        pd1, led1, names, _, det1, lw1, _ = spectral.trace_spectral_dispersive(
             els, RayBatch.from_arrays(o, d, p, capacity=1024), wls3,
             iterations=6)
-        pd8, led8, names8, rays8, det8, lw8 = \
+        pd8, led8, names8, rays8, det8, lw8, _ = \
             spectral.trace_spectral_dispersive(
                 els, RayBatch.from_arrays(o, d, p, capacity=1024), wls3,
                 iterations=6, mesh=make_ray_mesh(8))
