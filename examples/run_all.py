@@ -31,6 +31,7 @@ SMALL = {
     "example_spectral_coating.py": {"RAY_COUNT": "2000", "N_WL": "16"},
     "example_led_collimator.py": {"RAY_COUNT": "10000"},
     "example_newtonian.py": {"RAY_COUNT": "4000"},
+    "example_birefringence.py": {"RAY_COUNT": "4000"},
     "example_tolerancing.py": {"RAY_COUNT": "1500", "N_MC": "8"},
     # sized for the CPU jnp fallback; on TPU bump via env before running
     "example_large_mesh.py": {"TOTAL_RAYS": "200000", "BATCH": "100000",

@@ -87,6 +87,10 @@ class GeoObject:
     coating: Optional[list] = None  # multilayer stack [(n, h_um), ...],
     #   outermost layer first; generalizes coat_ior/coat_thickness (do not
     #   set both). Lossless dielectric stack; R is side-independent
+    ne: float = 0.0            # extraordinary principal index of a
+    #   BIREFRINGENT (uniaxial crystal) element; `ior` is the ordinary
+    #   index n_o and `axis` the optic axis (world frame, rotates with the
+    #   element). Requires TraceConfig(polarization=True)
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -105,9 +109,17 @@ class GeoObject:
                 raise ValueError("axis must be a nonzero vector")
             self.axis = a / n
         elif self.material in (Material.POLARIZER, Material.WAVEPLATE,
-                               Material.GRATING):
+                               Material.GRATING, Material.BIREFRINGENT):
             raise ValueError(
                 f"{self.material.name} elements need an `axis` vector")
+        if self.material == Material.BIREFRINGENT:
+            if self.ne <= 0 or self.ior <= 0:
+                raise ValueError(
+                    "BIREFRINGENT elements need both principal indices: "
+                    "ior = n_o > 0 and ne = n_e > 0 (e.g. ior, ne = "
+                    "materials.CALCITE)")
+        elif self.ne != 0.0:
+            raise ValueError("`ne` applies to BIREFRINGENT elements only")
         if self.coat_thickness > 0:
             if self.material != Material.REFRACTIVE:
                 raise ValueError(

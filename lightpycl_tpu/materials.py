@@ -39,6 +39,10 @@ class Material(enum.IntEnum):
     #                 period = grating_period [um], fixed grating_order
     DIFFUSE = 8     # Lambertian scatterer: cosine-weighted reflection,
     #                 albedo = `reflectivity` (stray-light analysis)
+    BIREFRINGENT = 9  # uniaxial crystal: o/e double refraction with
+    #                 Poynting walk-off; `ior` = n_o, `ne` = n_e, `axis` =
+    #                 optic axis. Requires TraceConfig(polarization=True)
+    #                 (the o/e split is a Stokes projection)
 
     @staticmethod
     def from_any(value) -> "Material":
@@ -70,6 +74,9 @@ class Material(enum.IntEnum):
                 "diffuse": Material.DIFFUSE,
                 "lambertian": Material.DIFFUSE,
                 "scatterer": Material.DIFFUSE,
+                "birefringent": Material.BIREFRINGENT,
+                "uniaxial": Material.BIREFRINGENT,
+                "crystal": Material.BIREFRINGENT,
             }
             if key in aliases:
                 return aliases[key]
@@ -87,6 +94,7 @@ POLARIZER = Material.POLARIZER
 WAVEPLATE = Material.WAVEPLATE
 GRATING = Material.GRATING
 DIFFUSE = Material.DIFFUSE
+BIREFRINGENT = Material.BIREFRINGENT
 
 
 # Wavelengths of the standard Fraunhofer lines used for dispersion specs [um]
@@ -125,3 +133,12 @@ ALUMINUM = (0.96, 6.69)
 SILVER = (0.13, 3.99)
 GOLD = (0.34, 2.69)
 COPPER = (0.62, 2.57)
+
+
+# principal indices (n_o, n_e) of common uniaxial crystals near the sodium
+# d-line. Pass to a BIREFRINGENT GeoObject: ior, ne = CALCITE (calcite and
+# sapphire are negative uniaxial, n_e < n_o; quartz and MgF2 positive).
+CALCITE = (1.658, 1.486)
+QUARTZ = (1.5443, 1.5534)
+SAPPHIRE = (1.768, 1.760)
+MGF2 = (1.3777, 1.3895)

@@ -138,6 +138,8 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 "coat_thickness": jax.lax.psum(
                     a["coat_thickness"] * mf[:, None], TRI_AXIS),
             }
+            if "bire_ne" in a:
+                attrs["bire_ne"] = jax.lax.psum(a["bire_ne"] * mf, TRI_AXIS)
             # misses have no winner: psum of zeros -> ior 0; force sane values
             miss = tri < 0
             attrs["ior"] = jnp.where(miss, 1.0, attrs["ior"])

@@ -499,6 +499,95 @@ def multilayer_reflectance(cos_i, n1, layers_n, layers_h, n_sub, wl):
     return jnp.clip(r.astype(jnp.float32), 0.0, 1.0)
 
 
+# --------------------------------------------------------------------------
+# Uniaxial birefringence (extension over the reference's isotropic optics)
+# --------------------------------------------------------------------------
+
+def uniaxial_index(cos_k, n_o, n_e):
+    """Extraordinary-wave phase index n(theta_k) of a uniaxial crystal:
+    1/n^2 = cos^2(theta)/n_o^2 + sin^2(theta)/n_e^2, with cos_k the cosine
+    of the angle between the WAVE normal and the optic axis. theta = 0
+    gives n_o (degenerate with the ordinary wave), theta = 90deg gives
+    n_e."""
+    c2 = jnp.clip(cos_k * cos_k, 0.0, 1.0)
+    inv2 = c2 / jnp.maximum(n_o * n_o, _TINY) \
+        + (1.0 - c2) / jnp.maximum(n_e * n_e, _TINY)
+    return 1.0 / jnp.sqrt(jnp.maximum(inv2, _TINY))
+
+
+def uniaxial_refract_wave(kt, into, c_axis, n_o, n_e):
+    """Refract a tangential wavevector into the EXTRAORDINARY branch of a
+    uniaxial crystal (wave-vector tangential matching on the e-wave normal
+    surface).
+
+    Args:
+      kt:     (..., 3) tangential wavevector in vacuum-k0 units
+              (n1 * (d - (d.n)n) for a unit incident direction d)
+      into:   (..., 3) unit normal pointing INTO the crystal
+      c_axis: (..., 3) unit optic axis (headless — sign irrelevant)
+      n_o, n_e: (...,) principal indices
+
+    Returns (K, prop): the full wave vector K = kt + q*into with |K| =
+    n(theta_k) solving the e-wave dispersion relation
+        (K.c)^2/n_o^2 + (|K|^2 - (K.c)^2)/n_e^2 = 1
+    (quadratic in q, forward root), and `prop` False where no forward
+    propagating solution exists (evanescent / total reflection). n_e = n_o
+    reduces exactly to isotropic Snell refraction."""
+    f = 1.0 / jnp.maximum(n_o * n_o, _TINY) \
+        - 1.0 / jnp.maximum(n_e * n_e, _TINY)
+    ie = 1.0 / jnp.maximum(n_e * n_e, _TINY)
+    a_c = dot(into, c_axis)
+    b_c = dot(kt, c_axis)
+    kt2 = dot(kt, kt)
+    A = a_c * a_c * f + ie          # > 0 always (a weighted index average)
+    B = 2.0 * a_c * b_c * f
+    Cq = b_c * b_c * f + kt2 * ie - 1.0
+    disc = B * B - 4.0 * A * Cq
+    ok = disc > 0.0
+    root = jnp.where(ok, jnp.sqrt(jnp.where(ok, disc, 1.0)), 0.0)
+    q = (-B + root) / (2.0 * A)     # forward (into-crystal) branch
+    K = kt + q[..., None] * into
+    return K, ok & (q > 0.0)
+
+
+def uniaxial_ray_direction(K, c_axis, n_o, n_e):
+    """Poynting (ray) direction and OPL-effective ray index of an
+    extraordinary wave with wave vector K (|K| = n(theta_k)).
+
+    The ray direction tilts from the wave normal toward/away from the
+    optic axis (walk-off): S ~ (K - (K.c)c)/n_e^2 + ((K.c)/n_o^2) c.
+    Returns (S_unit, n_ray) where n_ray = K . S_unit = n(theta_k) cos(rho)
+    — the index that makes OPL = n_ray * geometric_ray_length equal the
+    true accumulated phase (phase fronts advance along K at c/n(theta_k);
+    the ray covers extra ground by 1/cos(rho))."""
+    Kc = dot(K, c_axis)
+    S = (K - Kc[..., None] * c_axis) / jnp.maximum(n_e * n_e, _TINY)[..., None] \
+        + (Kc / jnp.maximum(n_o * n_o, _TINY))[..., None] * c_axis
+    S = normalize(S)
+    return S, dot(K, S)
+
+
+def uniaxial_wave_from_ray(S, c_axis, n_o, n_e):
+    """Recover the e-wave normal and phase index from a RAY direction.
+
+    Inverse of uniaxial_ray_direction: with theta_S / theta_k the ray /
+    wave angles to the optic axis, tan(theta_k) = (n_e^2/n_o^2)
+    tan(theta_S). Parameterized through the unnormalized vector
+    n_o^2 cos(theta_S) c + n_e^2 sin(theta_S) p_hat so theta_S = 90deg is
+    regular. Returns (k_hat, n_wave)."""
+    cs = dot(S, c_axis)
+    csn = jnp.where(cs[..., None] < 0.0, -c_axis, c_axis)  # headless axis
+    cs = jnp.abs(cs)
+    p = S - cs[..., None] * csn
+    sin_s = jnp.sqrt(jnp.maximum(dot(p, p), 0.0))
+    p_hat = normalize(p)
+    u = (n_o * n_o * cs)[..., None] * csn + (n_e * n_e * sin_s)[..., None] * p_hat
+    k_hat = normalize(u)
+    # degenerate S || c: p == 0 -> u = n_o^2 cs * c, k_hat = c (exact)
+    n_wave = uniaxial_index(dot(k_hat, csn), n_o, n_e)
+    return k_hat, n_wave
+
+
 def incidence_s_direction(d, n, fallback_basis):
     """Unit s-direction (perpendicular to the incidence plane): d x n
     normalized; at ~normal incidence (plane undefined) fall back to the

@@ -93,7 +93,8 @@ def validate_spectral_scene(elements) -> None:
                 "(refraction angles would differ per wavelength — use "
                 "per-wavelength scalar traces for dispersive systems)")
         if el.material in (Material.GRATING, Material.POLARIZER,
-                           Material.WAVEPLATE, Material.DIFFUSE):
+                           Material.WAVEPLATE, Material.DIFFUSE,
+                           Material.BIREFRINGENT):
             raise ValueError(
                 f"spectral tracing does not support material "
                 f"{Material(el.material).name} (wavelength-dependent "

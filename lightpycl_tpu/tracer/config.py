@@ -105,6 +105,15 @@ class TraceConfig:
     # API must not silently fall back to ideal mirrors — and the engine
     # (and diff's loss factories) switch it off when no metals exist
     has_metals: bool = True
+    # True computes the uniaxial-crystal branch (Material.BIREFRINGENT:
+    # o/e double refraction with Poynting walk-off) for every hit under
+    # polarization=True. Defaults True like has_gratings — a crystal scene
+    # traced through the raw step API must not silently absorb — and the
+    # engine switches it off when no birefringent elements exist. The
+    # branch only activates when the scene carries the `bire_ne` column
+    # AND cfg.polarization is set (the o/e split is a Stokes projection;
+    # unpolarized traces absorb crystal hits, ledger-exact).
+    has_birefringence: bool = True
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an

@@ -158,7 +158,8 @@ class Tracer:
         # "needs the 2C split buffer": dielectric/beamsplitter splits, and
         # gratings whose specular 0th-order leak rides the second slot
         self._has_refractive = any(
-            e.material in (Material.REFRACTIVE, Material.BEAMSPLITTER)
+            e.material in (Material.REFRACTIVE, Material.BEAMSPLITTER,
+                           Material.BIREFRINGENT)
             or (e.material == Material.GRATING
                 and getattr(e, "order0_fraction", 0.0) > 0.0)
             for e in self.elements
@@ -470,7 +471,8 @@ class Tracer:
         from lightpycl_tpu.materials import Material
 
         needs = [e for e in self.elements
-                 if e.material in (Material.POLARIZER, Material.WAVEPLATE)]
+                 if e.material in (Material.POLARIZER, Material.WAVEPLATE,
+                                   Material.BIREFRINGENT)]
         if needs and not cfg.polarization:
             raise ValueError(
                 f"{needs[0].material.name} elements act on Stokes state: "
@@ -484,6 +486,10 @@ class Tracer:
         has_me = any(getattr(e, "metal_n", 0.0) > 0.0 for e in self.elements)
         if cfg.has_metals != has_me:
             cfg = cfg.replace(has_metals=has_me)
+        has_bi = any(e.material == Material.BIREFRINGENT
+                     for e in self.elements)
+        if cfg.has_birefringence != has_bi:
+            cfg = cfg.replace(has_birefringence=has_bi)
         # same gating for the thin-film branch (scalar Airy recursion in
         # the unpolarized model; full characteristic-matrix Mueller split
         # — physics.polarized_film_split — under polarization=True)

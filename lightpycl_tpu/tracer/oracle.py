@@ -123,11 +123,13 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     coat_stacks = []
     det_names = []
     for el in elements:
-        if el.material in (Material.POLARIZER, Material.WAVEPLATE):
+        if el.material in (Material.POLARIZER, Material.WAVEPLATE,
+                           Material.BIREFRINGENT):
             raise ValueError(
                 "the f64 oracle is unpolarized scalar optics; polarizer/"
-                "waveplate scenes are validated against analytic Mueller "
-                "anchors instead (tests/test_polarizer.py)")
+                "waveplate/birefringent scenes are validated against "
+                "analytic Mueller / crystal-optics anchors instead "
+                "(tests/test_polarizer.py, tests/test_birefringence.py)")
         if el.material == Material.DIFFUSE:
             raise ValueError(
                 "the f64 oracle is deterministic; Lambertian scatterers are "

@@ -62,6 +62,10 @@ class Scene(NamedTuple):
     #   layer 0 outermost; rows padded with h=0 layers (exactly inert in
     #   the Airy recursion); all-zero row = bare surface. L = the scene's
     #   max stack depth (>= 1)
+    bire_ne: jnp.ndarray = None  # (T_pad,) f32 extraordinary principal
+    #   index of BIREFRINGENT elements (0 elsewhere; `ior` holds n_o and
+    #   `axis` the optic axis). Optional so hand-built scenes (diff.py)
+    #   stay valid — the shade branch is gated on its presence
     element_id: jnp.ndarray = None  # (T_pad,) i32 index into the elements
     #   list the scene was built from (-1 on padding); drives
     #   TraceConfig.track_paths ghost/stray-light signatures. Optional so
@@ -110,6 +114,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     absorb_list = []
     axis_list, ret_list, gr_list, g0_list = [], [], [], []
     mn_list, mk_list = [], []
+    bire_list = []
     coat_stacks = []  # (t, [(n, h), ...]) per element; widths equalized below
     detector_names: list[str] = []
     elem_list = []
@@ -141,6 +146,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
                                np.float64))
         mk_list.append(np.full(t, float(getattr(obj, "metal_k", 0.0)),
                                np.float64))
+        bire_list.append(np.full(t, float(getattr(obj, "ne", 0.0)),
+                                 np.float64))
         layers = (obj.coating_layers() if hasattr(obj, "coating_layers")
                   else [])
         coat_stacks.append((t, layers))
@@ -164,6 +171,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     g0_np = np.concatenate(g0_list)
     mn_np = np.concatenate(mn_list)
     mk_np = np.concatenate(mk_list)
+    bire_np = np.concatenate(bire_list)
     elem_np = np.concatenate(elem_list)
     # coating stacks, width-equalized to the scene's deepest stack (h = 0
     # padding layers are exactly inert — physics.multilayer_rs_rp)
@@ -189,6 +197,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         gr_np = gr_np[order]
         g0_np = g0_np[order]
         mn_np, mk_np = mn_np[order], mk_np[order]
+        bire_np = bire_np[order]
         cior_np, cth_np = cior_np[order], cth_np[order]
         elem_np = elem_np[order]
     T = len(tv)
@@ -241,6 +250,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         metal_k=jnp.asarray(_p(mk_np, fill=0.0), jnp.float32),
         coat_ior=jnp.asarray(_p(cior_np, fill=0.0), jnp.float32),
         coat_thickness=jnp.asarray(_p(cth_np, fill=0.0), jnp.float32),
+        bire_ne=jnp.asarray(_p(bire_np, fill=0.0), jnp.float32),
         element_id=jnp.asarray(_p(elem_np, fill=-1), jnp.int32),
     )
     return scene, detector_names

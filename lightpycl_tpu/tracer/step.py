@@ -225,7 +225,7 @@ class ShadeOut(NamedTuple):
 
 
 def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
-                     with_coatings: bool = True):
+                     with_coatings: bool = True, with_bire=None):
     """Per-hit triangle attributes (the gathers shade needs). Separated so
     triangle-sharded tracing can substitute collectively-gathered values
     (parallel/mesh2d.py).
@@ -235,9 +235,14 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
     (cheap, fused by XLA); the per-ray gather is the expensive part and
     runs once. mat and detector_id ride along as f32 (tiny ints, exact).
     `with_optics` adds the polarizer/waveplate/grating columns (axis,
-    retardance, m/period, order0 fraction — indices 11..16, coatings from
-    k=17); shade skips them when the static config says no such elements
-    exist. Base columns include the metal-mirror (n, k) pair at 9..10."""
+    retardance, m/period, order0 fraction — indices 11..16; then the
+    birefringent n_e column when enabled, then coatings); shade skips them
+    when the static config says no such elements exist. Base columns
+    include the metal-mirror (n, k) pair at 9..10. `with_bire` (None =
+    auto: the scene carries the column) rides the extraordinary principal
+    index along — hand-built scenes (diff.py) without it stay valid."""
+    if with_bire is None:
+        with_bire = getattr(scene, "bire_ne", None) is not None
     cols = [scene.mat.astype(jnp.float32)[:, None], scene.normal,
             scene.ior[:, None], scene.ior_b[:, None],
             scene.reflectivity[:, None],
@@ -247,6 +252,8 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
     if with_optics:
         cols += [scene.axis, scene.retardance[:, None],
                  scene.grating_mlp[:, None], scene.grating_g0[:, None]]
+    if with_bire:
+        cols += [scene.bire_ne[:, None]]
     if with_coatings:
         cols += [scene.coat_ior, scene.coat_thickness]  # (T, L) each
     g = jnp.concatenate(cols, axis=1)[safe_tri]
@@ -268,10 +275,176 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         out["grating_mlp"] = g[:, 15]
         out["grating_g0"] = g[:, 16]
         k = 17
+    if with_bire:
+        out["bire_ne"] = g[:, k]
+        k += 1
     if with_coatings:
         L = scene.coat_ior.shape[1]
         out["coat_ior"] = g[:, k:k + L]
         out["coat_thickness"] = g[:, k + L:k + 2 * L]
+    return out
+
+
+def _shade_birefringent(scene, rays, sn, attrs, live_p, s_dir, hit_valid,
+                        cfg):
+    """Per-lane quantities for BIREFRINGENT (uniaxial crystal) hits.
+
+    Extension over the reference (isotropic optics only). Model:
+
+      * ENTRY (outside -> crystal): the incident Stokes state projects
+        onto the crystal's two eigenmodes (exact Malus decomposition of
+        the coherence matrix): slot A carries the ORDINARY child (Snell
+        refraction with n_o — sn already computed it, since the element's
+        `ior` is n_o), slot B the EXTRAORDINARY child (wave-vector
+        tangential matching on the e normal surface + Poynting walk-off,
+        physics.uniaxial_refract_wave / uniaxial_ray_direction). Each
+        child pays the Fresnel transmittance of its eigenmode
+        (s/p-decomposed by the eigenpolarization's orientation — exact
+        when the optic axis is in or normal to the incidence plane, the
+        standard approximation otherwise); the externally REFLECTED share
+        is accounted as absorbed (two child slots; crystal-face ghosts
+        are out of model — use track_paths on isotropic surfaces).
+      * EXIT (crystal -> ambient): slot A = transmitted child (o: exact
+        Snell via sn; e: Snell applied to the recovered WAVE normal —
+        physics.uniaxial_wave_from_ray), slot B = the internally
+        reflected same-mode child, so TIR falls out with R = 1 and
+        nothing is lost (e -> o mode conversion on internal reflection is
+        neglected; the reflected e-wave re-solves the dispersion
+        relation, so its direction and index are self-consistent).
+
+    The e-ray's carried `ior` is its OPL-EFFECTIVE ray index
+    n(theta_k) cos(rho) (= K . S), which keeps the generic
+    opl += ior * t accumulation exact along the walked-off ray; exit
+    lanes re-identify the mode by |ior - n_o| (degenerate only where the
+    modes physically coincide). Dispersion of n_o/n_e is not modeled.
+    Children are fully polarized (s1 = 1) in their eigenframe basis.
+    """
+    d = rays.d
+    n = sn["n"]                      # oriented against the ray
+    entering = sn["entering"]
+    n1 = sn["n1"]
+    cos_i = sn["cos_i"]
+    n_o = attrs["ior"]
+    n_e = attrs["bire_ne"]
+    c_axis = attrs["axis"]
+    mat = attrs["mat"]
+    is_bire = hit_valid & (mat == int(Material.BIREFRINGENT))
+    safe_ne = jnp.where(n_e > 0.0, n_e, 1.0)   # non-bire lanes: inert math
+    safe_no = jnp.maximum(n_o, 1e-6)
+
+    def _perp(v, ref):
+        """Component of v perpendicular to unit ref, normalized; falls
+        back to an orthonormal tangent of ref when degenerate."""
+        p = v - physics.dot(v, ref)[:, None] * ref
+        p2 = jnp.sum(p * p, axis=1, keepdims=True)
+        fb, _ = physics.orthonormal_basis(ref)
+        return jnp.where(p2 > 1e-12, p / jnp.sqrt(jnp.maximum(p2, 1e-20)),
+                         fb)
+
+    def _eigen_T(cos_t, n_in, n_out, w_s, tir):
+        """Fresnel power transmittance of an eigenmode whose polarization
+        has fraction w_s along the incidence s-direction."""
+        rs, rp, _, _ = physics.fresnel_amplitudes(cos_i, cos_t, n_in, n_out)
+        T = w_s * (1.0 - rs * rs) + (1.0 - w_s) * (1.0 - rp * rp)
+        return jnp.where(tir, 0.0, jnp.clip(T, 0.0, 1.0))
+
+    # ---- ENTRY ----------------------------------------------------------
+    into = -n
+    kt = n1[:, None] * (d - physics.dot(d, n)[:, None] * n)
+    # ordinary wave: sn's dielectric quantities ARE the o-wave (tri ior
+    # column = n_o)
+    k_o = sn["refr_dir"]
+    o_hat = physics.normalize(jnp.cross(c_axis, k_o))
+    o_ok = jnp.sum(jnp.cross(c_axis, k_o) ** 2, axis=1) > 1e-12
+    o_hat = jnp.where(o_ok[:, None], o_hat, s_dir)
+    # Malus projection of the incident Stokes state onto the o eigenmode
+    o_perp = _perp(o_hat, d)
+    cos_b = physics.dot(rays.basis, o_perp)
+    sin_b = physics.dot(jnp.cross(rays.basis, o_perp), d)
+    b1, _ = physics.rotate_stokes(rays.s1, rays.s2, cos_b, sin_b)
+    f_o = 0.5 * (1.0 + b1)
+    w_s_o = physics.dot(o_perp, s_dir) ** 2
+    T_o = _eigen_T(sn["cos_t"], n1, safe_no, w_s_o, sn["tir"])
+    # extraordinary wave: tangential matching on the e normal surface
+    K_e, e_prop = physics.uniaxial_refract_wave(kt, into, c_axis,
+                                                safe_no, safe_ne)
+    s_e, n_ray_e = physics.uniaxial_ray_direction(K_e, c_axis,
+                                                  safe_no, safe_ne)
+    n_wave_e = jnp.sqrt(jnp.maximum(physics.dot(K_e, K_e), 1e-12))
+    cos_t_e = jnp.clip(physics.dot(K_e, into) / n_wave_e, 0.0, 1.0)
+    e_in_perp = _perp(c_axis, d)     # e-pol: principal-plane component
+    w_s_e = physics.dot(e_in_perp, s_dir) ** 2
+    T_e = _eigen_T(cos_t_e, n1, n_wave_e, w_s_e, ~e_prop)
+    pa_in = live_p * f_o * T_o
+    pb_in = live_p * (1.0 - f_o) * T_e
+    basis_a_in = _perp(o_hat, k_o)
+    basis_b_in = _perp(c_axis, s_e)
+
+    # ---- EXIT -----------------------------------------------------------
+    is_e = jnp.abs(rays.ior - n_o) > 1e-4
+    # e-mode: recover the wave normal from the ray direction
+    k_in_hat, n_wave_x = physics.uniaxial_wave_from_ray(d, c_axis,
+                                                        safe_no, safe_ne)
+    K_in = n_wave_x[:, None] * k_in_hat
+    kt_x = K_in - physics.dot(K_in, n)[:, None] * n
+    n_out = sn["n2"]                 # ambient on exit lanes
+    kt2_x = physics.dot(kt_x, kt_x)
+    tir_e = kt2_x > n_out * n_out
+    qpos = n_out * n_out - kt2_x
+    q_out = jnp.where(qpos > 0.0, jnp.sqrt(jnp.where(qpos > 0.0, qpos, 1.0)),
+                      0.0)
+    d_out_e = (kt_x + q_out[:, None] * (-n)) / jnp.maximum(n_out, 1e-6)[:, None]
+    d_out_e = physics.normalize(d_out_e)
+    cos_iw = jnp.clip(-physics.dot(k_in_hat, n), 1e-6, 1.0)
+    cos_tw = jnp.clip(q_out / jnp.maximum(n_out, 1e-6), 0.0, 1.0)
+    e_x_perp = _perp(c_axis, d)
+    w_s_xe = physics.dot(e_x_perp, s_dir) ** 2
+    rs_e, rp_e, _, _ = physics.fresnel_amplitudes(cos_iw, cos_tw,
+                                                  n_wave_x, n_out)
+    T_xe = jnp.where(tir_e, 0.0, jnp.clip(
+        w_s_xe * (1.0 - rs_e * rs_e) + (1.0 - w_s_xe) * (1.0 - rp_e * rp_e),
+        0.0, 1.0))
+    # o-mode exit: sn quantities are exact (n1 = rays.ior = n_o)
+    o_x_hat = physics.normalize(jnp.cross(c_axis, d))
+    o_x_ok = jnp.sum(jnp.cross(c_axis, d) ** 2, axis=1) > 1e-12
+    o_x_hat = jnp.where(o_x_ok[:, None], o_x_hat, s_dir)
+    w_s_xo = physics.dot(_perp(o_x_hat, d), s_dir) ** 2
+    T_xo = _eigen_T(sn["cos_t"], n1, n_out, w_s_xo, sn["tir"])
+    T_x = jnp.where(is_e, T_xe, T_xo)
+    d_out = jnp.where(is_e[:, None], d_out_e, sn["refr_dir"])
+    # internally reflected same-mode child (slot B): o mirrors exactly;
+    # e re-solves the dispersion relation going back into the crystal
+    K_r, _ = physics.uniaxial_refract_wave(kt_x, n, c_axis, safe_no, safe_ne)
+    s_r, n_ray_r = physics.uniaxial_ray_direction(K_r, c_axis,
+                                                  safe_no, safe_ne)
+    d_refl = jnp.where(is_e[:, None], s_r, sn["refl_dir"])
+    b_ior_x = jnp.where(is_e, n_ray_r, rays.ior)
+    pa_x = live_p * T_x
+    pb_x = live_p * (1.0 - T_x)
+    eig_x = jnp.where(is_e[:, None], _perp(c_axis, d), o_x_hat)
+    basis_a_x = _perp(eig_x, d_out)
+    basis_b_x = _perp(eig_x, d_refl)
+
+    # ---- merge entry/exit -----------------------------------------------
+    ent = entering
+    entc = ent[:, None]
+    out = {
+        "is_bire": is_bire,
+        "pa": jnp.where(ent, pa_in, pa_x),
+        "da": jnp.where(entc, k_o, d_out),
+        "a_ior": jnp.where(ent, safe_no, n_out),
+        "a_absorb": jnp.where(ent, attrs["absorb"], 0.0),
+        "a_basis": jnp.where(entc, basis_a_in, basis_a_x),
+        "pb": jnp.where(ent, pb_in, pb_x),
+        "db": jnp.where(entc, s_e, d_refl),
+        "b_ior": jnp.where(ent, n_ray_e, b_ior_x),
+        "b_absorb": jnp.where(ent, attrs["absorb"], rays.absorb),
+        "b_basis": jnp.where(entc, basis_b_in, basis_b_x),
+        # entry: the externally reflected share is absorbed (see
+        # docstring); exit: pa + pb == live_p exactly
+        "absorbed": jnp.sum(jnp.where(
+            is_bire & ent, live_p - (pa_in + pb_in), 0.0)),
+    }
     return out
 
 
@@ -304,7 +477,14 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         attrs = gather_hit_attrs(
             scene, safe_tri,
             with_optics=cfg.polarization or cfg.has_gratings,
-            with_coatings=cfg.has_coatings)
+            with_coatings=cfg.has_coatings,
+            with_bire=(cfg.has_birefringence and cfg.polarization
+                       and getattr(scene, "bire_ne", None) is not None))
+    # birefringence is polarized-model-only (the o/e split is a Stokes
+    # projection); unpolarized traces absorb such hits (ledger-exact,
+    # engine refuses the combination anyway)
+    has_bire = (cfg.has_birefringence and cfg.polarization
+                and "bire_ne" in attrs)
     mat = attrs["mat"]
     n_geom = attrs["normal"]
     # dispersive glass: Cauchy n(lambda) = A + B / lambda^2 (lambda in um);
@@ -434,6 +614,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         da = jnp.where(is_diff[:, None], d_diff, da)
 
     pol_absorbed = jnp.float32(0.0)
+    a_ior = rays.ior
+    a_absorb = rays.absorb
+    bo = None
     if cfg.polarization:
         # Stokes-Mueller path: rotate the frame into the incidence plane,
         # apply the polarized Fresnel/TIR Mueller split, re-derive the
@@ -558,6 +741,27 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             diff_basis = physics.incidence_s_direction(
                 d_diff, sn["n"], rays.basis)
             new_basis = jnp.where(is_diff[:, None], diff_basis, new_basis)
+        if has_bire:
+            # uniaxial crystal double refraction: slot A = ordinary (or
+            # exit-transmitted), slot B = extraordinary (or internal
+            # reflection); both children fully polarized in their
+            # eigenframe
+            bo = _shade_birefringent(scene, rays, sn, attrs, live_p,
+                                     s_dir, hit_valid, cfg)
+            ib = bo["is_bire"]
+            ibc = ib[:, None]
+            pa = jnp.where(ib, bo["pa"], pa)
+            da = jnp.where(ibc, bo["da"], da)
+            a_ior = jnp.where(ib, bo["a_ior"], a_ior)
+            a_absorb = jnp.where(ib, bo["a_absorb"], a_absorb)
+            a_s1 = jnp.where(ib, 1.0, a_s1)
+            a_s2 = jnp.where(ib, 0.0, a_s2)
+            a_s3 = jnp.where(ib, 0.0, a_s3)
+            new_basis = jnp.where(ibc, bo["a_basis"], new_basis)
+            pb_pol = jnp.where(ib, bo["pb"], pb_pol)
+            b_s1 = jnp.where(ib, 1.0, b_s1)
+            b_s2 = jnp.where(ib, 0.0, b_s2)
+            b_s3 = jnp.where(ib, 0.0, b_s3)
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
@@ -605,12 +809,19 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             db = jnp.where(is_gr[:, None], sn["refl_dir"], db)
             b_ior = jnp.where(is_gr, rays.ior, b_ior)
             refr_absorb = jnp.where(is_gr, rays.absorb, refr_absorb)
+        if bo is not None:
+            # birefringent slot B: extraordinary child on entry, internal
+            # same-mode reflection on exit
+            ib = bo["is_bire"]
+            db = jnp.where(ib[:, None], bo["db"], db)
+            b_ior = jnp.where(ib, bo["b_ior"], b_ior)
+            refr_absorb = jnp.where(ib, bo["b_absorb"], refr_absorb)
         child_o = jnp.concatenate([hit_point, hit_point], axis=0)
         child_d = jnp.concatenate([da, db], axis=0)
         child_power = jnp.concatenate([pa, pb], axis=0)
-        child_ior = jnp.concatenate([rays.ior, b_ior], axis=0)
+        child_ior = jnp.concatenate([a_ior, b_ior], axis=0)
         child_wl = jnp.concatenate([rays.wavelength, rays.wavelength], axis=0)
-        child_ab = jnp.concatenate([rays.absorb, refr_absorb], axis=0)
+        child_ab = jnp.concatenate([a_absorb, refr_absorb], axis=0)
         child_opl = jnp.concatenate([opl_new, opl_new], axis=0)
         child_path = jnp.concatenate([path_a, path_b], axis=0)
         if cfg.polarization:
@@ -623,6 +834,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             b_basis = new_basis
             if cfg.has_gratings:
                 b_basis = jnp.where(is_gr[:, None], s_dir, b_basis)
+            if bo is not None:
+                b_basis = jnp.where(bo["is_bire"][:, None], bo["b_basis"],
+                                    b_basis)
             child_basis = jnp.concatenate([new_basis, b_basis], axis=0)
         else:
             child_s1 = jnp.concatenate([rays.s1, rays.s1])
@@ -633,9 +847,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # no refractive elements in the scene (engine-verified): only the
         # reflected branch exists, children stay in their parent slots and
         # the 2C buffer + compaction gather are skipped entirely
-        child_o, child_d, child_power, child_ior = hit_point, da, pa, rays.ior
+        child_o, child_d, child_power, child_ior = hit_point, da, pa, a_ior
         child_wl = rays.wavelength
-        child_ab = rays.absorb
+        child_ab = a_absorb
         child_opl = opl_new
         child_path = path_a
         # direct step-level users can reach this path with refractive or
@@ -680,11 +894,22 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
                       0.0))
     if cfg.polarization:
         absorbed = absorbed + pol_absorbed
+        if bo is not None:
+            # birefringent entry: the externally reflected share (no third
+            # child slot) is accounted as absorbed
+            absorbed = absorbed + bo["absorbed"]
     else:
-        # polarizer/waveplate act on Stokes state, which the unpolarized
-        # model does not carry: the engine refuses such scenes; direct
-        # step users get full absorption so the ledger still balances
+        # polarizer/waveplate/birefringent act on Stokes state, which the
+        # unpolarized model does not carry: the engine refuses such
+        # scenes; direct step users get full absorption so the ledger
+        # still balances
         absorbed = absorbed + jnp.sum(jnp.where(is_optic, live_p, 0.0))
+    if bo is None:
+        # birefringent hits with the branch disabled (unpolarized model,
+        # or has_birefringence=False override): no child carries power —
+        # absorb so the ledger still balances
+        absorbed = absorbed + jnp.sum(jnp.where(
+            hit_valid & (mat == int(Material.BIREFRINGENT)), live_p, 0.0))
     escaped_power = jnp.where(is_miss, live_p, 0.0)
     escaped = jnp.sum(escaped_power)
     measured_power = jnp.where(is_meas, live_p, 0.0)
