@@ -91,6 +91,13 @@ class GeoObject:
     #   BIREFRINGENT (uniaxial crystal) element; `ior` is the ordinary
     #   index n_o and `axis` the optic axis (world frame, rotates with the
     #   element). Requires TraceConfig(polarization=True)
+    scattering: float = 0.0    # volume scattering coefficient mu_s inside
+    #   the element [1/len] (turbid/translucent media: fog cells, opal
+    #   diffusers, biological tissue). REFRACTIVE elements only; free
+    #   paths ~ Exp(mu_s), direction redrawn from the Henyey-Greenstein
+    #   phase function; combine with `absorption` for full extinction
+    scatter_g: float = 0.0     # Henyey-Greenstein anisotropy g in (-1, 1);
+    #   0 = isotropic, +forward / -backward peaked
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -120,6 +127,15 @@ class GeoObject:
                     "materials.CALCITE)")
         elif self.ne != 0.0:
             raise ValueError("`ne` applies to BIREFRINGENT elements only")
+        if self.scattering < 0:
+            raise ValueError("scattering (mu_s) must be >= 0")
+        if self.scattering > 0 and self.material != Material.REFRACTIVE:
+            raise ValueError(
+                "volume scattering applies to REFRACTIVE elements only "
+                "(the turbid BULK of a dielectric; for surface scatter "
+                "use material='diffuse')")
+        if not -1.0 < self.scatter_g < 1.0:
+            raise ValueError("scatter_g must be in (-1, 1)")
         if self.coat_thickness > 0:
             if self.material != Material.REFRACTIVE:
                 raise ValueError(

@@ -140,6 +140,9 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
             }
             if "bire_ne" in a:
                 attrs["bire_ne"] = jax.lax.psum(a["bire_ne"] * mf, TRI_AXIS)
+            if "scat_mu" in a:
+                attrs["scat_mu"] = jax.lax.psum(a["scat_mu"] * mf, TRI_AXIS)
+                attrs["scat_g"] = jax.lax.psum(a["scat_g"] * mf, TRI_AXIS)
             # misses have no winner: psum of zeros -> ior 0; force sane values
             miss = tri < 0
             attrs["ior"] = jnp.where(miss, 1.0, attrs["ior"])

@@ -273,6 +273,32 @@ def sample_lambertian(key, n):
         + jnp.sqrt(jnp.maximum(1.0 - u[:, 0], 0.0))[:, None] * n
 
 
+def sample_henyey_greenstein(key, d, g):
+    """Henyey-Greenstein phase-function directions about unit incident
+    directions d (C, 3) with per-ray anisotropy g (C,) in (-1, 1):
+    pdf(cos) = (1 - g^2) / (2 (1 + g^2 - 2 g cos)^{3/2}), mean cosine = g.
+    g = 0 reduces exactly to isotropic scattering (branchless: the g -> 0
+    limit of the sampling formula is 1 - 2u, taken via jnp.where to avoid
+    0/0). Azimuth uniform about d."""
+    import jax
+
+    C = d.shape[0]
+    u = jax.random.uniform(key, (C, 2))
+    small = jnp.abs(g) < 1e-4
+    g_safe = jnp.where(small, 0.5, g)
+    frac = (1.0 - g_safe * g_safe) / (1.0 + g_safe - 2.0 * g_safe * u[:, 0])
+    cos_t = jnp.where(
+        small, 1.0 - 2.0 * u[:, 0],
+        (1.0 + g_safe * g_safe - frac * frac) / (2.0 * g_safe))
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = (2.0 * jnp.pi) * u[:, 1]
+    t1, t2 = orthonormal_basis(d)
+    return (sin_t * jnp.cos(phi))[:, None] * t1 \
+        + (sin_t * jnp.sin(phi))[:, None] * t2 \
+        + cos_t[:, None] * d
+
+
 def _fresnel_interface_c(eta_a, eta_b):
     """Complex interface amplitude (eta_a - eta_b) / (eta_a + eta_b)."""
     one = jnp.complex64(1.0)

@@ -99,6 +99,12 @@ def validate_spectral_scene(elements) -> None:
                 f"spectral tracing does not support material "
                 f"{Material(el.material).name} (wavelength-dependent "
                 "directions / polarization / RNG)")
+        if float(getattr(el, "scattering", 0.0)) > 0.0:
+            raise ValueError(
+                f"shared-geometry spectral tracing cannot draw per-ray "
+                f"scatter paths; element {el.name or el.material} has "
+                "scattering > 0 (use method='batched' — the dispersive "
+                "wavelength-batched path supports turbid media)")
 
 
 def spectral_step(scene: Scene, sr: SpectralRays, det: DetectorState,
@@ -268,6 +274,7 @@ def spread_rays_over_wavelengths(rays: RayBatch, wavelengths,
         s1=tile(rays.s1), s2=tile(rays.s2), s3=tile(rays.s3),
         basis=tile(rays.basis), opl=tile(rays.opl),
         path=tile(rays.path),
+        scat=tile(rays.scat), scat_g=tile(rays.scat_g),
     )
 
 

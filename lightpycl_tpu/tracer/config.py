@@ -114,6 +114,11 @@ class TraceConfig:
     # AND cfg.polarization is set (the o/e split is a Stokes projection;
     # unpolarized traces absorb crystal hits, ledger-exact).
     has_birefringence: bool = True
+    # True enables VOLUME scattering (GeoObject.scattering > 0: turbid
+    # dielectric bulk — free paths ~ Exp(mu_s), Henyey-Greenstein redraw).
+    # Draws random numbers, so like has_diffuse it defaults OFF and the
+    # engine switches it on when the scene contains turbid elements.
+    has_scattering: bool = False
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an
@@ -154,9 +159,11 @@ class TraceConfig:
 
     @property
     def needs_rng(self) -> bool:
-        """True when the trace step draws random numbers (roulette and/or
-        Lambertian scattering) and therefore needs a PRNG key per bounce."""
-        return self.roulette_threshold > 0.0 or self.has_diffuse
+        """True when the trace step draws random numbers (roulette,
+        Lambertian surface scatter, and/or volume scattering) and
+        therefore needs a PRNG key per bounce."""
+        return (self.roulette_threshold > 0.0 or self.has_diffuse
+                or self.has_scattering)
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

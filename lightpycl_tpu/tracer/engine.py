@@ -502,6 +502,12 @@ class Tracer:
         has_diff = any(e.material == Material.DIFFUSE for e in self.elements)
         if cfg.has_diffuse != has_diff:
             cfg = cfg.replace(has_diffuse=has_diff)
+        # volume scattering likewise draws random numbers: enable exactly
+        # when the scene has a turbid element (GeoObject.scattering > 0)
+        has_vs = any(getattr(e, "scattering", 0.0) > 0.0
+                     for e in self.elements)
+        if cfg.has_scattering != has_vs:
+            cfg = cfg.replace(has_scattering=has_vs)
         return cfg
 
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:

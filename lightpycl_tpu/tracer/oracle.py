@@ -130,6 +130,12 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
                 "waveplate/birefringent scenes are validated against "
                 "analytic Mueller / crystal-optics anchors instead "
                 "(tests/test_polarizer.py, tests/test_birefringence.py)")
+        if float(getattr(el, "scattering", 0.0)) > 0.0:
+            raise ValueError(
+                "the f64 oracle is deterministic; volume-scattering "
+                "(turbid) media are validated by the Beer-Lambert "
+                "ballistic-extinction and Henyey-Greenstein moment "
+                "anchors instead (tests/test_scattering.py)")
         if el.material == Material.DIFFUSE:
             raise ValueError(
                 "the f64 oracle is deterministic; Lambertian scatterers are "

@@ -59,6 +59,11 @@ class RayBatch(NamedTuple):
     #   (TraceConfig.track_paths: base-(2E+1) digits, one per bounce,
     #   encoding (element, reflect/transmit) — ghost/stray-light analysis.
     #   Exact while path_base^bounces < 2^24; 0 when tracking is off)
+    scat: jnp.ndarray        # (C,)  f32 current-medium scattering
+    #   coefficient mu_s [1/len] (volume scattering opt-in; 0 = clear,
+    #   picked up like `absorb` when refracting into a turbid element)
+    scat_g: jnp.ndarray      # (C,)  f32 current-medium Henyey-Greenstein
+    #   anisotropy g in (-1, 1); 0 = isotropic
 
     @property
     def capacity(self) -> int:
@@ -93,6 +98,8 @@ class RayBatch(NamedTuple):
             basis=jnp.concatenate([self.basis, unit_x]),
             opl=ext(self.opl, 0.0),
             path=ext(self.path, 0.0),
+            scat=ext(self.scat, 0.0),
+            scat_g=ext(self.scat_g, 0.0),
         )
 
     @staticmethod
@@ -132,6 +139,10 @@ class RayBatch(NamedTuple):
                   for x in stokes]
         return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive, w,
                         jnp.zeros((c,), jnp.float32), sf[0], sf[1], sf[2], b,
+                        jnp.zeros((c,), jnp.float32),
+                        jnp.zeros((c,), jnp.float32),
+                        # the ambient medium is clear: sources emit with
+                        # zero scattering coefficient / anisotropy
                         jnp.zeros((c,), jnp.float32),
                         jnp.zeros((c,), jnp.float32))
 

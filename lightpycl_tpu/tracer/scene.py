@@ -66,6 +66,12 @@ class Scene(NamedTuple):
     #   index of BIREFRINGENT elements (0 elsewhere; `ior` holds n_o and
     #   `axis` the optic axis). Optional so hand-built scenes (diff.py)
     #   stay valid — the shade branch is gated on its presence
+    scat_mu: jnp.ndarray = None  # (T_pad,) f32 volume scattering
+    #   coefficient mu_s of the element's BULK [1/len] (0 = clear glass);
+    #   picked up by the refracted child like `absorb`. Optional like
+    #   bire_ne
+    scat_g: jnp.ndarray = None  # (T_pad,) f32 Henyey-Greenstein
+    #   anisotropy of the element's bulk; rides with scat_mu
     element_id: jnp.ndarray = None  # (T_pad,) i32 index into the elements
     #   list the scene was built from (-1 on padding); drives
     #   TraceConfig.track_paths ghost/stray-light signatures. Optional so
@@ -115,6 +121,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     axis_list, ret_list, gr_list, g0_list = [], [], [], []
     mn_list, mk_list = [], []
     bire_list = []
+    smu_list, sg_list = [], []
     coat_stacks = []  # (t, [(n, h), ...]) per element; widths equalized below
     detector_names: list[str] = []
     elem_list = []
@@ -148,6 +155,10 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
                                np.float64))
         bire_list.append(np.full(t, float(getattr(obj, "ne", 0.0)),
                                  np.float64))
+        smu_list.append(np.full(t, float(getattr(obj, "scattering", 0.0)),
+                                np.float64))
+        sg_list.append(np.full(t, float(getattr(obj, "scatter_g", 0.0)),
+                               np.float64))
         layers = (obj.coating_layers() if hasattr(obj, "coating_layers")
                   else [])
         coat_stacks.append((t, layers))
@@ -172,6 +183,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     mn_np = np.concatenate(mn_list)
     mk_np = np.concatenate(mk_list)
     bire_np = np.concatenate(bire_list)
+    smu_np = np.concatenate(smu_list)
+    sg_np = np.concatenate(sg_list)
     elem_np = np.concatenate(elem_list)
     # coating stacks, width-equalized to the scene's deepest stack (h = 0
     # padding layers are exactly inert — physics.multilayer_rs_rp)
@@ -198,6 +211,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         g0_np = g0_np[order]
         mn_np, mk_np = mn_np[order], mk_np[order]
         bire_np = bire_np[order]
+        smu_np, sg_np = smu_np[order], sg_np[order]
         cior_np, cth_np = cior_np[order], cth_np[order]
         elem_np = elem_np[order]
     T = len(tv)
@@ -251,6 +265,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         coat_ior=jnp.asarray(_p(cior_np, fill=0.0), jnp.float32),
         coat_thickness=jnp.asarray(_p(cth_np, fill=0.0), jnp.float32),
         bire_ne=jnp.asarray(_p(bire_np, fill=0.0), jnp.float32),
+        scat_mu=jnp.asarray(_p(smu_np, fill=0.0), jnp.float32),
+        scat_g=jnp.asarray(_p(sg_np, fill=0.0), jnp.float32),
         element_id=jnp.asarray(_p(elem_np, fill=-1), jnp.int32),
     )
     return scene, detector_names

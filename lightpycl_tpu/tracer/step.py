@@ -222,10 +222,13 @@ class ShadeOut(NamedTuple):
     child_path: jnp.ndarray    # (2C,) f32 path signatures
     #   (cfg.track_paths appends this bounce's (element, branch) digit;
     #   otherwise the parent signature passes through unchanged)
+    child_scat: jnp.ndarray    # (2C,) medium scattering coefficient mu_s
+    child_scat_g: jnp.ndarray  # (2C,) medium Henyey-Greenstein anisotropy
 
 
 def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
-                     with_coatings: bool = True, with_bire=None):
+                     with_coatings: bool = True, with_bire=None,
+                     with_scatter=None):
     """Per-hit triangle attributes (the gathers shade needs). Separated so
     triangle-sharded tracing can substitute collectively-gathered values
     (parallel/mesh2d.py).
@@ -240,9 +243,13 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
     when the static config says no such elements exist. Base columns
     include the metal-mirror (n, k) pair at 9..10. `with_bire` (None =
     auto: the scene carries the column) rides the extraordinary principal
-    index along — hand-built scenes (diff.py) without it stay valid."""
+    index along — hand-built scenes (diff.py) without it stay valid.
+    `with_scatter` (same None = auto convention) adds the bulk
+    (scat_mu, scat_g) pair the refracted child inherits."""
     if with_bire is None:
         with_bire = getattr(scene, "bire_ne", None) is not None
+    if with_scatter is None:
+        with_scatter = getattr(scene, "scat_mu", None) is not None
     cols = [scene.mat.astype(jnp.float32)[:, None], scene.normal,
             scene.ior[:, None], scene.ior_b[:, None],
             scene.reflectivity[:, None],
@@ -254,6 +261,8 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
                  scene.grating_mlp[:, None], scene.grating_g0[:, None]]
     if with_bire:
         cols += [scene.bire_ne[:, None]]
+    if with_scatter:
+        cols += [scene.scat_mu[:, None], scene.scat_g[:, None]]
     if with_coatings:
         cols += [scene.coat_ior, scene.coat_thickness]  # (T, L) each
     g = jnp.concatenate(cols, axis=1)[safe_tri]
@@ -278,6 +287,10 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
     if with_bire:
         out["bire_ne"] = g[:, k]
         k += 1
+    if with_scatter:
+        out["scat_mu"] = g[:, k]
+        out["scat_g"] = g[:, k + 1]
+        k += 2
     if with_coatings:
         L = scene.coat_ior.shape[1]
         out["coat_ior"] = g[:, k:k + L]
@@ -461,6 +474,28 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     live_p = jnp.where(rays.alive, rays.power, 0.0)
 
     t_draw = jnp.where(hit_valid, t, cfg.max_ray_len)
+    if cfg.has_scattering:
+        # volume scattering (extension over the reference): rays inside a
+        # turbid medium (rays.scat = mu_s > 0) draw a free path
+        # ~ Exp(mu_s); shorter than the surface distance means the ray
+        # scatters mid-flight instead of reaching the surface — clamp the
+        # segment to the scatter point and drop the lane from every
+        # surface mask. Beer-Lambert/OPL/hit_point below then apply to
+        # the clamped segment automatically.
+        if key is None:
+            raise ValueError("cfg.has_scattering requires a PRNG key "
+                             "(trace_step/shade key=...)")
+        u_free = jax.random.uniform(jax.random.fold_in(key, 0x5CA7),
+                                    (C,), minval=1e-7, maxval=1.0)
+        s_free = -jnp.log(u_free) / jnp.maximum(rays.scat, 1e-20)
+        is_scat = rays.alive & (rays.scat > 0.0) & (s_free < t_draw)
+        t_draw = jnp.where(is_scat, s_free, t_draw)
+        hit_valid = hit_valid & ~is_scat
+        d_scat = physics.sample_henyey_greenstein(
+            jax.random.fold_in(key, 0x5CA8), rays.d, rays.scat_g)
+    else:
+        is_scat = None
+        d_scat = rays.d
     hit_point = rays.o + t_draw[:, None] * rays.d
     # optical path length through the segment just traveled (n * length);
     # both children inherit it (same hit point)
@@ -479,7 +514,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             with_optics=cfg.polarization or cfg.has_gratings,
             with_coatings=cfg.has_coatings,
             with_bire=(cfg.has_birefringence and cfg.polarization
-                       and getattr(scene, "bire_ne", None) is not None))
+                       and getattr(scene, "bire_ne", None) is not None),
+            with_scatter=(cfg.has_scattering
+                          and getattr(scene, "scat_mu", None) is not None))
     # birefringence is polarized-model-only (the o/e split is a Stokes
     # projection); unpolarized traces absorb such hits (ledger-exact,
     # engine refuses the combination anyway)
@@ -551,6 +588,10 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     is_wp = hit_valid & (mat == int(Material.WAVEPLATE))
     is_optic = is_pol | is_wp  # straight-through Stokes elements
     is_miss = rays.alive & ~hit_valid
+    if cfg.has_scattering:
+        # scattered lanes left hit_valid but did not escape — they
+        # continue as slot-A children with a redrawn direction
+        is_miss = is_miss & ~is_scat
 
     if cfg.has_diffuse:
         # Lambertian scatterer (extension over the reference): one child,
@@ -765,6 +806,21 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
+    if cfg.has_scattering:
+        # the scattered continuation rides slot A: full power (scattering
+        # itself is lossless — extinction is the separate Beer-Lambert
+        # term over the clamped segment), redrawn direction, medium
+        # unchanged (a_ior/a_absorb already default to the parent's)
+        pa = jnp.where(is_scat, live_p, pa)
+        da = jnp.where(is_scat[:, None], d_scat, da)
+        if cfg.polarization:
+            # volume scattering depolarizes (like the Lambertian surface)
+            a_s1 = jnp.where(is_scat, 0.0, a_s1)
+            a_s2 = jnp.where(is_scat, 0.0, a_s2)
+            a_s3 = jnp.where(is_scat, 0.0, a_s3)
+            scat_basis = physics.incidence_s_direction(
+                d_scat, rays.d, rays.basis)
+            new_basis = jnp.where(is_scat[:, None], scat_basis, new_basis)
     if cfg.has_gratings:
         # order m keeps (1 - g0) of the diffracted-side power (slot A);
         # the specular 0th-order leak g0 goes to slot B. Evanescent order
@@ -783,6 +839,10 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         elem = jnp.maximum(scene.element_id[safe_tri], 0).astype(jnp.float32)
         path_a = rays.path * jnp.float32(cfg.path_base) + (1.0 + 2.0 * elem)
         path_b = rays.path * jnp.float32(cfg.path_base) + (2.0 + 2.0 * elem)
+        if cfg.has_scattering:
+            # a volume-scatter event is not a surface interaction: the
+            # continuation keeps its parent's signature unchanged
+            path_a = jnp.where(is_scat, rays.path, path_a)
     else:
         path_a = path_b = rays.path
     if cfg.allow_splitting:
@@ -816,6 +876,28 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             db = jnp.where(ib[:, None], bo["db"], db)
             b_ior = jnp.where(ib, bo["b_ior"], b_ior)
             refr_absorb = jnp.where(ib, bo["b_absorb"], refr_absorb)
+        # medium scattering columns travel exactly like `absorb`: slot A
+        # stays in the parent's medium; the refracted child picks up the
+        # element's bulk (scat_mu, scat_g) on entry and the clear ambient
+        # on exit. When scattering is off the columns are inert zeros.
+        a_scat, a_scat_g = rays.scat, rays.scat_g
+        if cfg.has_scattering and "scat_mu" in attrs:
+            refr_scat = jnp.where(
+                is_bs, rays.scat,
+                jnp.where(sn["entering"], attrs["scat_mu"], 0.0))
+            refr_scat_g = jnp.where(
+                is_bs, rays.scat_g,
+                jnp.where(sn["entering"], attrs["scat_g"], 0.0))
+            if cfg.has_gratings:
+                refr_scat = jnp.where(is_gr, rays.scat, refr_scat)
+                refr_scat_g = jnp.where(is_gr, rays.scat_g, refr_scat_g)
+            if bo is not None:
+                # crystals cannot be turbid (mesh validation): both
+                # birefringent children are clear
+                refr_scat = jnp.where(bo["is_bire"], 0.0, refr_scat)
+                refr_scat_g = jnp.where(bo["is_bire"], 0.0, refr_scat_g)
+        else:
+            refr_scat, refr_scat_g = rays.scat, rays.scat_g
         child_o = jnp.concatenate([hit_point, hit_point], axis=0)
         child_d = jnp.concatenate([da, db], axis=0)
         child_power = jnp.concatenate([pa, pb], axis=0)
@@ -824,6 +906,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_ab = jnp.concatenate([a_absorb, refr_absorb], axis=0)
         child_opl = jnp.concatenate([opl_new, opl_new], axis=0)
         child_path = jnp.concatenate([path_a, path_b], axis=0)
+        child_scat = jnp.concatenate([a_scat, refr_scat], axis=0)
+        child_scat_g = jnp.concatenate([a_scat_g, refr_scat_g], axis=0)
         if cfg.polarization:
             child_s1 = jnp.concatenate([a_s1, b_s1])
             child_s2 = jnp.concatenate([a_s2, b_s2])
@@ -852,6 +936,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_ab = a_absorb
         child_opl = opl_new
         child_path = path_a
+        child_scat, child_scat_g = rays.scat, rays.scat_g
         # direct step-level users can reach this path with refractive or
         # beamsplitter triangles present (the engine forbids it); account
         # the dropped transmitted power so the ledger still balances. The
@@ -922,6 +1007,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         hit_point, is_meas, measured_power, det_id,
         absorbed, escaped,
         escaped_power, dropped_power, child_path,
+        child_scat, child_scat_g,
     )
 
 
@@ -1067,7 +1153,8 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         rays = RayBatch(sh.child_o, sh.child_d, power, sh.child_ior, live,
                         sh.child_wavelength, sh.child_absorb,
                         sh.child_s1, sh.child_s2, sh.child_s3, sh.child_basis,
-                        sh.child_opl, sh.child_path)
+                        sh.child_opl, sh.child_path,
+                        sh.child_scat, sh.child_scat_g)
         return rays, below
 
     total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
@@ -1089,9 +1176,11 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         pbasis = scat(sh.child_basis)
         popl = scat(sh.child_opl)
         ppath = scat(sh.child_path)
+        pscat = scat(sh.child_scat)
+        pscat_g = scat(sh.child_scat_g)
         alive = scat(live, fill=False)
         rays = RayBatch(o, d, power, ior, alive, wl, ab, ps1, ps2, ps3,
-                        pbasis, popl, ppath)
+                        pbasis, popl, ppath, pscat, pscat_g)
         culled = total_live - jnp.sum(power) + below
         return rays, culled
 
@@ -1114,6 +1203,8 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         basis=sh.child_basis[idx],
         opl=sh.child_opl[idx],
         path=sh.child_path[idx],
+        scat=sh.child_scat[idx],
+        scat_g=sh.child_scat_g[idx],
     )
     return rays, culled
 

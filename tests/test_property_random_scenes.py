@@ -32,9 +32,12 @@ def random_scene(rng):
         lambda: oe.parabolic_mirror(rng.uniform(0.3, 1.0),
                                     rng.uniform(1.0, 2.5),
                                     reflectivity=rng.uniform(0.7, 1.0)),
-        lambda: oe.biconvex_lens(rng.uniform(0.6, 1.5), 0.6,
-                                 rng.uniform(0.08, 0.2),
-                                 ior=rng.uniform(1.3, 1.8)),
+        lambda: (lambda R: oe.biconvex_lens(
+            R, 0.6,
+            # center thickness floor: both sags plus clearance, so the
+            # caps never intersect whatever R the rng drew
+            2.0 * (R - np.sqrt(R * R - 0.09)) + rng.uniform(0.03, 0.15),
+            ior=rng.uniform(1.3, 1.8)))(rng.uniform(0.6, 1.5)),
         lambda: oe.cube(rng.uniform(0.3, 0.8), material="refractive",
                         ior=rng.uniform(1.3, 1.8)),
         # coated window: 1-3 random thin-film layers (exercises the
@@ -156,6 +159,33 @@ def test_random_dispersive_spectral_ledger_closes(seed):
     assert (lw["measured"] >= -1e-7).all() and (lw["culled"] >= -1e-5).all()
     np.testing.assert_allclose(res.per_detector_spectrum.sum(axis=0),
                                lw["measured"], atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [3, 13, 31])
+def test_random_scene_birefringent_conserves(seed):
+    """Uniaxial crystals on the randomized scenes (r3 physics tier): no
+    scalar-oracle parity (the o/e split is polarized crystal optics the
+    f64 oracle deliberately refuses) but the ledger must close exactly —
+    entry Fresnel rejection lands in 'absorbed', exit TIR recirculates
+    with R = 1, and both Malus children are accounted at every random
+    incidence/axis orientation."""
+    rng = np.random.default_rng(seed)
+    els = random_scene(rng)
+    oe = L.optical_elements(20, 7)
+    n_o = float(rng.uniform(1.3, 1.8))
+    plate = oe.cube(rng.uniform(0.3, 0.8), material="birefringent",
+                    ior=n_o, ne=n_o * float(rng.uniform(0.85, 1.15)),
+                    axis=tuple(rng.normal(size=3) + 1e-3))
+    plate.rotate(rng.normal(size=3) + 1e-3, rng.uniform(0, np.pi))
+    plate.translate(rng.uniform(-0.8, 0.8, 3))
+    els.insert(0, plate)
+    src = random_source(rng)
+    o, d, p = src.sample()
+    res = Tracer(TraceConfig(polarization=True)).trace(
+        src, els, trace_iterations=6,
+        rays=RayBatch.from_arrays(o, d, p, capacity=8 * len(p)))
+    assert res.power_conservation_error() < 1e-4
+    assert res.hist.sum() == pytest.approx(res.ledger["measured"], abs=1e-4)
 
 
 @pytest.mark.parametrize("seed", [5, 17, 29])
