@@ -69,6 +69,97 @@ def spectral_power(wavelengths, powers, band_edges):
     return hist, 0.5 * (edges[:-1] + edges[1:])
 
 
+# ---- colorimetry ---------------------------------------------------------
+# CIE 1931 2-degree color-matching functions as the piecewise-Gaussian
+# analytic fits of Wyman, Sloan & Shirley (JCGT 2013) — max error < 1% of
+# peak, no lookup table to ship. Wavelengths in the framework's um.
+# Accuracy note: the error bound is ABSOLUTE (fraction of peak), so
+# broadband colorimetry (the use case: LED/phosphor spectra, CCT) is
+# solid, but the chromaticity of a MONOCHROMATIC line deeper than
+# ~650 nm drifts off the spectral locus (both CMFs are < 1% of peak
+# there, so their ratio is fit-noise-dominated).
+
+def _pw_gauss(lam_nm, mu, s1, s2):
+    """exp(-(x-mu)^2 / 2 sigma^2) with sigma = s1 left of mu, s2 right."""
+    t = (lam_nm - mu) / np.where(lam_nm < mu, s1, s2)
+    return np.exp(-0.5 * t * t)
+
+
+def cie_xyz_cmf(wavelengths_um):
+    """CIE 1931 color-matching functions (x̄, ȳ, z̄) at the given vacuum
+    wavelengths [um]. Returns an (N, 3) array."""
+    lam = np.asarray(wavelengths_um, np.float64) * 1e3  # nm
+    xb = (1.056 * _pw_gauss(lam, 599.8, 37.9, 31.0)
+          + 0.362 * _pw_gauss(lam, 442.0, 16.0, 26.7)
+          - 0.065 * _pw_gauss(lam, 501.1, 20.4, 26.2))
+    yb = (0.821 * _pw_gauss(lam, 568.8, 46.9, 40.5)
+          + 0.286 * _pw_gauss(lam, 530.9, 16.3, 31.1))
+    zb = (1.217 * _pw_gauss(lam, 437.0, 11.8, 36.0)
+          + 0.681 * _pw_gauss(lam, 459.0, 26.0, 13.8))
+    return np.stack([xb, yb, zb], axis=-1)
+
+
+def cie_xyz(wavelengths, powers):
+    """Tristimulus (X, Y, Z) of a measured ray bundle: per-ray radiant
+    power weighted by the CIE 1931 CMFs (so Y is luminous flux up to the
+    683 lm/W constant). Feed `result.measured_wavelength` and
+    `result.measured_power` from any spectral / dispersive / fluorescent
+    trace."""
+    cmf = cie_xyz_cmf(wavelengths)
+    p = np.asarray(powers, np.float64)
+    return tuple((cmf * p[:, None]).sum(axis=0))
+
+
+def luminous_flux(wavelengths, powers):
+    """Photometric flux [lm] of a measured bundle: 683 lm/W x the
+    V(lambda)-weighted (CIE ybar) radiant power. The companion
+    `luminous_efficacy` = lm per radiant watt (683 x ybar at 555 nm,
+    ~100-350 lm/W for white LED spectra)."""
+    _, Y, _ = cie_xyz(wavelengths, powers)
+    return 683.002 * Y
+
+
+def luminous_efficacy(wavelengths, powers):
+    """Luminous efficacy of radiation [lm/W]: luminous_flux / radiant
+    power (0 for an empty or zero-power bundle)."""
+    total = float(np.asarray(powers, np.float64).sum())
+    if total <= 0:
+        return 0.0
+    return luminous_flux(wavelengths, powers) / total
+
+
+def chromaticity(wavelengths, powers):
+    """CIE 1931 (x, y) chromaticity coordinates of a measured bundle."""
+    X, Y, Z = cie_xyz(wavelengths, powers)
+    s = X + Y + Z
+    if s <= 0:
+        return 0.0, 0.0
+    return X / s, Y / s
+
+
+def cct(x, y):
+    """Correlated color temperature [K] from (x, y) via McCamy's cubic
+    (accurate to ~±2% for 2000-12500 K near the Planckian locus)."""
+    n = (x - 0.3320) / (0.1858 - y)
+    return 449.0 * n**3 + 3525.0 * n**2 + 6823.3 * n + 5520.33
+
+
+def srgb(wavelengths, powers, normalize=True):
+    """Gamma-encoded sRGB triple of a measured bundle (D65 linear-sRGB
+    matrix, components clipped to [0, 1]; `normalize` scales so the
+    largest linear channel is 1 — color, not absolute level)."""
+    X, Y, Z = cie_xyz(wavelengths, powers)
+    m = np.array([[3.2406, -1.5372, -0.4986],
+                  [-0.9689, 1.8758, 0.0415],
+                  [0.0557, -0.2040, 1.0570]])
+    rgb = m @ np.array([X, Y, Z], np.float64)
+    if normalize and rgb.max() > 0:
+        rgb = rgb / rgb.max()
+    rgb = np.clip(rgb, 0.0, 1.0)
+    return tuple(np.where(rgb <= 0.0031308, 12.92 * rgb,
+                          1.055 * rgb ** (1 / 2.4) - 0.055))
+
+
 def degree_of_polarization(stokes_fractions, powers=None):
     """Power-weighted degree of polarization of a measured bundle:
     |sum(S_vec)| / sum(S0), with stokes_fractions (N, 3) = S/S0 per ray."""
