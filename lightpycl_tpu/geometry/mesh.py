@@ -22,6 +22,9 @@ import numpy as np
 
 from lightpycl_tpu.materials import Material
 
+# vectorized error function (numpy has no erf; math.erf is exact)
+_erf = np.frompyfunc(__import__("math").erf, 1, 1)
+
 
 def rotation_matrix(axis, angle: float) -> np.ndarray:
     """3x3 rotation matrix about `axis` by `angle` radians (Rodrigues)."""
@@ -98,6 +101,26 @@ class GeoObject:
     #   phase function; combine with `absorption` for full extinction
     scatter_g: float = 0.0     # Henyey-Greenstein anisotropy g in (-1, 1);
     #   0 = isotropic, +forward / -backward peaked
+    fluorescence: float = 0.0  # phosphor conversion coefficient mu_f
+    #   inside the element [1/len] (extension: wavelength-converting
+    #   media — phosphor-in-matrix white LEDs, fluorophores, scintillator
+    #   blocks). REFRACTIVE elements only. Rays with vacuum wavelength
+    #   below `fluor_edge` draw conversion events with free paths
+    #   ~ Exp(mu_f); at an event the ray re-emits isotropically at a
+    #   wavelength drawn from `fluor_emission`, keeping quantum yield x
+    #   Stokes-shift (lambda_abs / lambda_em) of its power — the
+    #   remainder is absorbed. Composes with `scattering` (elastic) and
+    #   `absorption` (non-radiative extinction)
+    fluor_yield: float = 1.0   # quantum yield QY in [0, 1]: probability a
+    #   converted photon survives (as a power factor)
+    fluor_emission: object = None  # emission spectrum: a single vacuum
+    #   wavelength [um] (monochromatic), a (mean_um, fwhm_um) tuple
+    #   (Gaussian band), or an ascending sequence of >= 2 inverse-CDF
+    #   wavelength knots at uniform quantiles (arbitrary shapes)
+    fluor_edge: float = 0.0    # absorption band edge [um]: only rays with
+    #   wavelength < fluor_edge convert (the Stokes shift is what keeps
+    #   emitted light from being endlessly re-absorbed). Default 0 =
+    #   the smallest emission knot
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -136,6 +159,26 @@ class GeoObject:
                 "use material='diffuse')")
         if not -1.0 < self.scatter_g < 1.0:
             raise ValueError("scatter_g must be in (-1, 1)")
+        if self.fluorescence < 0:
+            raise ValueError("fluorescence (mu_f) must be >= 0")
+        if self.fluorescence > 0:
+            if self.material != Material.REFRACTIVE:
+                raise ValueError(
+                    "fluorescence applies to REFRACTIVE elements only "
+                    "(the phosphor-loaded BULK of a dielectric)")
+            if not 0.0 <= self.fluor_yield <= 1.0:
+                raise ValueError("fluor_yield (quantum yield) must be "
+                                 "in [0, 1]")
+            if self.fluor_emission is None:
+                raise ValueError(
+                    "fluorescent elements need fluor_emission: a single "
+                    "wavelength [um], a (mean, fwhm) Gaussian band, or "
+                    "ascending inverse-CDF wavelength knots")
+            self.emission_knots()  # validate eagerly
+        elif self.fluor_emission is not None:
+            raise ValueError(
+                "fluor_emission applies to fluorescent elements only "
+                "(set fluorescence = mu_f > 0)")
         if self.coat_thickness > 0:
             if self.material != Material.REFRACTIVE:
                 raise ValueError(
@@ -195,6 +238,63 @@ class GeoObject:
         if self.coat_thickness > 0:
             return [(float(self.coat_ior), float(self.coat_thickness))]
         return []
+
+    def emission_knots(self, n_knots: int = 9) -> np.ndarray:
+        """Fluorescence emission spectrum as (n_knots,) inverse-CDF
+        wavelength knots at uniform quantiles (what the device sampler
+        linearly interpolates). Empty array when not fluorescent.
+
+        Accepted `fluor_emission` forms: a single wavelength (delta line),
+        a (mean_um, fwhm_um) pair (Gaussian band, quantiles truncated at
+        +-0.5% tails), or an ascending knot sequence of >= 2 wavelengths
+        (resampled to n_knots by linear quantile interpolation)."""
+        em = self.fluor_emission
+        if self.fluorescence <= 0 or em is None:
+            return np.zeros((0,), np.float64)
+        if np.isscalar(em):
+            lam = float(em)
+            if lam <= 0:
+                raise ValueError("fluor_emission wavelength must be > 0")
+            return np.full((n_knots,), lam, np.float64)
+        arr = np.asarray(em, np.float64)
+        if arr.shape == (2,) and arr[1] < arr[0]:
+            # (mean, fwhm) Gaussian band — fwhm < mean distinguishes it
+            # from a 2-knot spectrum, which would be ascending
+            mean, fwhm = arr
+            sigma = fwhm / 2.35482
+        elif arr.ndim == 1 and len(arr) >= 2 and np.all(np.diff(arr) >= 0):
+            if arr[0] <= 0:
+                raise ValueError("emission knots must be > 0")
+            q_in = np.linspace(0.0, 1.0, len(arr))
+            q_out = np.linspace(0.0, 1.0, n_knots)
+            return np.interp(q_out, q_in, arr)
+        else:
+            raise ValueError(
+                "fluor_emission must be a wavelength, a (mean, fwhm) "
+                "Gaussian pair (fwhm < mean), or ascending wavelength "
+                "knots")
+        if mean <= 0 or fwhm <= 0:
+            raise ValueError("fluor_emission (mean, fwhm) must be > 0")
+        # Gaussian inverse CDF via the probit rational approximation is
+        # overkill here: sample the CDF densely and invert numerically
+        grid = np.linspace(mean - 4 * sigma, mean + 4 * sigma, 2001)
+        cdf = (0.5 * (1.0 + _erf((grid - mean) / (sigma * np.sqrt(2.0)))
+                      )).astype(np.float64)
+        q = np.linspace(0.005, 0.995, n_knots)
+        knots = np.interp(q, cdf, grid)
+        if knots[0] <= 0:
+            raise ValueError("fluor_emission Gaussian extends below zero "
+                             "wavelength; narrow the fwhm")
+        return knots
+
+    def fluor_edge_um(self) -> float:
+        """Effective absorption band edge: explicit `fluor_edge`, else the
+        smallest emission knot (guaranteed Stokes shift)."""
+        if self.fluorescence <= 0:
+            return 0.0
+        if self.fluor_edge > 0:
+            return float(self.fluor_edge)
+        return float(self.emission_knots()[0])
 
     # ---- transforms (in place, chainable — reference style) -------------
 

@@ -85,6 +85,9 @@ def load_state(path: str):
                 from lightpycl_tpu.tracer.rays import D_LINE_UM
 
                 return jnp.full((n,), D_LINE_UM, jnp.float32)
+            if f == "medium":
+                # pre-fluorescence checkpoints: ambient (-1), not element 0
+                return jnp.full((n,), -1.0, jnp.float32)
             return jnp.zeros((n,), jnp.float32)
 
         out["rays"] = RayBatch(*[_field(f) for f in RayBatch._fields])

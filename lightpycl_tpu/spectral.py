@@ -105,6 +105,14 @@ def validate_spectral_scene(elements) -> None:
                 f"scatter paths; element {el.name or el.material} has "
                 "scattering > 0 (use method='batched' — the dispersive "
                 "wavelength-batched path supports turbid media)")
+        if float(getattr(el, "fluorescence", 0.0)) > 0.0:
+            raise ValueError(
+                f"spectral tracing assumes wavelengths are conserved, but "
+                f"element {el.name or el.material} fluoresces (conversion "
+                "changes the carried wavelength mid-trace, so per-lambda "
+                "ledger columns cannot close). Trace scalar: the measured-"
+                "ray harvest carries per-ray wavelengths, and "
+                "analysis.spectral_power / cie_xyz bin the output spectrum")
 
 
 def spectral_step(scene: Scene, sr: SpectralRays, det: DetectorState,
@@ -275,6 +283,7 @@ def spread_rays_over_wavelengths(rays: RayBatch, wavelengths,
         basis=tile(rays.basis), opl=tile(rays.opl),
         path=tile(rays.path),
         scat=tile(rays.scat), scat_g=tile(rays.scat_g),
+        medium=tile(rays.medium),
     )
 
 

@@ -119,6 +119,14 @@ class TraceConfig:
     # Draws random numbers, so like has_diffuse it defaults OFF and the
     # engine switches it on when the scene contains turbid elements.
     has_scattering: bool = False
+    # True enables FLUORESCENCE (GeoObject.fluorescence > 0: phosphor
+    # conversion events — Exp(mu_f) free paths below the band edge,
+    # isotropic re-emission at an inverse-CDF-sampled wavelength, QY x
+    # Stokes-shift power factor, remainder absorbed). Auto-enabled by the
+    # engine like has_scattering. Needs the scene REPLICATED (the
+    # per-element emission tables index by rays.medium), so the engine
+    # refuses mode='mesh2d' and coherent/spectral combinations.
+    has_fluorescence: bool = False
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an
@@ -160,10 +168,10 @@ class TraceConfig:
     @property
     def needs_rng(self) -> bool:
         """True when the trace step draws random numbers (roulette,
-        Lambertian surface scatter, and/or volume scattering) and
-        therefore needs a PRNG key per bounce."""
+        Lambertian surface scatter, volume scattering, and/or
+        fluorescence) and therefore needs a PRNG key per bounce."""
         return (self.roulette_threshold > 0.0 or self.has_diffuse
-                or self.has_scattering)
+                or self.has_scattering or self.has_fluorescence)
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

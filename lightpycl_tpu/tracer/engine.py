@@ -224,6 +224,18 @@ class Tracer:
                 cfg = cfg.replace(path_base=2 * len(self.elements) + 1)
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
+        if cfg.has_fluorescence:
+            if mode == "mesh2d":
+                raise ValueError(
+                    "fluorescent scenes need the scene replicated (the "
+                    "per-element emission tables index by rays.medium): "
+                    "use mode='host'/'device'/'multichip', not 'mesh2d'")
+            if cfg.coherent:
+                raise ValueError(
+                    "coherent field accumulation is undefined for "
+                    "fluorescence-converted light (spontaneous emission "
+                    "is incoherent with the source): disable coherent=True "
+                    "or remove the fluorescent element")
         if cfg.cull and not getattr(self, "_scene_sorted", False):
             # spatially-sorted triangle tiles are what make the cull bite
             self.set_elements(self.elements, spatial_sort=True)
@@ -359,6 +371,14 @@ class Tracer:
         if method not in ("auto", "shared", "batched"):
             raise ValueError(f"trace_spectral method must be 'auto', "
                              f"'shared' or 'batched', got {method!r}")
+        if any(getattr(e, "fluorescence", 0.0) > 0.0 for e in self.elements):
+            raise ValueError(
+                "trace_spectral assumes wavelengths are conserved, but the "
+                "scene fluoresces (conversion rewrites the carried "
+                "wavelength, so per-lambda columns cannot close). Trace "
+                "scalar with the source's wavelength instead: the measured-"
+                "ray harvest carries per-ray wavelengths and "
+                "analysis.spectral_power / cie_xyz bin the output spectrum")
         if method == "auto":
             try:
                 spectral_mod.validate_spectral_scene(self.elements)
@@ -508,6 +528,12 @@ class Tracer:
                      for e in self.elements)
         if cfg.has_scattering != has_vs:
             cfg = cfg.replace(has_scattering=has_vs)
+        # fluorescence: enable exactly when the scene has a phosphor
+        # element (GeoObject.fluorescence > 0)
+        has_fl = any(getattr(e, "fluorescence", 0.0) > 0.0
+                     for e in self.elements)
+        if cfg.has_fluorescence != has_fl:
+            cfg = cfg.replace(has_fluorescence=has_fl)
         return cfg
 
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:
@@ -687,6 +713,11 @@ class Tracer:
                 "image_halfwidth) too")
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
+        if cfg.has_fluorescence and mode == "mesh2d":
+            raise ValueError(
+                "fluorescent scenes need the scene replicated (the "
+                "per-element emission tables index by rays.medium): "
+                "use mode='device'/'multichip', not 'mesh2d'")
         scene_sh = None
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import make_ray_mesh

@@ -136,6 +136,12 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
                 "(turbid) media are validated by the Beer-Lambert "
                 "ballistic-extinction and Henyey-Greenstein moment "
                 "anchors instead (tests/test_scattering.py)")
+        if float(getattr(el, "fluorescence", 0.0)) > 0.0:
+            raise ValueError(
+                "the f64 oracle is deterministic; fluorescent media are "
+                "validated by the Beer-Lambert conversion-extinction, "
+                "quantum-yield ledger, and emission-spectrum anchors "
+                "instead (tests/test_fluorescence.py)")
         if el.material == Material.DIFFUSE:
             raise ValueError(
                 "the f64 oracle is deterministic; Lambertian scatterers are "

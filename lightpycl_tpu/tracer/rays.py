@@ -64,6 +64,10 @@ class RayBatch(NamedTuple):
     #   picked up like `absorb` when refracting into a turbid element)
     scat_g: jnp.ndarray      # (C,)  f32 current-medium Henyey-Greenstein
     #   anisotropy g in (-1, 1); 0 = isotropic
+    medium: jnp.ndarray      # (C,)  f32 element id of the CURRENT medium
+    #   (-1 = ambient; set on refraction into an element). Indexes the
+    #   scene's per-element fluorescence tables; inert unless
+    #   cfg.has_fluorescence
 
     @property
     def capacity(self) -> int:
@@ -100,6 +104,7 @@ class RayBatch(NamedTuple):
             path=ext(self.path, 0.0),
             scat=ext(self.scat, 0.0),
             scat_g=ext(self.scat_g, 0.0),
+            medium=ext(self.medium, -1.0),
         )
 
     @staticmethod
@@ -144,7 +149,9 @@ class RayBatch(NamedTuple):
                         # the ambient medium is clear: sources emit with
                         # zero scattering coefficient / anisotropy
                         jnp.zeros((c,), jnp.float32),
-                        jnp.zeros((c,), jnp.float32))
+                        jnp.zeros((c,), jnp.float32),
+                        # ... and outside any element (medium id -1)
+                        jnp.full((c,), -1.0, jnp.float32))
 
 
 class DetectorState(NamedTuple):

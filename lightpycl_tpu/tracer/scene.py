@@ -76,6 +76,16 @@ class Scene(NamedTuple):
     #   list the scene was built from (-1 on padding); drives
     #   TraceConfig.track_paths ghost/stray-light signatures. Optional so
     #   hand-built scenes (diff.py) stay valid — tracking needs build_scene
+    # PER-ELEMENT fluorescence tables, indexed by a ray's current-medium
+    # element id (rays.medium) — unlike every per-triangle column above.
+    # None when no element fluoresces. Fluorescent traces run with the
+    # scene REPLICATED (host/device/multichip; the engine refuses mesh2d)
+    fluor_mu: jnp.ndarray = None    # (E,) f32 conversion coefficient mu_f
+    fluor_qy: jnp.ndarray = None    # (E,) f32 quantum yield in [0, 1]
+    fluor_edge: jnp.ndarray = None  # (E,) f32 absorption band edge [um]
+    fluor_icdf: jnp.ndarray = None  # (E, K) f32 emission inverse-CDF
+    #   wavelength knots at uniform quantiles (rows of non-fluorescent
+    #   elements are all-zero and never sampled)
 
     @property
     def num_triangles_padded(self) -> int:
@@ -269,4 +279,29 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         scat_g=jnp.asarray(_p(sg_np, fill=0.0), jnp.float32),
         element_id=jnp.asarray(_p(elem_np, fill=-1), jnp.int32),
     )
+    # per-element fluorescence tables (indexed by rays.medium, NOT by
+    # triangle — spatial_sort does not touch them). Only attached when
+    # some element fluoresces, so clear scenes keep fluor_* = None
+    if any(float(getattr(o, "fluorescence", 0.0)) > 0.0 for o in objects):
+        E = len(objects)
+        knot_rows = [o.emission_knots() if getattr(o, "fluorescence", 0.0) > 0
+                     else np.zeros((0,)) for o in objects]
+        K = max(len(r) for r in knot_rows)
+        icdf = np.zeros((E, K), np.float64)
+        for i, r in enumerate(knot_rows):
+            if len(r):
+                icdf[i] = np.interp(np.linspace(0, 1, K),
+                                    np.linspace(0, 1, len(r)), r)
+        scene = scene._replace(
+            fluor_mu=jnp.asarray(
+                [float(getattr(o, "fluorescence", 0.0)) for o in objects],
+                jnp.float32),
+            fluor_qy=jnp.asarray(
+                [float(getattr(o, "fluor_yield", 1.0)) for o in objects],
+                jnp.float32),
+            fluor_edge=jnp.asarray(
+                [o.fluor_edge_um() if hasattr(o, "fluor_edge_um") else 0.0
+                 for o in objects], jnp.float32),
+            fluor_icdf=jnp.asarray(icdf, jnp.float32),
+        )
     return scene, detector_names

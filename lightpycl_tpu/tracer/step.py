@@ -224,6 +224,8 @@ class ShadeOut(NamedTuple):
     #   otherwise the parent signature passes through unchanged)
     child_scat: jnp.ndarray    # (2C,) medium scattering coefficient mu_s
     child_scat_g: jnp.ndarray  # (2C,) medium Henyey-Greenstein anisotropy
+    child_medium: jnp.ndarray  # (2C,) current-medium element id (-1 =
+    #   ambient; drives the fluorescence tables)
 
 
 def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
@@ -474,27 +476,65 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     live_p = jnp.where(rays.alive, rays.power, 0.0)
 
     t_draw = jnp.where(hit_valid, t, cfg.max_ray_len)
-    if cfg.has_scattering:
-        # volume scattering (extension over the reference): rays inside a
-        # turbid medium (rays.scat = mu_s > 0) draw a free path
-        # ~ Exp(mu_s); shorter than the surface distance means the ray
-        # scatters mid-flight instead of reaching the surface — clamp the
-        # segment to the scatter point and drop the lane from every
-        # surface mask. Beer-Lambert/OPL/hit_point below then apply to
-        # the clamped segment automatically.
+    has_volume = cfg.has_scattering or cfg.has_fluorescence
+    if has_volume:
+        # volume events (extension over the reference): rays inside a
+        # turbid and/or fluorescent medium draw a free path ~ Exp(mu)
+        # with mu = mu_s (elastic, rays.scat) + mu_f (conversion, from
+        # the per-element table of the ray's current medium, active only
+        # below the band edge); a path shorter than the surface distance
+        # means the ray interacts mid-flight instead of reaching the
+        # surface — clamp the segment to the event point and drop the
+        # lane from every surface mask. Beer-Lambert/OPL/hit_point below
+        # then apply to the clamped segment automatically.
         if key is None:
-            raise ValueError("cfg.has_scattering requires a PRNG key "
-                             "(trace_step/shade key=...)")
+            raise ValueError("cfg.has_scattering/has_fluorescence require "
+                             "a PRNG key (trace_step/shade key=...)")
+        if cfg.has_fluorescence and scene.fluor_mu is not None:
+            mid = jnp.clip(rays.medium.astype(jnp.int32), 0,
+                           scene.fluor_mu.shape[0] - 1)
+            f_mu = jnp.where(
+                (rays.medium >= 0.0)
+                & (rays.wavelength < scene.fluor_edge[mid]),
+                scene.fluor_mu[mid], 0.0)
+        else:
+            f_mu = None
+        mu_evt = rays.scat if f_mu is None else rays.scat + f_mu
         u_free = jax.random.uniform(jax.random.fold_in(key, 0x5CA7),
                                     (C,), minval=1e-7, maxval=1.0)
-        s_free = -jnp.log(u_free) / jnp.maximum(rays.scat, 1e-20)
-        is_scat = rays.alive & (rays.scat > 0.0) & (s_free < t_draw)
+        s_free = -jnp.log(u_free) / jnp.maximum(mu_evt, 1e-20)
+        is_scat = rays.alive & (mu_evt > 0.0) & (s_free < t_draw)
         t_draw = jnp.where(is_scat, s_free, t_draw)
         hit_valid = hit_valid & ~is_scat
+        if f_mu is not None:
+            # event kind: conversion with prob mu_f / mu_evt, else elastic
+            u_kind = jax.random.uniform(jax.random.fold_in(key, 0x5CA9),
+                                        (C,))
+            is_fluor = is_scat & (u_kind * mu_evt < f_mu)
+            # emission wavelength: linear interp of the medium's
+            # inverse-CDF knots at a uniform quantile
+            K_em = scene.fluor_icdf.shape[1]
+            x_em = jax.random.uniform(jax.random.fold_in(key, 0x5CAA),
+                                      (C,)) * (K_em - 1)
+            i_em = jnp.clip(x_em.astype(jnp.int32), 0, K_em - 2)
+            fr_em = x_em - i_em.astype(jnp.float32)
+            row = scene.fluor_icdf[mid]
+            lam_lo = jnp.take_along_axis(row, i_em[:, None], 1)[:, 0]
+            lam_hi = jnp.take_along_axis(row, (i_em + 1)[:, None], 1)[:, 0]
+            lam_em = jnp.maximum(lam_lo * (1.0 - fr_em) + lam_hi * fr_em,
+                                 1e-6)
+            # power factor: quantum yield x Stokes-shift photon-energy
+            # ratio (capped at 1 so anti-Stokes tails cannot create power)
+            f_factor = scene.fluor_qy[mid] * jnp.minimum(
+                1.0, rays.wavelength / lam_em)
+            g_draw = jnp.where(is_fluor, 0.0, rays.scat_g)  # isotropic
+        else:
+            is_fluor = None
+            g_draw = rays.scat_g
         d_scat = physics.sample_henyey_greenstein(
-            jax.random.fold_in(key, 0x5CA8), rays.d, rays.scat_g)
+            jax.random.fold_in(key, 0x5CA8), rays.d, g_draw)
     else:
-        is_scat = None
+        is_scat = is_fluor = None
         d_scat = rays.d
     hit_point = rays.o + t_draw[:, None] * rays.d
     # optical path length through the segment just traveled (n * length);
@@ -588,8 +628,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     is_wp = hit_valid & (mat == int(Material.WAVEPLATE))
     is_optic = is_pol | is_wp  # straight-through Stokes elements
     is_miss = rays.alive & ~hit_valid
-    if cfg.has_scattering:
-        # scattered lanes left hit_valid but did not escape — they
+    if has_volume:
+        # volume-event lanes left hit_valid but did not escape — they
         # continue as slot-A children with a redrawn direction
         is_miss = is_miss & ~is_scat
 
@@ -806,12 +846,24 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     else:
         pb_pol = None
         a_s1 = a_s2 = a_s3 = None
-    if cfg.has_scattering:
-        # the scattered continuation rides slot A: full power (scattering
-        # itself is lossless — extinction is the separate Beer-Lambert
-        # term over the clamped segment), redrawn direction, medium
-        # unchanged (a_ior/a_absorb already default to the parent's)
-        pa = jnp.where(is_scat, live_p, pa)
+    if has_volume:
+        # the post-event continuation rides slot A: elastic scatter keeps
+        # full power (extinction is the separate Beer-Lambert term over
+        # the clamped segment); a conversion keeps QY x Stokes-shift of
+        # it, re-emits at lam_em, and books the remainder as absorbed.
+        # Medium unchanged (a_ior/a_absorb already default to the
+        # parent's; dispersion of the host matrix across the Stokes
+        # shift is neglected — rays keep the parent's medium IOR).
+        p_evt = live_p
+        if is_fluor is not None:
+            p_evt = live_p * jnp.where(is_fluor, f_factor, 1.0)
+            fluor_absorbed = jnp.sum(
+                jnp.where(is_fluor, live_p - p_evt, 0.0))
+            a_wl = jnp.where(is_fluor, lam_em, rays.wavelength)
+        else:
+            fluor_absorbed = jnp.float32(0.0)
+            a_wl = rays.wavelength
+        pa = jnp.where(is_scat, p_evt, pa)
         da = jnp.where(is_scat[:, None], d_scat, da)
         if cfg.polarization:
             # volume scattering depolarizes (like the Lambertian surface)
@@ -821,6 +873,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             scat_basis = physics.incidence_s_direction(
                 d_scat, rays.d, rays.basis)
             new_basis = jnp.where(is_scat[:, None], scat_basis, new_basis)
+    else:
+        fluor_absorbed = jnp.float32(0.0)
+        a_wl = rays.wavelength
     if cfg.has_gratings:
         # order m keeps (1 - g0) of the diffracted-side power (slot A);
         # the specular 0th-order leak g0 goes to slot B. Evanescent order
@@ -839,8 +894,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         elem = jnp.maximum(scene.element_id[safe_tri], 0).astype(jnp.float32)
         path_a = rays.path * jnp.float32(cfg.path_base) + (1.0 + 2.0 * elem)
         path_b = rays.path * jnp.float32(cfg.path_base) + (2.0 + 2.0 * elem)
-        if cfg.has_scattering:
-            # a volume-scatter event is not a surface interaction: the
+        if has_volume:
+            # a volume event is not a surface interaction: the
             # continuation keeps its parent's signature unchanged
             path_a = jnp.where(is_scat, rays.path, path_a)
     else:
@@ -898,16 +953,34 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
                 refr_scat_g = jnp.where(bo["is_bire"], 0.0, refr_scat_g)
         else:
             refr_scat, refr_scat_g = rays.scat, rays.scat_g
+        # current-medium element id travels the same way: slot A stays in
+        # the parent's medium; the refracted child records the element it
+        # enters (or -1 on exit to ambient). Only maintained when
+        # fluorescence needs it — the column is inert -1 otherwise
+        if cfg.has_fluorescence and scene.element_id is not None:
+            elem_f = scene.element_id[safe_tri].astype(jnp.float32)
+            refr_med = jnp.where(
+                is_bs, rays.medium,
+                jnp.where(sn["entering"], elem_f, -1.0))
+            if cfg.has_gratings:
+                refr_med = jnp.where(is_gr, rays.medium, refr_med)
+            if bo is not None:
+                refr_med = jnp.where(bo["is_bire"], -1.0, refr_med)
+        else:
+            refr_med = rays.medium
         child_o = jnp.concatenate([hit_point, hit_point], axis=0)
         child_d = jnp.concatenate([da, db], axis=0)
         child_power = jnp.concatenate([pa, pb], axis=0)
         child_ior = jnp.concatenate([a_ior, b_ior], axis=0)
-        child_wl = jnp.concatenate([rays.wavelength, rays.wavelength], axis=0)
+        # slot A carries the (possibly fluorescence-converted) wavelength;
+        # slot B is a surface child and keeps the parent's
+        child_wl = jnp.concatenate([a_wl, rays.wavelength], axis=0)
         child_ab = jnp.concatenate([a_absorb, refr_absorb], axis=0)
         child_opl = jnp.concatenate([opl_new, opl_new], axis=0)
         child_path = jnp.concatenate([path_a, path_b], axis=0)
         child_scat = jnp.concatenate([a_scat, refr_scat], axis=0)
         child_scat_g = jnp.concatenate([a_scat_g, refr_scat_g], axis=0)
+        child_medium = jnp.concatenate([rays.medium, refr_med], axis=0)
         if cfg.polarization:
             child_s1 = jnp.concatenate([a_s1, b_s1])
             child_s2 = jnp.concatenate([a_s2, b_s2])
@@ -932,11 +1005,12 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # reflected branch exists, children stay in their parent slots and
         # the 2C buffer + compaction gather are skipped entirely
         child_o, child_d, child_power, child_ior = hit_point, da, pa, a_ior
-        child_wl = rays.wavelength
+        child_wl = a_wl
         child_ab = a_absorb
         child_opl = opl_new
         child_path = path_a
         child_scat, child_scat_g = rays.scat, rays.scat_g
+        child_medium = rays.medium
         # direct step-level users can reach this path with refractive or
         # beamsplitter triangles present (the engine forbids it); account
         # the dropped transmitted power so the ledger still balances. The
@@ -960,7 +1034,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             child_basis = rays.basis
     child_alive = child_power > 0.0
 
-    absorbed = bulk_absorbed + jnp.sum(
+    absorbed = bulk_absorbed + fluor_absorbed + jnp.sum(
         jnp.where(is_term, live_p, 0.0)
     ) + jnp.sum(jnp.where(is_mirror, live_p - pa, 0.0))
     if cfg.has_diffuse:
@@ -1007,7 +1081,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         hit_point, is_meas, measured_power, det_id,
         absorbed, escaped,
         escaped_power, dropped_power, child_path,
-        child_scat, child_scat_g,
+        child_scat, child_scat_g, child_medium,
     )
 
 
@@ -1154,7 +1228,7 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
                         sh.child_wavelength, sh.child_absorb,
                         sh.child_s1, sh.child_s2, sh.child_s3, sh.child_basis,
                         sh.child_opl, sh.child_path,
-                        sh.child_scat, sh.child_scat_g)
+                        sh.child_scat, sh.child_scat_g, sh.child_medium)
         return rays, below
 
     total_live = jnp.sum(jnp.where(live, sh.child_power, 0.0))
@@ -1178,9 +1252,10 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         ppath = scat(sh.child_path)
         pscat = scat(sh.child_scat)
         pscat_g = scat(sh.child_scat_g)
+        pmed = scat(sh.child_medium, fill=-1.0)
         alive = scat(live, fill=False)
         rays = RayBatch(o, d, power, ior, alive, wl, ab, ps1, ps2, ps3,
-                        pbasis, popl, ppath, pscat, pscat_g)
+                        pbasis, popl, ppath, pscat, pscat_g, pmed)
         culled = total_live - jnp.sum(power) + below
         return rays, culled
 
@@ -1205,6 +1280,7 @@ def compact(sh: ShadeOut, capacity: int, cfg: TraceConfig):
         path=sh.child_path[idx],
         scat=sh.child_scat[idx],
         scat_g=sh.child_scat_g[idx],
+        medium=sh.child_medium[idx],
     )
     return rays, culled
 
