@@ -121,6 +121,15 @@ class GeoObject:
     #   wavelength < fluor_edge convert (the Stokes shift is what keeps
     #   emitted light from being endlessly re-absorbed). Default 0 =
     #   the smallest emission knot
+    roughness: float = 0.0     # RMS surface micro-roughness sigma [um]
+    #   of a MIRROR element (incl. metal mirrors). Splits each reflection
+    #   into a specular child x (1 - TIS) and a near-specular scattered
+    #   child x TIS with the Rayleigh-Rice total integrated scatter
+    #   TIS = 1 - exp(-(4 pi sigma cos(theta_i) n / lambda)^2) —
+    #   the standard stray-light / veiling-glare surface model
+    roughness_lobe: float = 0.9  # Henyey-Greenstein anisotropy of the
+    #   scattered lobe about the specular direction, in [0, 1);
+    #   0.9+ = polished-surface near-specular halo, 0 = quasi-Lambertian
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -179,6 +188,15 @@ class GeoObject:
             raise ValueError(
                 "fluor_emission applies to fluorescent elements only "
                 "(set fluorescence = mu_f > 0)")
+        if self.roughness < 0:
+            raise ValueError("roughness (RMS sigma) must be >= 0")
+        if self.roughness > 0 and self.material != Material.MIRROR:
+            raise ValueError(
+                "surface roughness applies to MIRROR elements only "
+                "(for bulk scatter in dielectrics use `scattering`; for "
+                "a fully diffuse surface use material='diffuse')")
+        if not 0.0 <= self.roughness_lobe < 1.0:
+            raise ValueError("roughness_lobe must be in [0, 1)")
         if self.coat_thickness > 0:
             if self.material != Material.REFRACTIVE:
                 raise ValueError(

@@ -143,6 +143,10 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
             if "scat_mu" in a:
                 attrs["scat_mu"] = jax.lax.psum(a["scat_mu"] * mf, TRI_AXIS)
                 attrs["scat_g"] = jax.lax.psum(a["scat_g"] * mf, TRI_AXIS)
+            if "rough_sigma" in a:
+                attrs["rough_sigma"] = jax.lax.psum(a["rough_sigma"] * mf,
+                                                    TRI_AXIS)
+                attrs["rough_g"] = jax.lax.psum(a["rough_g"] * mf, TRI_AXIS)
             # misses have no winner: psum of zeros -> ior 0; force sane values
             miss = tri < 0
             attrs["ior"] = jnp.where(miss, 1.0, attrs["ior"])

@@ -127,6 +127,11 @@ class TraceConfig:
     # per-element emission tables index by rays.medium), so the engine
     # refuses mode='mesh2d' and coherent/spectral combinations.
     has_fluorescence: bool = False
+    # True enables rough-mirror surface scatter (GeoObject.roughness > 0:
+    # Rayleigh-Rice TIS split into a specular child and an HG-lobe
+    # scattered child). The SPLIT is deterministic; only the scattered
+    # direction draws randomness. Auto-enabled by the engine.
+    has_roughness: bool = False
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an
@@ -168,10 +173,12 @@ class TraceConfig:
     @property
     def needs_rng(self) -> bool:
         """True when the trace step draws random numbers (roulette,
-        Lambertian surface scatter, volume scattering, and/or
-        fluorescence) and therefore needs a PRNG key per bounce."""
+        Lambertian surface scatter, volume scattering, fluorescence,
+        and/or rough-mirror lobes) and therefore needs a PRNG key per
+        bounce."""
         return (self.roulette_threshold > 0.0 or self.has_diffuse
-                or self.has_scattering or self.has_fluorescence)
+                or self.has_scattering or self.has_fluorescence
+                or self.has_roughness)
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

@@ -155,13 +155,15 @@ class Tracer:
         self.scene, self.detector_names = build_scene(
             self.elements, spatial_sort=spatial_sort)
         self._scene_sorted = spatial_sort
-        # "needs the 2C split buffer": dielectric/beamsplitter splits, and
-        # gratings whose specular 0th-order leak rides the second slot
+        # "needs the 2C split buffer": dielectric/beamsplitter splits,
+        # gratings whose specular 0th-order leak rides the second slot,
+        # and rough mirrors whose TIS-scattered child does too
         self._has_refractive = any(
             e.material in (Material.REFRACTIVE, Material.BEAMSPLITTER,
                            Material.BIREFRINGENT)
             or (e.material == Material.GRATING
                 and getattr(e, "order0_fraction", 0.0) > 0.0)
+            or getattr(e, "roughness", 0.0) > 0.0
             for e in self.elements
         )
         return self
@@ -534,6 +536,12 @@ class Tracer:
                      for e in self.elements)
         if cfg.has_fluorescence != has_fl:
             cfg = cfg.replace(has_fluorescence=has_fl)
+        # rough-mirror scatter: enable exactly when a mirror has
+        # GeoObject.roughness > 0
+        has_rg = any(getattr(e, "roughness", 0.0) > 0.0
+                     for e in self.elements)
+        if cfg.has_roughness != has_rg:
+            cfg = cfg.replace(has_roughness=has_rg)
         return cfg
 
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:
@@ -544,8 +552,9 @@ class Tracer:
             raise ValueError(
                 "allow_splitting=False would silently drop each ray's "
                 "second child — the refracted branch of dielectrics/"
-                "beamsplitters, or a dual-order grating's specular "
-                "0th-order leak; remove the override"
+                "beamsplitters, a dual-order grating's specular "
+                "0th-order leak, or a rough mirror's scattered share; "
+                "remove the override"
             )
         if not self._has_refractive and cfg.allow_splitting:
             cfg = cfg.replace(allow_splitting=False)

@@ -72,6 +72,11 @@ class Scene(NamedTuple):
     #   bire_ne
     scat_g: jnp.ndarray = None  # (T_pad,) f32 Henyey-Greenstein
     #   anisotropy of the element's bulk; rides with scat_mu
+    rough_sigma: jnp.ndarray = None  # (T_pad,) f32 RMS micro-roughness of
+    #   MIRROR surfaces [um] (0 = polished); drives the Rayleigh-Rice TIS
+    #   specular/scattered split. Optional like bire_ne
+    rough_g: jnp.ndarray = None  # (T_pad,) f32 HG anisotropy of the
+    #   scattered lobe about the specular direction; rides with rough_sigma
     element_id: jnp.ndarray = None  # (T_pad,) i32 index into the elements
     #   list the scene was built from (-1 on padding); drives
     #   TraceConfig.track_paths ghost/stray-light signatures. Optional so
@@ -132,6 +137,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     mn_list, mk_list = [], []
     bire_list = []
     smu_list, sg_list = [], []
+    rsig_list, rg_list = [], []
     coat_stacks = []  # (t, [(n, h), ...]) per element; widths equalized below
     detector_names: list[str] = []
     elem_list = []
@@ -169,6 +175,10 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
                                 np.float64))
         sg_list.append(np.full(t, float(getattr(obj, "scatter_g", 0.0)),
                                np.float64))
+        rsig_list.append(np.full(t, float(getattr(obj, "roughness", 0.0)),
+                                 np.float64))
+        rg_list.append(np.full(t, float(getattr(obj, "roughness_lobe", 0.9)),
+                               np.float64))
         layers = (obj.coating_layers() if hasattr(obj, "coating_layers")
                   else [])
         coat_stacks.append((t, layers))
@@ -195,6 +205,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     bire_np = np.concatenate(bire_list)
     smu_np = np.concatenate(smu_list)
     sg_np = np.concatenate(sg_list)
+    rsig_np = np.concatenate(rsig_list)
+    rg_np = np.concatenate(rg_list)
     elem_np = np.concatenate(elem_list)
     # coating stacks, width-equalized to the scene's deepest stack (h = 0
     # padding layers are exactly inert — physics.multilayer_rs_rp)
@@ -222,6 +234,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         mn_np, mk_np = mn_np[order], mk_np[order]
         bire_np = bire_np[order]
         smu_np, sg_np = smu_np[order], sg_np[order]
+        rsig_np, rg_np = rsig_np[order], rg_np[order]
         cior_np, cth_np = cior_np[order], cth_np[order]
         elem_np = elem_np[order]
     T = len(tv)
@@ -277,6 +290,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         bire_ne=jnp.asarray(_p(bire_np, fill=0.0), jnp.float32),
         scat_mu=jnp.asarray(_p(smu_np, fill=0.0), jnp.float32),
         scat_g=jnp.asarray(_p(sg_np, fill=0.0), jnp.float32),
+        rough_sigma=jnp.asarray(_p(rsig_np, fill=0.0), jnp.float32),
+        rough_g=jnp.asarray(_p(rg_np, fill=0.0), jnp.float32),
         element_id=jnp.asarray(_p(elem_np, fill=-1), jnp.int32),
     )
     # per-element fluorescence tables (indexed by rays.medium, NOT by

@@ -230,7 +230,7 @@ class ShadeOut(NamedTuple):
 
 def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
                      with_coatings: bool = True, with_bire=None,
-                     with_scatter=None):
+                     with_scatter=None, with_rough=None):
     """Per-hit triangle attributes (the gathers shade needs). Separated so
     triangle-sharded tracing can substitute collectively-gathered values
     (parallel/mesh2d.py).
@@ -252,6 +252,8 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         with_bire = getattr(scene, "bire_ne", None) is not None
     if with_scatter is None:
         with_scatter = getattr(scene, "scat_mu", None) is not None
+    if with_rough is None:
+        with_rough = getattr(scene, "rough_sigma", None) is not None
     cols = [scene.mat.astype(jnp.float32)[:, None], scene.normal,
             scene.ior[:, None], scene.ior_b[:, None],
             scene.reflectivity[:, None],
@@ -265,6 +267,8 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         cols += [scene.bire_ne[:, None]]
     if with_scatter:
         cols += [scene.scat_mu[:, None], scene.scat_g[:, None]]
+    if with_rough:
+        cols += [scene.rough_sigma[:, None], scene.rough_g[:, None]]
     if with_coatings:
         cols += [scene.coat_ior, scene.coat_thickness]  # (T, L) each
     g = jnp.concatenate(cols, axis=1)[safe_tri]
@@ -292,6 +296,10 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
     if with_scatter:
         out["scat_mu"] = g[:, k]
         out["scat_g"] = g[:, k + 1]
+        k += 2
+    if with_rough:
+        out["rough_sigma"] = g[:, k]
+        out["rough_g"] = g[:, k + 1]
         k += 2
     if with_coatings:
         L = scene.coat_ior.shape[1]
@@ -556,7 +564,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             with_bire=(cfg.has_birefringence and cfg.polarization
                        and getattr(scene, "bire_ne", None) is not None),
             with_scatter=(cfg.has_scattering
-                          and getattr(scene, "scat_mu", None) is not None))
+                          and getattr(scene, "scat_mu", None) is not None),
+            with_rough=(cfg.has_roughness
+                        and getattr(scene, "rough_sigma", None) is not None))
     # birefringence is polarized-model-only (the o/e split is a Stokes
     # projection); unpolarized traces absorb such hits (ledger-exact,
     # engine refuses the combination anyway)
@@ -885,6 +895,37 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         pa = jnp.where(is_gr, pa * (1.0 - g0), pa)
         if cfg.polarization:
             pb_pol = jnp.where(is_gr, live_p * refl * g0, pb_pol)
+    if cfg.has_roughness and "rough_sigma" in attrs:
+        # rough-mirror surface scatter (extension): the reflected power
+        # pa (ideal/metal/polarized mirror Mueller — whatever the lanes
+        # above computed) splits DETERMINISTICALLY by the Rayleigh-Rice
+        # total integrated scatter into a specular child x (1 - TIS) at
+        # slot A and a scattered child x TIS at slot B, whose direction
+        # is an HG lobe about the specular direction folded above the
+        # surface. Wavelength IN THE MEDIUM (lambda0 / n) sets the
+        # roughness scale.
+        if key is None:
+            raise ValueError("cfg.has_roughness requires a PRNG key "
+                             "(trace_step/shade key=...)")
+        is_rough = is_mirror & (attrs["rough_sigma"] > 0.0)
+        arg = (4.0 * jnp.pi * attrs["rough_sigma"] * sn["cos_i"]
+               * rays.ior / rays.wavelength)
+        tis = 1.0 - jnp.exp(-arg * arg)
+        d_lobe = physics.sample_henyey_greenstein(
+            jax.random.fold_in(key, 0x70F5), sn["refl_dir"],
+            jnp.where(is_rough, attrs["rough_g"], 0.0))
+        # fold below-horizon draws back above the surface (energy
+        # preserving; sn["n"] is the normal oriented against the ray)
+        d_dot = physics.dot(d_lobe, sn["n"])
+        d_lobe = d_lobe - 2.0 * jnp.minimum(d_dot, 0.0)[:, None] * sn["n"]
+        rough_b = jnp.where(is_rough, pa * tis, 0.0)  # (C,) slot-B power
+        pa = jnp.where(is_rough, pa * (1.0 - tis), pa)
+        if cfg.polarization:
+            pb_pol = jnp.where(is_rough, rough_b, pb_pol)
+    else:
+        is_rough = None
+        rough_b = jnp.zeros_like(live_p)
+        d_lobe = rays.d
     dropped_power = jnp.zeros_like(live_p)
     if cfg.track_paths:
         # ghost/stray-light signatures: slot-A children (reflected /
@@ -931,6 +972,14 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             db = jnp.where(ib[:, None], bo["db"], db)
             b_ior = jnp.where(ib, bo["b_ior"], b_ior)
             refr_absorb = jnp.where(ib, bo["b_absorb"], refr_absorb)
+        if is_rough is not None:
+            # rough-mirror slot B: the TIS-scattered child — HG lobe
+            # direction, same medium as the parent
+            if not cfg.polarization:
+                pb = jnp.where(is_rough, rough_b, pb)
+            db = jnp.where(is_rough[:, None], d_lobe, db)
+            b_ior = jnp.where(is_rough, rays.ior, b_ior)
+            refr_absorb = jnp.where(is_rough, rays.absorb, refr_absorb)
         # medium scattering columns travel exactly like `absorb`: slot A
         # stays in the parent's medium; the refracted child picks up the
         # element's bulk (scat_mu, scat_g) on entry and the clear ambient
@@ -951,6 +1000,10 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
                 # birefringent children are clear
                 refr_scat = jnp.where(bo["is_bire"], 0.0, refr_scat)
                 refr_scat_g = jnp.where(bo["is_bire"], 0.0, refr_scat_g)
+            if is_rough is not None:
+                # the rough mirror's scattered child stays in its medium
+                refr_scat = jnp.where(is_rough, rays.scat, refr_scat)
+                refr_scat_g = jnp.where(is_rough, rays.scat_g, refr_scat_g)
         else:
             refr_scat, refr_scat_g = rays.scat, rays.scat_g
         # current-medium element id travels the same way: slot A stays in
@@ -966,6 +1019,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
                 refr_med = jnp.where(is_gr, rays.medium, refr_med)
             if bo is not None:
                 refr_med = jnp.where(bo["is_bire"], -1.0, refr_med)
+            if is_rough is not None:
+                refr_med = jnp.where(is_rough, rays.medium, refr_med)
         else:
             refr_med = rays.medium
         child_o = jnp.concatenate([hit_point, hit_point], axis=0)
@@ -982,9 +1037,6 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         child_scat_g = jnp.concatenate([a_scat_g, refr_scat_g], axis=0)
         child_medium = jnp.concatenate([rays.medium, refr_med], axis=0)
         if cfg.polarization:
-            child_s1 = jnp.concatenate([a_s1, b_s1])
-            child_s2 = jnp.concatenate([a_s2, b_s2])
-            child_s3 = jnp.concatenate([a_s3, b_s3])
             # slot B frame: the grating's specular child lives in the
             # incidence frame (s_dir, perpendicular to the mirror
             # direction), not the diffracted child's rebuilt frame
@@ -994,6 +1046,18 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             if bo is not None:
                 b_basis = jnp.where(bo["is_bire"][:, None], bo["b_basis"],
                                     b_basis)
+            if is_rough is not None:
+                # the rough mirror's scattered child is depolarized,
+                # frame rebuilt perpendicular to the lobe direction
+                b_s1 = jnp.where(is_rough, 0.0, b_s1)
+                b_s2 = jnp.where(is_rough, 0.0, b_s2)
+                b_s3 = jnp.where(is_rough, 0.0, b_s3)
+                rough_basis = physics.incidence_s_direction(
+                    d_lobe, sn["n"], rays.basis)
+                b_basis = jnp.where(is_rough[:, None], rough_basis, b_basis)
+            child_s1 = jnp.concatenate([a_s1, b_s1])
+            child_s2 = jnp.concatenate([a_s2, b_s2])
+            child_s3 = jnp.concatenate([a_s3, b_s3])
             child_basis = jnp.concatenate([new_basis, b_basis], axis=0)
         else:
             child_s1 = jnp.concatenate([rays.s1, rays.s1])
@@ -1026,6 +1090,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             if cfg.has_gratings:
                 dropped_power = dropped_power + jnp.where(
                     is_gr, live_p * refl * attrs["grating_g0"], 0.0)
+            # rough mirrors' scattered share has no slot either
+            dropped_power = dropped_power + rough_b
         if cfg.polarization:
             child_s1, child_s2, child_s3 = a_s1, a_s2, a_s3
             child_basis = new_basis
@@ -1034,9 +1100,12 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             child_basis = rays.basis
     child_alive = child_power > 0.0
 
+    # mirror absorption is the reflectivity deficit: live - specular - any
+    # rough-scattered share (rough_b is identically zero when roughness
+    # is off, so the classic live_p - pa stands)
     absorbed = bulk_absorbed + fluor_absorbed + jnp.sum(
         jnp.where(is_term, live_p, 0.0)
-    ) + jnp.sum(jnp.where(is_mirror, live_p - pa, 0.0))
+    ) + jnp.sum(jnp.where(is_mirror, live_p - pa - rough_b, 0.0))
     if cfg.has_diffuse:
         absorbed = absorbed + jnp.sum(
             jnp.where(is_diff, live_p * (1.0 - refl), 0.0))
