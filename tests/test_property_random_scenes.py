@@ -188,6 +188,50 @@ def test_random_scene_birefringent_conserves(seed):
     assert res.hist.sum() == pytest.approx(res.ledger["measured"], abs=1e-4)
 
 
+@pytest.mark.parametrize("seed", [9, 21, 39])
+def test_random_scene_stochastic_tier_conserves(seed):
+    """The r3 stochastic physics tier on randomized scenes: a rough
+    mirror (deterministic TIS split + random lobe), a turbid slab
+    (Exp(mu_s) free paths, HG redraw), and a phosphor block (band-edge
+    conversion, inverse-CDF emission, QY x Stokes power factor) dropped
+    into the random scene generator. No oracle (stochastic), but the
+    ledger must close exactly whatever interacts with whatever."""
+    rng = np.random.default_rng(seed)
+    els = random_scene(rng)
+    oe = L.optical_elements(20, 7)
+    rough = oe.rectangle(rng.uniform(0.5, 1.5), rng.uniform(0.5, 1.5),
+                         material="mirror",
+                         reflectivity=rng.uniform(0.6, 1.0),
+                         roughness=rng.uniform(0.005, 0.08),
+                         roughness_lobe=rng.uniform(0.0, 0.95))
+    turbid = oe.cube(rng.uniform(0.3, 0.8), material="refractive",
+                     ior=rng.uniform(1.0, 1.6),
+                     scattering=rng.uniform(0.2, 3.0),
+                     scatter_g=rng.uniform(-0.5, 0.9),
+                     absorption=rng.uniform(0.0, 0.5))
+    lam_mean = rng.uniform(0.55, 0.65)
+    phosphor = oe.cube(rng.uniform(0.3, 0.8), material="refractive",
+                       ior=rng.uniform(1.0, 1.6),
+                       fluorescence=rng.uniform(0.5, 3.0),
+                       fluor_yield=rng.uniform(0.5, 1.0),
+                       fluor_emission=(lam_mean, rng.uniform(0.03, 0.12)),
+                       fluor_edge=rng.uniform(0.48, 0.56))
+    for el in (rough, turbid, phosphor):
+        el.rotate(rng.normal(size=3) + 1e-3, rng.uniform(0, np.pi))
+        el.translate(rng.uniform(-0.8, 0.8, 3))
+        els.insert(0, el)
+    src = random_source(rng)
+    o, d, p = src.sample()
+    res = Tracer(TraceConfig(seed=seed)).trace(
+        src, els, trace_iterations=8,
+        rays=RayBatch.from_arrays(
+            o, d, p, capacity=8 * len(p),
+            wavelengths=np.full(len(p), 0.45, np.float32)))
+    assert res.power_conservation_error() < 1e-4
+    assert res.hist.sum() == pytest.approx(res.ledger["measured"],
+                                           abs=1e-4)
+
+
 @pytest.mark.parametrize("seed", [5, 17, 29])
 def test_random_scene_roulette_conserves(seed):
     """Russian roulette on the randomized scenes (r2 physics tier): no
