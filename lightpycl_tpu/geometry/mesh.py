@@ -360,26 +360,18 @@ class GeoObject:
         return out
 
     def copy(self) -> "GeoObject":
-        return GeoObject(
-            self.vertices.copy(),
-            self.triangles.copy(),
-            self.material,
-            self.ior,
-            self.reflectivity,
-            self.name,
-            self.dispersion_b,
-            self.absorption,
-            None if self.axis is None else self.axis.copy(),
-            self.retardance,
-            self.grating_period,
-            self.grating_order,
-            self.metal_n,
-            self.metal_k,
-            self.order0_fraction,
-            self.coat_ior,
-            self.coat_thickness,
-            None if self.coating is None else list(self.coating),
-        )
+        # dataclasses.replace copies EVERY field (a hand-written
+        # positional constructor call silently dropped fields added
+        # after it was written — ne, scattering, fluorescence, ...);
+        # deep-copy the mutable ones
+        out = dataclasses.replace(self)
+        out.vertices = self.vertices.copy()
+        out.triangles = self.triangles.copy()
+        if self.axis is not None:
+            out.axis = self.axis.copy()
+        if self.coating is not None:
+            out.coating = list(self.coating)
+        return out
 
     # ---- derived quantities ---------------------------------------------
 

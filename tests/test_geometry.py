@@ -201,3 +201,31 @@ class TestCylindricalLens:
         for sx in (+a, -a):
             sel = np.isclose(v[:, 0], sx, atol=1e-9)
             assert np.isclose(v[sel][:, 2].max(), rim_z, atol=1e-9)
+
+
+class TestCopyPreservesAllFields:
+    def test_copy_and_transformed_keep_extension_fields(self):
+        # regression: copy() used a positional constructor call frozen at
+        # the round-1 field list, silently resetting every later field
+        # (ne, scattering, fluorescence, roughness, ...) — so
+        # transformed()/instances() of an r2/r3-tier element lost its
+        # physics
+        import dataclasses
+
+        import lightpycl_tpu as L
+        from lightpycl_tpu.geometry.mesh import GeoObject
+
+        oe = L.optical_elements()
+        el = oe.cube(1.0, material="refractive", ior=1.4, scattering=2.0,
+                     scatter_g=0.3, absorption=0.1, fluorescence=1.5,
+                     fluor_emission=(0.6, 0.05), fluor_yield=0.7,
+                     fluor_edge=0.5)
+        for out in (el.copy(),
+                    el.transformed(np.eye(3), offset=(1.0, 0.0, 0.0))):
+            for f in dataclasses.fields(GeoObject):
+                if f.name in ("vertices", "triangles"):
+                    continue
+                assert getattr(out, f.name) == getattr(el, f.name), f.name
+        rough = oe.cube(1.0, material="mirror", roughness=0.05,
+                        roughness_lobe=0.4).copy()
+        assert rough.roughness == 0.05 and rough.roughness_lobe == 0.4
