@@ -130,6 +130,16 @@ class GeoObject:
     roughness_lobe: float = 0.9  # Henyey-Greenstein anisotropy of the
     #   scattered lobe about the specular direction, in [0, 1);
     #   0.9+ = polished-surface near-specular halo, 0 = quasi-Lambertian
+    grin_a: float = 0.0        # gradient-index coefficient A [1/len^2] of
+    #   the radial-parabolic (SELFOC) profile n(rho)^2 = ior^2 (1 - A
+    #   rho^2) about the element's `axis` through `grin_center`; `ior` is
+    #   the on-axis index n0. A > 0 focuses (pitch 2 pi / sqrt(A)),
+    #   A < 0 diverges. REFRACTIVE elements only; rays inside advance by
+    #   curved RK4 steps of TraceConfig.grin_step. Cannot combine with
+    #   scattering/fluorescence/dispersion on the same element
+    grin_center: Optional[np.ndarray] = None  # (3,) point on the profile
+    #   axis (world frame); follows translate/rotate/scale with the mesh.
+    #   Required when grin_a != 0
 
     def __post_init__(self):
         self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float64)
@@ -197,6 +207,29 @@ class GeoObject:
                 "a fully diffuse surface use material='diffuse')")
         if not 0.0 <= self.roughness_lobe < 1.0:
             raise ValueError("roughness_lobe must be in [0, 1)")
+        if self.grin_a != 0.0:
+            if self.material != Material.REFRACTIVE:
+                raise ValueError(
+                    "gradient-index profiles apply to REFRACTIVE "
+                    "elements only")
+            if self.axis is None:
+                raise ValueError("GRIN elements need an `axis` vector "
+                                 "(the profile axis direction)")
+            if self.grin_center is None:
+                raise ValueError("GRIN elements need `grin_center` (a "
+                                 "point on the profile axis)")
+            if (self.scattering > 0 or self.fluorescence > 0
+                    or self.dispersion_b != 0.0):
+                raise ValueError(
+                    "GRIN elements cannot also be turbid / fluorescent / "
+                    "dispersive (one bulk model per element)")
+        if self.grin_center is not None:
+            if self.grin_a == 0.0:
+                raise ValueError(
+                    "grin_center applies to GRIN elements only "
+                    "(set grin_a != 0)")
+            self.grin_center = np.asarray(self.grin_center,
+                                          np.float64).reshape(3)
         if self.coat_thickness > 0:
             if self.material != Material.REFRACTIVE:
                 raise ValueError(
@@ -318,6 +351,9 @@ class GeoObject:
 
     def translate(self, offset) -> "GeoObject":
         self.vertices = self.vertices + np.asarray(offset, dtype=np.float64)
+        if self.grin_center is not None:
+            self.grin_center = self.grin_center + np.asarray(
+                offset, np.float64)
         return self
 
     def rotate(self, axis, angle: float, pivot=(0.0, 0.0, 0.0)) -> "GeoObject":
@@ -327,6 +363,8 @@ class GeoObject:
         self.vertices = (self.vertices - pivot) @ R.T + pivot
         if self.axis is not None:
             self.axis = R @ self.axis
+        if self.grin_center is not None:
+            self.grin_center = R @ (self.grin_center - pivot) + pivot
         return self
 
     def scale(self, factor) -> "GeoObject":
@@ -342,6 +380,12 @@ class GeoObject:
         if self.axis is not None:
             a = self.axis * f
             self.axis = a / np.linalg.norm(a)
+        if self.grin_center is not None:
+            if not np.allclose(f, f[0]):
+                raise ValueError("GRIN elements support UNIFORM scaling "
+                                 "only (the radial profile would shear)")
+            self.grin_center = self.grin_center * f
+            self.grin_a = self.grin_a / float(f[0]) ** 2
         if np.prod(np.sign(f)) < 0:
             self.triangles = self.triangles[:, ::-1].copy()
         return self
@@ -349,13 +393,20 @@ class GeoObject:
     def transformed(self, matrix: np.ndarray, offset=(0.0, 0.0, 0.0)) -> "GeoObject":
         """Pure-functional affine transform: returns a NEW GeoObject."""
         out = self.copy()
-        out.vertices = out.vertices @ np.asarray(matrix, np.float64).T + np.asarray(
-            offset, np.float64
-        )
+        m = np.asarray(matrix, np.float64)
+        out.vertices = out.vertices @ m.T + np.asarray(offset, np.float64)
         if out.axis is not None:
-            a = np.asarray(matrix, np.float64) @ out.axis
+            a = m @ out.axis
             out.axis = a / np.linalg.norm(a)
-        if np.linalg.det(matrix) < 0:
+        if out.grin_center is not None:
+            s2 = (m @ m.T).diagonal()
+            if not (np.allclose(m @ m.T, np.eye(3) * s2[0])):
+                raise ValueError("GRIN elements support rigid/uniformly-"
+                                 "scaled transforms only")
+            out.grin_center = m @ out.grin_center + np.asarray(
+                offset, np.float64)
+            out.grin_a = out.grin_a / float(s2[0])
+        if np.linalg.det(m) < 0:
             out.triangles = out.triangles[:, ::-1].copy()
         return out
 

@@ -299,6 +299,60 @@ def sample_henyey_greenstein(key, d, g):
         + cos_t[:, None] * d
 
 
+def grin_index(r, center, axis, n0, a):
+    """Local index of the radial-parabolic (SELFOC) GRIN profile at
+    points r (C, 3): n(rho)^2 = n0^2 (1 - a rho^2), rho = distance from
+    the profile axis (unit `axis` through `center`). All of center/axis/
+    n0/a are per-ray (C, ...) so mixed-element batches work. Clamped at
+    n >= 0.05 n0 so steep profiles cannot produce imaginary indices."""
+    rel = r - center
+    rho = rel - jnp.sum(rel * axis, axis=1, keepdims=True) * axis
+    rho2 = jnp.sum(rho * rho, axis=1)
+    n2 = n0 * n0 * (1.0 - a * rho2)
+    return jnp.sqrt(jnp.maximum(n2, 2.5e-3 * n0 * n0))
+
+
+def _grin_grad(r, center, axis, n0, a):
+    """grad n of the parabolic profile: -n0^2 a rho_vec / n, (C, 3)."""
+    rel = r - center
+    rho = rel - jnp.sum(rel * axis, axis=1, keepdims=True) * axis
+    n = grin_index(r, center, axis, n0, a)
+    return -(n0 * n0 * a / n)[:, None] * rho
+
+
+def grin_rk4_step(r0, d0, h, center, axis, n0, a):
+    """One classic RK4 step of the ray equation through a GRIN medium,
+    arc-length parameterized via the optical momentum v = n * t_hat:
+
+        dr/ds = v / |v|,   dv/ds = grad n(r)
+
+    Args are per-ray: positions r0 (C, 3), unit directions d0 (C, 3),
+    step length h (scalar or (C,)), profile params (C,)/(C, 3).
+    Returns (r1, d1 unit, n1 local index, opl_inc Simpson-weighted
+    integral of n ds over the step)."""
+    h = jnp.broadcast_to(jnp.asarray(h, jnp.float32), r0.shape[:1])
+    hc = h[:, None]
+
+    def f(r, v):
+        vn = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=1, keepdims=True), 1e-20)
+        return vn, _grin_grad(r, center, axis, n0, a)
+
+    n_start = grin_index(r0, center, axis, n0, a)
+    v0 = n_start[:, None] * d0
+    k1r, k1v = f(r0, v0)
+    k2r, k2v = f(r0 + 0.5 * hc * k1r, v0 + 0.5 * hc * k1v)
+    k3r, k3v = f(r0 + 0.5 * hc * k2r, v0 + 0.5 * hc * k2v)
+    k4r, k4v = f(r0 + hc * k3r, v0 + hc * k3v)
+    r1 = r0 + (hc / 6.0) * (k1r + 2.0 * k2r + 2.0 * k3r + k4r)
+    v1 = v0 + (hc / 6.0) * (k1v + 2.0 * k2v + 2.0 * k3v + k4v)
+    d1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=1, keepdims=True), 1e-20)
+    n_end = grin_index(r1, center, axis, n0, a)
+    n_mid = grin_index(r0 + 0.5 * hc * k2r, center, axis, n0, a)
+    opl_inc = h * (n_start + 4.0 * n_mid + n_end) / 6.0
+    return r1, d1, n_end, opl_inc
+
+
 def _fresnel_interface_c(eta_a, eta_b):
     """Complex interface amplitude (eta_a - eta_b) / (eta_a + eta_b)."""
     one = jnp.complex64(1.0)

@@ -105,6 +105,11 @@ def validate_spectral_scene(elements) -> None:
                 f"scatter paths; element {el.name or el.material} has "
                 "scattering > 0 (use method='batched' — the dispersive "
                 "wavelength-batched path supports turbid media)")
+        if float(getattr(el, "grin_a", 0.0)) != 0.0:
+            raise ValueError(
+                f"shared-geometry spectral tracing cannot advance curved "
+                f"GRIN steps; element {el.name or el.material} has a "
+                "gradient profile (use method='batched')")
         if float(getattr(el, "fluorescence", 0.0)) > 0.0:
             raise ValueError(
                 f"spectral tracing assumes wavelengths are conserved, but "

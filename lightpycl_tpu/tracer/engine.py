@@ -226,12 +226,12 @@ class Tracer:
                 cfg = cfg.replace(path_base=2 * len(self.elements) + 1)
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
+        if (cfg.has_fluorescence or cfg.has_grin) and mode == "mesh2d":
+            raise ValueError(
+                "fluorescent/GRIN scenes need the scene replicated (the "
+                "per-element tables index by rays.medium): use "
+                "mode='host'/'device'/'multichip', not 'mesh2d'")
         if cfg.has_fluorescence:
-            if mode == "mesh2d":
-                raise ValueError(
-                    "fluorescent scenes need the scene replicated (the "
-                    "per-element emission tables index by rays.medium): "
-                    "use mode='host'/'device'/'multichip', not 'mesh2d'")
             if cfg.coherent:
                 raise ValueError(
                     "coherent field accumulation is undefined for "
@@ -542,6 +542,23 @@ class Tracer:
                      for e in self.elements)
         if cfg.has_roughness != has_rg:
             cfg = cfg.replace(has_roughness=has_rg)
+        # gradient-index propagation: enable exactly when an element has
+        # a profile; derive the RK4 step from the steepest profile's
+        # pitch when the user left grin_step at 0 (~25 steps/half-pitch)
+        grin_as = [abs(getattr(e, "grin_a", 0.0)) for e in self.elements]
+        has_gr = any(a > 0.0 for a in grin_as)
+        if cfg.has_grin != has_gr:
+            cfg = cfg.replace(has_grin=has_gr)
+        if has_gr and cfg.grin_step <= 0.0:
+            import math
+
+            pitch = 2.0 * math.pi / math.sqrt(max(grin_as))
+            cfg = cfg.replace(grin_step=pitch / 50.0)
+        if has_gr and cfg.polarization:
+            raise ValueError(
+                "GRIN propagation does not yet parallel-transport the "
+                "Stokes frame along curved rays: polarization=True with "
+                "GRIN elements is unsupported")
         return cfg
 
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:
@@ -722,11 +739,11 @@ class Tracer:
                 "image_halfwidth) too")
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
-        if cfg.has_fluorescence and mode == "mesh2d":
+        if (cfg.has_fluorescence or cfg.has_grin) and mode == "mesh2d":
             raise ValueError(
-                "fluorescent scenes need the scene replicated (the "
-                "per-element emission tables index by rays.medium): "
-                "use mode='device'/'multichip', not 'mesh2d'")
+                "fluorescent/GRIN scenes need the scene replicated (the "
+                "per-element tables index by rays.medium): use "
+                "mode='device'/'multichip', not 'mesh2d'")
         scene_sh = None
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import make_ray_mesh

@@ -142,6 +142,11 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
                 "validated by the Beer-Lambert conversion-extinction, "
                 "quantum-yield ledger, and emission-spectrum anchors "
                 "instead (tests/test_fluorescence.py)")
+        if float(getattr(el, "grin_a", 0.0)) != 0.0:
+            raise ValueError(
+                "the f64 oracle traces straight segments; GRIN media are "
+                "validated by the SELFOC sinusoid / axial-invariant "
+                "anchors instead (tests/test_grin.py)")
         if el.material == Material.DIFFUSE:
             raise ValueError(
                 "the f64 oracle is deterministic; Lambertian scatterers are "

@@ -91,6 +91,13 @@ class Scene(NamedTuple):
     fluor_icdf: jnp.ndarray = None  # (E, K) f32 emission inverse-CDF
     #   wavelength knots at uniform quantiles (rows of non-fluorescent
     #   elements are all-zero and never sampled)
+    # PER-ELEMENT GRIN tables, indexed like the fluor_* ones (rays.medium;
+    # scene replicated — the engine refuses mesh2d). None when no element
+    # has a gradient profile
+    grin_a: jnp.ndarray = None      # (E,) f32 parabolic coefficient A
+    grin_n0: jnp.ndarray = None     # (E,) f32 on-axis index n0
+    grin_center: jnp.ndarray = None  # (E, 3) f32 profile-axis point
+    grin_axis: jnp.ndarray = None   # (E, 3) f32 unit profile axis
 
     @property
     def num_triangles_padded(self) -> int:
@@ -318,5 +325,21 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
                 [o.fluor_edge_um() if hasattr(o, "fluor_edge_um") else 0.0
                  for o in objects], jnp.float32),
             fluor_icdf=jnp.asarray(icdf, jnp.float32),
+        )
+    if any(float(getattr(o, "grin_a", 0.0)) != 0.0 for o in objects):
+        E = len(objects)
+        ga = np.zeros((E,)); gn = np.ones((E,))
+        gc = np.zeros((E, 3)); gx = np.tile([0.0, 0.0, 1.0], (E, 1))
+        for i, o in enumerate(objects):
+            if float(getattr(o, "grin_a", 0.0)) != 0.0:
+                ga[i] = float(o.grin_a)
+                gn[i] = float(o.ior)
+                gc[i] = np.asarray(o.grin_center, np.float64)
+                gx[i] = np.asarray(o.axis, np.float64)
+        scene = scene._replace(
+            grin_a=jnp.asarray(ga, jnp.float32),
+            grin_n0=jnp.asarray(gn, jnp.float32),
+            grin_center=jnp.asarray(gc, jnp.float32),
+            grin_axis=jnp.asarray(gx, jnp.float32),
         )
     return scene, detector_names

@@ -544,10 +544,37 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     else:
         is_scat = is_fluor = None
         d_scat = rays.d
+    if cfg.has_grin and scene.grin_a is not None:
+        # gradient-index propagation (extension): rays inside a GRIN
+        # medium advance by curved RK4 arc-length steps of cfg.grin_step.
+        # Farther-than-one-step from the surface: clamp the segment and
+        # drop the lane from every surface mask (the continuation rides
+        # slot A, like a volume-scatter event, but DETERMINISTIC). The
+        # final sub-step segment reaches the surface on the straight
+        # chord the intersect found, with the direction and OPL still
+        # RK4-integrated over it, so exit Snell sees the curved
+        # direction and the LOCAL index (maintained in rays.ior).
+        E_g = scene.grin_a.shape[0]
+        gmid = jnp.clip(rays.medium.astype(jnp.int32), 0, E_g - 1)
+        g_a = jnp.where(rays.medium >= 0.0, scene.grin_a[gmid], 0.0)
+        in_grin = rays.alive & (g_a != 0.0)
+        is_gstep = in_grin & (t_draw > cfg.grin_step)
+        t_draw = jnp.where(is_gstep, cfg.grin_step, t_draw)
+        hit_valid = hit_valid & ~is_gstep
+        r_g, d_g, n_g, opl_g = physics.grin_rk4_step(
+            rays.o, rays.d, t_draw, scene.grin_center[gmid],
+            scene.grin_axis[gmid], scene.grin_n0[gmid], g_a)
+    else:
+        in_grin = is_gstep = None
     hit_point = rays.o + t_draw[:, None] * rays.d
     # optical path length through the segment just traveled (n * length);
     # both children inherit it (same hit point)
     opl_new = rays.opl + rays.ior * t_draw
+    if in_grin is not None:
+        # mid-medium steps end at the CURVED endpoint; OPL integrates
+        # n ds (Simpson) along the curve for stepped AND final segments
+        hit_point = jnp.where(is_gstep[:, None], r_g, hit_point)
+        opl_new = jnp.where(in_grin, rays.opl + opl_g, opl_new)
 
     # Beer-Lambert bulk attenuation over the segment just traveled
     # (rays.absorb == 0 in vacuum/air -> no-op; extension over the
@@ -580,7 +607,21 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     refl = attrs["reflectivity"]
     det_id = attrs["detector_id"]
     tri_absorb = attrs["absorb"]
-    sn = physics.snell_interaction(rays.d, n_geom, rays.ior, tri_ior, cfg.ior_env)
+    d_inc, n_inc = rays.d, rays.ior
+    if in_grin is not None and scene.element_id is not None:
+        # entering a GRIN element: Snell against the LOCAL index at the
+        # hit point, not the constant on-axis n0
+        eh = jnp.clip(scene.element_id[safe_tri], 0, E_g - 1)
+        a_hit = scene.grin_a[eh]
+        n_hit = physics.grin_index(hit_point, scene.grin_center[eh],
+                                   scene.grin_axis[eh], scene.grin_n0[eh],
+                                   a_hit)
+        tri_ior = jnp.where(hit_valid & (a_hit != 0.0), n_hit, tri_ior)
+        # exiting (or internally reflecting): the incident direction and
+        # index are the RK4-integrated values at the surface
+        d_inc = jnp.where(in_grin[:, None], d_g, rays.d)
+        n_inc = jnp.where(in_grin, n_g, rays.ior)
+    sn = physics.snell_interaction(d_inc, n_geom, n_inc, tri_ior, cfg.ior_env)
 
     # complex-index metal mirrors (extension): the fixed `reflectivity`
     # becomes reflectivity * R_metal(theta) on lanes with metal_n > 0
@@ -642,6 +683,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # volume-event lanes left hit_valid but did not escape — they
         # continue as slot-A children with a redrawn direction
         is_miss = is_miss & ~is_scat
+    if in_grin is not None:
+        # mid-medium GRIN steps likewise continue in slot A
+        is_miss = is_miss & ~is_gstep
 
     if cfg.has_diffuse:
         # Lambertian scatterer (extension over the reference): one child,
@@ -886,6 +930,13 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     else:
         fluor_absorbed = jnp.float32(0.0)
         a_wl = rays.wavelength
+    if in_grin is not None:
+        # the mid-medium GRIN continuation: full power, curved endpoint
+        # direction, LOCAL index carried in the generic ior lane (what
+        # OPL accumulation and the eventual exit Snell read)
+        pa = jnp.where(is_gstep, live_p, pa)
+        da = jnp.where(is_gstep[:, None], d_g, da)
+        a_ior = jnp.where(is_gstep, n_g, a_ior)
     if cfg.has_gratings:
         # order m keeps (1 - g0) of the diffracted-side power (slot A);
         # the specular 0th-order leak g0 goes to slot B. Evanescent order
@@ -939,6 +990,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
             # a volume event is not a surface interaction: the
             # continuation keeps its parent's signature unchanged
             path_a = jnp.where(is_scat, rays.path, path_a)
+        if in_grin is not None:
+            path_a = jnp.where(is_gstep, rays.path, path_a)
     else:
         path_a = path_b = rays.path
     if cfg.allow_splitting:
@@ -1010,7 +1063,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # the parent's medium; the refracted child records the element it
         # enters (or -1 on exit to ambient). Only maintained when
         # fluorescence needs it — the column is inert -1 otherwise
-        if cfg.has_fluorescence and scene.element_id is not None:
+        if ((cfg.has_fluorescence or cfg.has_grin)
+                and scene.element_id is not None):
             elem_f = scene.element_id[safe_tri].astype(jnp.float32)
             refr_med = jnp.where(
                 is_bs, rays.medium,

@@ -1,0 +1,229 @@
+"""Gradient-index (GRIN) media: curved-ray propagation through the
+radial-parabolic SELFOC profile n(rho)^2 = n0^2 (1 - A rho^2)
+(extension over the reference, whose rays are straight between surfaces
+— SURVEY.md §1).
+
+Anchors are classic SELFOC rod optics (meridional paraxial rays follow
+r(z) = r0 cos(sqrt(A) z), pitch P = 2 pi / sqrt(A)):
+  * quarter-pitch rods focus a collimated beam onto the axis,
+  * half-pitch rods invert the ray (r0 -> -r0),
+  * on-axis OPL is exactly n0 L,
+  * entry Fresnel uses the LOCAL index n(rho), not the on-axis n0,
+  * the profile follows the element through rotations/translations,
+  * exact power conservation; deterministic (no RNG).
+"""
+
+import numpy as np
+import pytest
+
+import lightpycl_tpu as L
+from lightpycl_tpu.sources import CollimatedSource
+from lightpycl_tpu.tracer.config import TraceConfig
+from lightpycl_tpu.tracer.engine import Tracer
+from lightpycl_tpu.tracer.oracle import trace_oracle
+
+N0, A = 1.6, 4.0
+PITCH = 2.0 * np.pi / np.sqrt(A)
+
+
+def _rod(length, z0=1.0, size=1.2):
+    oe = L.optical_elements()
+    return oe.cube((size, size, length), center=(0, 0, z0 + length / 2),
+                   material="refractive", ior=N0, grin_a=A,
+                   axis=(0, 0, 1), grin_center=(0, 0, z0))
+
+
+GAP = 5e-3  # screen sits just past the exit face (> cfg.eps self-hit guard)
+
+
+def _scene(length, z0=1.0):
+    oe = L.optical_elements()
+    screen = oe.rectangle(width=10.0, depth=10.0,
+                          center=(0, 0, z0 + length + GAP),
+                          material="measure", name="exit")
+    world = oe.sphere(radius=20.0, material="measure", name="world")
+    return [_rod(length, z0), screen, world]
+
+
+def _single_ray(r0, length, iterations=40):
+    src = CollimatedSource(center=(r0, 0, 0), direction=(0, 0, 1),
+                           diameter=1e-6, power=1.0, ray_count=1)
+    res = Tracer().trace(src, _scene(length), trace_iterations=iterations,
+                         capacity=64)
+    assert res.power_conservation_error() < 1e-4
+    sel = res.measured_det == 0
+    pw = res.measured_power[sel]
+    j = int(np.argmax(pw))  # the direct (highest-power) exit ray
+    return res.measured_pos[sel][j], res.measured_dir[sel][j], res
+
+
+class TestSelfocTrajectories:
+    @pytest.mark.parametrize("frac", [0.125, 0.25, 0.5])
+    def test_paraxial_sinusoid(self, frac):
+        """A paraxial ray entering parallel at offset r0 exits a rod of
+        length z at offset r0 cos(sqrt(A) z) — the SELFOC textbook law."""
+        r0, length = 0.03, frac * PITCH
+        pos, _, _ = _single_ray(r0, length)
+        want = r0 * np.cos(np.sqrt(A) * length)
+        assert pos[0] == pytest.approx(want, abs=1.5e-3), frac
+        assert abs(pos[1]) < 1e-5
+
+    def test_half_pitch_inverts(self):
+        """L = P/2: the ray exits at -r0 moving parallel again."""
+        r0 = 0.05
+        pos, d, _ = _single_ray(r0, PITCH / 2.0, iterations=50)
+        assert pos[0] == pytest.approx(-r0, abs=2e-3)
+        # parallel again: transverse direction ~ 0
+        assert abs(d[0]) < 0.02 and d[2] > 0.999
+
+    def test_quarter_pitch_focuses_collimated_beam(self):
+        """L = P/4 turns a collimated paraxial bundle into a focus on the
+        axis at the exit face."""
+        length = PITCH / 4.0
+        src = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                               diameter=0.1, power=1.0, ray_count=512)
+        res = Tracer().trace(src, _scene(length), trace_iterations=40,
+                             capacity=2048)
+        assert res.power_conservation_error() < 1e-4
+        sel = res.measured_det == 0
+        pos, pw = res.measured_pos[sel], res.measured_power[sel]
+        r = np.linalg.norm(pos[:, :2], axis=1)
+        # direct beam dominates; power-weighted spot far below the
+        # 0.05 input radius
+        assert (r * pw).sum() / pw.sum() < 0.004
+
+    def test_on_axis_opl_exact(self):
+        """The axial ray is straight and sees n0 everywhere: its OPL
+        through (1 in air) + (L in rod) + (epsilon to screen) must be
+        1 + n0 L."""
+        length = PITCH / 4.0
+        pos, _, res = _single_ray(0.0, length)
+        sel = res.measured_det == 0
+        j = int(np.argmax(res.measured_power[sel]))
+        opl = res.measured_opl[sel][j]
+        assert opl == pytest.approx(1.0 + N0 * length + GAP, abs=2e-3)
+
+    def test_entry_fresnel_uses_local_index(self):
+        """Normal-incidence entry reflectance is ((1-n)/(1+n))^2 with the
+        LOCAL n(rho): an off-axis ray (lower n) must reflect less than
+        the axial ray. The entry reflection is isolated from exit-face
+        ghosts by OPL (entry reflection: 1 to the rod + ~21 back to the
+        enclosure = ~22; every ghost carries >= 2 n0 L ~ 2.5 more)."""
+        def entry_reflection(r0):
+            _, _, res = _single_ray(r0, PITCH / 4.0, iterations=50)
+            enc = res.measured_det == 1
+            sel = (res.measured_pos[enc][:, 2] < 1.0) \
+                & (res.measured_opl[enc] < 23.0)
+            return res.measured_power[enc][sel].sum()
+
+        def r_local(r0):
+            n = N0 * np.sqrt(1.0 - A * r0 * r0)
+            return ((1.0 - n) / (1.0 + n)) ** 2
+
+        for r0 in (0.0, 0.25):
+            assert entry_reflection(r0) == pytest.approx(r_local(r0),
+                                                         abs=1e-3), r0
+        assert r_local(0.0) - r_local(0.25) > 0.02  # the anchor has teeth
+
+    def test_transformed_rod_same_physics(self):
+        """Rotating + translating the rod carries grin_center and the
+        profile axis: the sinusoid happens in the element frame. A
+        quarter-pitch rod rotated to lie along +x and shifted off-origin
+        must still steer an off-axis-parallel ray onto its axis with the
+        paraxial exit slope r0 sqrt(A) n0 (exit refraction included)."""
+        r0, length = 0.04, PITCH / 4.0
+        # rod axis now the line {y = 0, z = -0.5}, x in [1.5, 1.5 + L]
+        rod = _rod(length).rotate((0, 1, 0), np.pi / 2).translate(
+            (0.5, 0.0, -0.5))
+        world = L.optical_elements().sphere(radius=20.0,
+                                            material="measure",
+                                            name="world")
+        src = CollimatedSource(center=(-2.0, 0.0, -0.5 + r0),
+                               direction=(1, 0, 0), diameter=1e-6,
+                               power=1.0, ray_count=1)
+        res = Tracer().trace(src, [rod, world], trace_iterations=50,
+                             capacity=64)
+        assert res.power_conservation_error() < 1e-4
+        j = int(np.argmax(res.measured_power))
+        dirn = res.measured_dir[j]
+        assert dirn[0] > 0.9
+        want_slope = -r0 * np.sqrt(A) * N0
+        assert dirn[2] / dirn[0] == pytest.approx(want_slope, rel=0.05)
+
+
+class TestPlumbing:
+    def test_deterministic_no_rng(self):
+        cfg = TraceConfig()
+        els = _scene(PITCH / 4.0)
+        src = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                               diameter=0.1, power=1.0, ray_count=256)
+        r1 = Tracer(cfg).trace(src, els, trace_iterations=30, capacity=1024)
+        r2 = Tracer(cfg).trace(src, els, trace_iterations=30, capacity=1024)
+        assert r1.ledger == r2.ledger
+        np.testing.assert_array_equal(r1.hist, r2.hist)
+
+    def test_multichip_ledger_closes(self):
+        src = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                               diameter=0.1, power=1.0, ray_count=512)
+        res = Tracer().trace(src, _scene(PITCH / 4.0),
+                             trace_iterations=30, capacity=2048,
+                             mode="multichip")
+        assert res.power_conservation_error() < 1e-4
+
+    def test_validation(self):
+        oe = L.optical_elements()
+        with pytest.raises(ValueError, match="REFRACTIVE"):
+            oe.cube(1.0, material="mirror", grin_a=1.0, axis=(0, 0, 1),
+                    grin_center=(0, 0, 0))
+        with pytest.raises(ValueError, match="axis"):
+            oe.cube(1.0, material="refractive", grin_a=1.0,
+                    grin_center=(0, 0, 0))
+        with pytest.raises(ValueError, match="grin_center"):
+            oe.cube(1.0, material="refractive", grin_a=1.0, axis=(0, 0, 1))
+        with pytest.raises(ValueError, match="one bulk model"):
+            oe.cube(1.0, material="refractive", grin_a=1.0, axis=(0, 0, 1),
+                    grin_center=(0, 0, 0), scattering=1.0)
+        with pytest.raises(ValueError, match="UNIFORM"):
+            _rod(1.0).scale((1.0, 2.0, 1.0))
+
+    def test_engine_refusals(self):
+        from lightpycl_tpu.parallel.mesh2d import make_mesh2d
+
+        els = _scene(PITCH / 4.0)
+        src = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                               diameter=0.1, power=1.0, ray_count=64)
+        with pytest.raises(ValueError, match="replicated"):
+            Tracer().trace(src, els, trace_iterations=4, capacity=256,
+                           mode="mesh2d", mesh=make_mesh2d(2, 4))
+        with pytest.raises(ValueError, match="Stokes"):
+            Tracer(TraceConfig(polarization=True)).trace(
+                src, els, trace_iterations=4, capacity=256)
+
+    def test_oracle_refuses(self):
+        with pytest.raises(ValueError, match="straight"):
+            trace_oracle(_scene(1.0), np.zeros((4, 3)),
+                         np.tile([0.0, 0.0, 1.0], (4, 1)),
+                         np.full(4, 0.25))
+
+    def test_spectral_shared_refuses(self):
+        src = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                               diameter=0.1, power=1.0, ray_count=64)
+        with pytest.raises(ValueError, match="curved"):
+            Tracer().trace_spectral(src, [0.5, 0.6],
+                                    elements=_scene(PITCH / 4.0),
+                                    trace_iterations=4, capacity=512,
+                                    method="shared")
+
+    def test_clear_scene_unaffected(self):
+        """Scenes without GRIN elements trace bit-identically whether or
+        not the machinery exists."""
+        oe = L.optical_elements()
+        els = [oe.cube((1, 1, 0.5), center=(0, 0, 1.0),
+                       material="refractive", ior=1.5),
+               oe.sphere(radius=10.0, material="measure", name="world")]
+        src = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                               diameter=0.3, power=1.0, ray_count=512)
+        r_off = Tracer().trace(src, els, trace_iterations=6, capacity=2048)
+        r_on = Tracer(TraceConfig(has_grin=True, grin_step=0.1)).trace(
+            src, els, trace_iterations=6, capacity=2048)
+        assert r_off.ledger == r_on.ledger
