@@ -7,6 +7,11 @@ retardation."""
 
 import os
 
+if os.environ.get("LPCL_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import lightpycl_tpu as L

@@ -10,6 +10,11 @@ buffered; the run checkpoints after every batch and resumes if interrupted
 
 import os
 
+if os.environ.get("LPCL_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import lightpycl_tpu as L
 from lightpycl_tpu.sources import CollimatedSource
 from lightpycl_tpu.tracer.config import TraceConfig

@@ -9,6 +9,11 @@ exported to DXF.
 
 import os
 
+if os.environ.get("LPCL_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from lightpycl_tpu.compat import CL_Tracer, light_source, optical_elements

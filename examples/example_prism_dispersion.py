@@ -8,6 +8,11 @@ reproduces the reference's constant-IOR physics exactly.
 
 import os
 
+if os.environ.get("LPCL_FORCE_CPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import lightpycl_tpu as L
