@@ -2,7 +2,7 @@
 
 A rod with the radial-parabolic profile n(rho)^2 = n0^2 (1 - A rho^2)
 (GeoObject(grin_a=A, axis=..., grin_center=...)) bends rays
-continuously — the tracer advances them by RK4 arc-length steps instead
+continuously — the tracer advances them by exact SELFOC arc-length steps instead
 of straight segments. Meridional paraxial rays follow the textbook
 sinusoid r(z) = r0 cos(sqrt(A) z) with pitch P = 2 pi / sqrt(A), which
 is why a quarter-pitch rod is a lens with both faces FLAT: the exact

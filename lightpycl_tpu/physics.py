@@ -353,6 +353,71 @@ def grin_rk4_step(r0, d0, h, center, axis, n0, a):
     return r1, d1, n_end, opl_inc
 
 
+def grin_selfoc_step(r0, d0, h, center, axis, n0, a):
+    """EXACT closed-form propagator through the radial-parabolic SELFOC
+    profile (no numerical integration). Re-parameterizing the ray
+    equation by d sigma = ds / n (optical momentum v = n t_hat):
+
+        dr/dsigma = v,   dv/dsigma = grad(n^2) / 2 = -n0^2 a rho_vec
+
+    so for the parabolic profile the transverse motion is EXACTLY a
+    harmonic oscillator with k = n0^2 a (trigonometric for a > 0,
+    hyperbolic for a < 0) while the axial coordinate advances linearly.
+    The step advances sigma = h / n(r0) (arc length ~= h to first
+    order; the parameterization difference vs an arc-length step is
+    O(h^2) and vanishes as the engine's step control shrinks h near
+    surfaces). The optical path is also closed-form:
+    OPL = int n ds = int |v|^2 dsigma, elementary trig/hyperbolic
+    integrals of the same motion, and |v(sigma)| = n(r(sigma)) holds
+    exactly by energy conservation. grin_rk4_step stays as the
+    independent numerical formulation (tests/test_grin.py pins the two
+    against each other plus an f64 sigma-domain integrator).
+    Same signature and returns as grin_rk4_step; lanes with a == 0
+    reduce exactly to the straight ray r0 + h d0, OPL = n h."""
+    h = jnp.broadcast_to(jnp.asarray(h, jnp.float32), r0.shape[:1])
+    n_start = grin_index(r0, center, axis, n0, a)
+    sig = h / n_start
+
+    rel = r0 - center
+    z0 = jnp.sum(rel * axis, axis=1)
+    u0 = rel - z0[:, None] * axis
+    v0 = n_start[:, None] * d0
+    vz = jnp.sum(v0 * axis, axis=1)
+    vu0 = v0 - vz[:, None] * axis
+
+    k = n0 * n0 * a
+    w = jnp.sqrt(jnp.abs(k))
+    small = w * sig < 1e-6  # k -> 0 limit: C -> 1, S -> sigma
+    ws = jnp.where(small, 1.0, w)
+    t = w * sig
+    trig = k > 0
+    # C, S solve x'' = -k x with (C, C')(0) = (1, 0), (S, S')(0) = (0, 1)
+    C = jnp.where(small, 1.0, jnp.where(trig, jnp.cos(t), jnp.cosh(t)))
+    S = jnp.where(small, sig,
+                  jnp.where(trig, jnp.sin(t), jnp.sinh(t)) / ws)
+    u1 = u0 * C[:, None] + vu0 * S[:, None]
+    vu1 = vu0 * C[:, None] - (k * S)[:, None] * u0
+    r1 = center + (z0 + vz * sig)[:, None] * axis + u1
+    v1 = vz[:, None] * axis + vu1
+    d1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=1, keepdims=True), 1e-20)
+    n_end = grin_index(r1, center, axis, n0, a)
+
+    # OPL = vz^2 sigma + |vu0|^2 Icc + k^2 |u0|^2 Iss - 2 k (u0.vu0) Ics
+    # with Icc = sig/2 + s2w, k^2 Iss = k (sig/2 - s2w), and the cross
+    # term collapsing to -(u0.vu0) sin^2(t) [trig] / +(u0.vu0) sinh^2(t)
+    # [hyperbolic]; s2w = sin(2t)/(4w) resp. sinh(2t)/(4w)
+    A2 = jnp.sum(vu0 * vu0, axis=1)
+    B2 = jnp.sum(u0 * u0, axis=1)
+    p = jnp.sum(u0 * vu0, axis=1)
+    s2w = jnp.where(small, 0.5 * sig,
+                    jnp.where(trig, jnp.sin(2.0 * t),
+                              jnp.sinh(2.0 * t)) / (4.0 * ws))
+    cross = jnp.where(trig, jnp.sin(t) ** 2, -jnp.sinh(t) ** 2)
+    opl_inc = (vz * vz * sig + A2 * (0.5 * sig + s2w)
+               + B2 * k * (0.5 * sig - s2w) - p * cross)
+    return r1, d1, n_end, opl_inc
+
+
 def _fresnel_interface_c(eta_a, eta_b):
     """Complex interface amplitude (eta_a - eta_b) / (eta_a + eta_b)."""
     one = jnp.complex64(1.0)

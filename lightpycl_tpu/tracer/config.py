@@ -133,13 +133,15 @@ class TraceConfig:
     # direction draws randomness. Auto-enabled by the engine.
     has_roughness: bool = False
     # True enables gradient-index propagation (GeoObject.grin_a != 0:
-    # rays inside advance by curved RK4 steps of `grin_step` arc length
+    # rays inside advance by exact closed-form SELFOC steps of `grin_step`
+    # arc length
     # instead of straight segments). DETERMINISTIC — no RNG. Auto-enabled
     # by the engine, which also derives grin_step when left at 0 (a
     # fraction of the shortest profile pitch). Needs the scene replicated
     # (per-element tables): mesh2d is refused.
     has_grin: bool = False
-    grin_step: float = 0.0  # RK4 arc-length step inside GRIN media; each
+    grin_step: float = 0.0  # curved-step arc length inside GRIN media;
+    #   each
     #   step costs one trace iteration, so trace_iterations must cover
     #   path_length / grin_step plus the ordinary surface bounces
     seed: int = 0

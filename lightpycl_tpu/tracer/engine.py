@@ -543,7 +543,7 @@ class Tracer:
         if cfg.has_roughness != has_rg:
             cfg = cfg.replace(has_roughness=has_rg)
         # gradient-index propagation: enable exactly when an element has
-        # a profile; derive the RK4 step from the steepest profile's
+        # a profile; derive the step from the steepest profile's
         # pitch when the user left grin_step at 0 (~25 steps/half-pitch)
         grin_as = [abs(getattr(e, "grin_a", 0.0)) for e in self.elements]
         has_gr = any(a > 0.0 for a in grin_as)

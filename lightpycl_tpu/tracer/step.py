@@ -254,6 +254,7 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         with_scatter = getattr(scene, "scat_mu", None) is not None
     if with_rough is None:
         with_rough = getattr(scene, "rough_sigma", None) is not None
+    with_disp2 = getattr(scene, "ior_c", None) is not None
     cols = [scene.mat.astype(jnp.float32)[:, None], scene.normal,
             scene.ior[:, None], scene.ior_b[:, None],
             scene.reflectivity[:, None],
@@ -269,6 +270,8 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         cols += [scene.scat_mu[:, None], scene.scat_g[:, None]]
     if with_rough:
         cols += [scene.rough_sigma[:, None], scene.rough_g[:, None]]
+    if with_disp2:
+        cols += [scene.ior_c[:, None]]
     if with_coatings:
         cols += [scene.coat_ior, scene.coat_thickness]  # (T, L) each
     g = jnp.concatenate(cols, axis=1)[safe_tri]
@@ -301,6 +304,9 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         out["rough_sigma"] = g[:, k]
         out["rough_g"] = g[:, k + 1]
         k += 2
+    if with_disp2:
+        out["ior_c"] = g[:, k]
+        k += 1
     if with_coatings:
         L = scene.coat_ior.shape[1]
         out["coat_ior"] = g[:, k:k + L]
@@ -546,13 +552,14 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         d_scat = rays.d
     if cfg.has_grin and scene.grin_a is not None:
         # gradient-index propagation (extension): rays inside a GRIN
-        # medium advance by curved RK4 arc-length steps of cfg.grin_step.
+        # medium advance by curved steps of cfg.grin_step arc length via the
+        # EXACT closed-form SELFOC propagator (physics.grin_selfoc_step).
         # Farther-than-one-step from the surface: clamp the segment and
         # drop the lane from every surface mask (the continuation rides
         # slot A, like a volume-scatter event, but DETERMINISTIC). The
         # final sub-step segment reaches the surface on the straight
         # chord the intersect found, with the direction and OPL still
-        # RK4-integrated over it, so exit Snell sees the curved
+        # curve-integrated over it, so exit Snell sees the curved
         # direction and the LOCAL index (maintained in rays.ior).
         E_g = scene.grin_a.shape[0]
         gmid = jnp.clip(rays.medium.astype(jnp.int32), 0, E_g - 1)
@@ -561,7 +568,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         is_gstep = in_grin & (t_draw > cfg.grin_step)
         t_draw = jnp.where(is_gstep, cfg.grin_step, t_draw)
         hit_valid = hit_valid & ~is_gstep
-        r_g, d_g, n_g, opl_g = physics.grin_rk4_step(
+        r_g, d_g, n_g, opl_g = physics.grin_selfoc_step(
             rays.o, rays.d, t_draw, scene.grin_center[gmid],
             scene.grin_axis[gmid], scene.grin_n0[gmid], g_a)
     else:
@@ -603,7 +610,11 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     n_geom = attrs["normal"]
     # dispersive glass: Cauchy n(lambda) = A + B / lambda^2 (lambda in um);
     # B == 0 (the default) reduces to the reference's constant IOR
-    tri_ior = attrs["ior"] + attrs["ior_b"] / jnp.square(rays.wavelength)
+    wl2 = jnp.square(rays.wavelength)
+    tri_ior = attrs["ior"] + attrs["ior_b"] / wl2
+    if "ior_c" in attrs:
+        # extended-Cauchy lambda^-4 term (Sellmeier-catalog fits)
+        tri_ior = tri_ior + attrs["ior_c"] / jnp.square(wl2)
     refl = attrs["reflectivity"]
     det_id = attrs["detector_id"]
     tri_absorb = attrs["absorb"]
@@ -618,7 +629,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
                                    a_hit)
         tri_ior = jnp.where(hit_valid & (a_hit != 0.0), n_hit, tri_ior)
         # exiting (or internally reflecting): the incident direction and
-        # index are the RK4-integrated values at the surface
+        # index are the curve-propagated values at the surface
         d_inc = jnp.where(in_grin[:, None], d_g, rays.d)
         n_inc = jnp.where(in_grin, n_g, rays.ior)
     sn = physics.snell_interaction(d_inc, n_geom, n_inc, tri_ior, cfg.ior_env)

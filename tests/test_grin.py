@@ -125,6 +125,31 @@ class TestSelfocTrajectories:
                                                          abs=1e-3), r0
         assert r_local(0.0) - r_local(0.25) > 0.02  # the anchor has teeth
 
+    def test_diverging_profile_cosh(self):
+        """A < 0 diverges: the transverse motion is hyperbolic, so a
+        paraxial parallel ray exits a rod of length L at
+        r0 cosh(sqrt(|A|) L) — the analytic propagator's other branch."""
+        a_div, length, r0 = -1.0, 0.5, 0.05
+        oe = L.optical_elements()
+        rod = oe.cube((1.2, 1.2, length), center=(0, 0, 1.0 + length / 2),
+                      material="refractive", ior=N0, grin_a=a_div,
+                      axis=(0, 0, 1), grin_center=(0, 0, 1.0))
+        screen = oe.rectangle(width=10.0, depth=10.0,
+                              center=(0, 0, 1.0 + length + GAP),
+                              material="measure", name="exit")
+        world = oe.sphere(radius=20.0, material="measure", name="world")
+        src = CollimatedSource(center=(r0, 0, 0), direction=(0, 0, 1),
+                               diameter=1e-6, power=1.0, ray_count=1)
+        res = Tracer().trace(src, [rod, screen, world],
+                             trace_iterations=40, capacity=64)
+        assert res.power_conservation_error() < 1e-4
+        sel = res.measured_det == 0
+        j = int(np.argmax(res.measured_power[sel]))
+        pos = res.measured_pos[sel][j]
+        want = r0 * np.cosh(np.sqrt(-a_div) * length)
+        assert pos[0] == pytest.approx(want, abs=1e-3)
+        assert want - r0 > 0.005  # the anchor has teeth
+
     def test_transformed_rod_same_physics(self):
         """Rotating + translating the rod carries grin_center and the
         profile axis: the sinusoid happens in the element frame. A
@@ -149,6 +174,161 @@ class TestSelfocTrajectories:
         assert dirn[0] > 0.9
         want_slope = -r0 * np.sqrt(A) * N0
         assert dirn[2] / dirn[0] == pytest.approx(want_slope, rel=0.05)
+
+
+class TestAnalyticPropagator:
+    """physics.grin_selfoc_step is the EXACT closed-form solution of the
+    sigma-parameterized ray equation (d sigma = ds / n); pin it against
+    two independent formulations: an f64 numpy RK4 integrator of the
+    sigma-domain ODE (same flow, independent code + precision) and the
+    package's own arc-length RK4 (different parameterization, so only
+    O(h^2) agreement is expected)."""
+
+    def _random_states(self, rng, n, sign=+1.0, spread=0.3):
+        import jax.numpy as jnp
+        r0 = np.asarray(rng.uniform(-spread, spread, (n, 3)))
+        d0 = np.asarray(rng.normal(size=(n, 3)))
+        d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+        center = np.tile([0.1, -0.2, 0.3], (n, 1))
+        axis = np.tile(np.array([1.0, 2.0, 2.0]) / 3.0, (n, 1))
+        n0 = np.full(n, N0)
+        a = np.full(n, sign * A)
+        return (jnp.asarray(r0, jnp.float32), jnp.asarray(d0, jnp.float32),
+                jnp.asarray(center, jnp.float32), jnp.asarray(axis, jnp.float32),
+                jnp.asarray(n0, jnp.float32), jnp.asarray(a, jnp.float32),
+                r0, d0, center, axis, n0, a)
+
+    def _sigma_rk4_f64(self, r0, d0, h, center, axis, n0, a, nsub=256):
+        """f64 numpy RK4 of dr/dsigma = v, dv/dsigma = -n0^2 a rho_vec
+        over sigma_total = h / n(r0) — the same flow grin_selfoc_step
+        solves in closed form. Returns (r, d, n, opl)."""
+        def n_of(r):
+            rel = r - center
+            rho = rel - (rel * axis).sum(1, keepdims=True) * axis
+            n2 = n0**2 * (1.0 - a * (rho * rho).sum(1))
+            return np.sqrt(np.maximum(n2, 2.5e-3 * n0**2))
+
+        def acc(r):
+            rel = r - center
+            rho = rel - (rel * axis).sum(1, keepdims=True) * axis
+            return -(n0**2 * a)[:, None] * rho
+
+        n_start = n_of(r0)
+        sig = h / n_start
+        dsig = (sig / nsub)[:, None]
+        r, v = r0.copy(), n_start[:, None] * d0
+        opl = np.zeros(len(r0))
+        for _ in range(nsub):
+            # OPL rides the RK4 stages as an extra state:
+            # d(opl)/dsigma = |v|^2 (4th-order accurate)
+            k1r, k1v = v, acc(r)
+            k1w = (v * v).sum(1)
+            v2 = v + 0.5 * dsig * k1v
+            k2r, k2v = v2, acc(r + 0.5 * dsig * k1r)
+            k2w = (v2 * v2).sum(1)
+            v3 = v + 0.5 * dsig * k2v
+            k3r, k3v = v3, acc(r + 0.5 * dsig * k2r)
+            k3w = (v3 * v3).sum(1)
+            v4 = v + dsig * k3v
+            k4r, k4v = v4, acc(r + dsig * k3r)
+            k4w = (v4 * v4).sum(1)
+            r = r + (dsig / 6.0) * (k1r + 2 * k2r + 2 * k3r + k4r)
+            v = v + (dsig / 6.0) * (k1v + 2 * k2v + 2 * k3v + k4v)
+            opl += (dsig[:, 0] / 6.0) * (k1w + 2 * k2w + 2 * k3w + k4w)
+        return (r, v / np.linalg.norm(v, axis=1, keepdims=True),
+                n_of(r), opl)
+
+    @pytest.mark.parametrize("sign", [+1.0, -1.0])
+    def test_matches_f64_sigma_integrator(self, sign):
+        """Focusing (trig) and diverging (hyperbolic) profiles both match
+        the independent f64 sigma-domain integrator to f32 roundoff."""
+        from lightpycl_tpu.physics import grin_selfoc_step
+
+        rng = np.random.default_rng(7)
+        (jr, jd, jc, jx, jn, ja,
+         r0, d0, center, axis, n0, a) = self._random_states(rng, 64, sign)
+        h = 0.11
+        r1, d1, n1, opl = (np.asarray(x) for x in
+                           grin_selfoc_step(jr, jd, h, jc, jx, jn, ja))
+        r_64, d_64, n_64, opl_64 = self._sigma_rk4_f64(
+            r0, d0, h, center, axis, n0, a)
+        np.testing.assert_allclose(r1, r_64, atol=3e-6)
+        np.testing.assert_allclose(d1, d_64, atol=3e-5)
+        np.testing.assert_allclose(n1, n_64, atol=3e-5)
+        np.testing.assert_allclose(opl, opl_64, rtol=3e-5)
+
+    def test_energy_conservation_exact(self):
+        """|v(sigma)| = n(r(sigma)) is built into the closed form: the
+        direction-weighted momentum norm equals the local index."""
+        from lightpycl_tpu import physics
+        from lightpycl_tpu.physics import grin_selfoc_step
+
+        rng = np.random.default_rng(11)
+        jr, jd, jc, jx, jn, ja = self._random_states(rng, 64)[:6]
+        r1, d1, n1, _ = grin_selfoc_step(jr, jd, 0.15, jc, jx, jn, ja)
+        n_at = physics.grin_index(r1, jc, jx, jn, ja)
+        np.testing.assert_allclose(np.asarray(n1), np.asarray(n_at),
+                                   atol=1e-6)
+
+    def test_on_axis_opl_is_n0_h(self):
+        """The axial ray is straight with n = n0 everywhere: the step's
+        OPL must be EXACTLY n0 h (no quadrature error at all)."""
+        import jax.numpy as jnp
+
+        from lightpycl_tpu.physics import grin_selfoc_step
+
+        one3 = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        r0 = jnp.asarray([[0.0, 0.0, 0.4]], jnp.float32)
+        _, d1, _, opl = grin_selfoc_step(
+            r0, one3, 0.37, jnp.zeros((1, 3), jnp.float32), one3,
+            jnp.asarray([N0], jnp.float32), jnp.asarray([A], jnp.float32))
+        assert float(opl[0]) == pytest.approx(N0 * 0.37, rel=1e-6)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(one3),
+                                   atol=1e-7)
+
+    def test_zero_a_reduces_to_straight_ray(self):
+        """a == 0 lanes (non-GRIN media sharing the batch) must be the
+        exact straight ray with OPL = n h."""
+        import jax.numpy as jnp
+
+        from lightpycl_tpu.physics import grin_selfoc_step
+
+        rng = np.random.default_rng(3)
+        jr, jd, jc, jx, jn, _ = self._random_states(rng, 16)[:6]
+        za = jnp.zeros(16, jnp.float32)
+        r1, d1, n1, opl = grin_selfoc_step(jr, jd, 0.2, jc, jx, jn, za)
+        np.testing.assert_allclose(np.asarray(r1),
+                                   np.asarray(jr + 0.2 * jd), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(jd),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(opl), N0 * 0.2, rtol=1e-6)
+
+    def test_rk4_cross_check_same_h(self):
+        """The arc-length RK4 formulation agrees to its O(h^2)
+        parameterization difference — the two implementations are
+        genuinely independent (different variables, different math)."""
+        import jax.numpy as jnp
+
+        from lightpycl_tpu.physics import grin_rk4_step, grin_selfoc_step
+
+        rng = np.random.default_rng(5)
+        # physical region only (n^2 > 0 with margin): inside the index
+        # clamp zone the two parameterizations legitimately diverge
+        jr, jd, jc, jx, jn, ja = self._random_states(
+            rng, 64, spread=0.12)[:6]
+        jr = jr + jnp.asarray([[0.1, -0.2, 0.3]], jnp.float32)
+        h = 0.03
+        ra, da, na, opa = grin_selfoc_step(jr, jd, h, jc, jx, jn, ja)
+        rb, db, nb, opb = grin_rk4_step(jr, jd, h, jc, jx, jn, ja)
+        np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   atol=2e-3)
+        # OPL carries the full arc-length mismatch n * ds ~ |grad n| h^2
+        # / 2 (~8e-3 relative here); the f64 sigma-domain test above is
+        # the tight anchor
+        np.testing.assert_allclose(np.asarray(opa), np.asarray(opb),
+                                   rtol=2e-2)
 
 
 class TestPlumbing:
