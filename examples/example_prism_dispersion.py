@@ -1,8 +1,9 @@
 """Chromatic dispersion demo (extension over the reference): a white-light
 beam through an SF10 prism separates into a spectrum on the detector dome.
 
-The material model is Cauchy n(wl) = A + B/wl^2 built from catalog
-(n_d, Abbe) pairs — `lightpycl_tpu.materials.glass`. dispersion_b = 0
+The material model is the extended Cauchy n(wl) = A + B/wl^2 + C/wl^4
+fitted to the REAL Schott Sellmeier curve of N-SF10
+(`lightpycl_tpu.materials.glass_from_sellmeier`); dispersion_b/_c = 0
 reproduces the reference's constant-IOR physics exactly.
 """
 
@@ -16,7 +17,7 @@ if os.environ.get("LPCL_FORCE_CPU"):
 import numpy as np
 
 import lightpycl_tpu as L
-from lightpycl_tpu.materials import SF10
+from lightpycl_tpu.materials import glass_from_sellmeier, sellmeier_index
 from lightpycl_tpu.sources import CollimatedSource
 from lightpycl_tpu.tracer.engine import Tracer
 from lightpycl_tpu.utils import setup_logging
@@ -25,14 +26,14 @@ setup_logging()
 
 RAY_COUNT = int(os.environ.get("RAY_COUNT", 20_000))
 
-a, b = SF10
+fit = glass_from_sellmeier("N-SF10", band=(0.40, 0.70))
+a, b, c = fit["ior"], fit["dispersion_b"], fit["dispersion_c"]
 oe = L.optical_elements(n_segments=48, n_radial=16)
-prism = oe.prism(width=1.04, height=0.3, length=1.0, ior=a)
-prism.dispersion_b = b
+prism = oe.prism(width=1.04, height=0.3, length=1.0, **fit)
 dome = oe.sphere(10.0, material="measure", name="dome")
 
-# flat white spectrum, 380-700 nm in 17 lines
-wls = np.linspace(0.38, 0.70, 17)
+# flat white spectrum, 400-700 nm in 16 lines
+wls = np.linspace(0.40, 0.70, 16)
 src = CollimatedSource(center=(0.3, -0.5, 0), direction=(0, 1, 0),
                        diameter=0.04, ray_count=RAY_COUNT, power=1.0,
                        wavelength=(wls, np.ones_like(wls)))
@@ -55,5 +56,8 @@ for wl in wls:
     mean = (dirs[bundle] * pw[bundle, None]).sum(0)
     mean /= np.linalg.norm(mean)
     dev = np.degrees(np.arccos(np.clip(mean @ [0, 1, 0], -1, 1)))
-    print(f"  {wl:.3f}   {a + b / wl**2:.4f}   {dev:7.3f}")
+    n_model = a + b / wl**2 + c / wl**4
+    n_exact = sellmeier_index(wl, "N-SF10")
+    print(f"  {wl:.3f}   {n_model:.4f}   {dev:7.3f}"
+          f"   (Sellmeier {n_exact:.4f})")
 print("shorter wavelengths deviate more: a spectrum.")

@@ -65,6 +65,10 @@ class GeoObject:
     reflectivity: float = 1.0
     name: Optional[str] = None
     dispersion_b: float = 0.0  # Cauchy B [um^2]: n(wl) = ior + B / wl^2
+    dispersion_c: float = 0.0  # extended-Cauchy C [um^4]: + C / wl^4 on
+    #   top of the B term — lets real Sellmeier catalog glasses fit to
+    #   ~1e-4 or better across the visible band
+    #   (materials.glass_from_sellmeier)
     absorption: float = 0.0    # Beer-Lambert bulk absorption inside [1/len]
     axis: Optional[np.ndarray] = None  # polarizer transmission / waveplate
     #   fast axis (world frame, unit); rotates with the element
@@ -135,7 +139,7 @@ class GeoObject:
     #   rho^2) about the element's `axis` through `grin_center`; `ior` is
     #   the on-axis index n0. A > 0 focuses (pitch 2 pi / sqrt(A)),
     #   A < 0 diverges. REFRACTIVE elements only; rays inside advance by
-    #   curved RK4 steps of TraceConfig.grin_step. Cannot combine with
+    #   exact closed-form SELFOC steps of TraceConfig.grin_step. Cannot combine with
     #   scattering/fluorescence/dispersion on the same element
     grin_center: Optional[np.ndarray] = None  # (3,) point on the profile
     #   axis (world frame); follows translate/rotate/scale with the mesh.
@@ -219,7 +223,8 @@ class GeoObject:
                 raise ValueError("GRIN elements need `grin_center` (a "
                                  "point on the profile axis)")
             if (self.scattering > 0 or self.fluorescence > 0
-                    or self.dispersion_b != 0.0):
+                    or self.dispersion_b != 0.0
+                    or self.dispersion_c != 0.0):
                 raise ValueError(
                     "GRIN elements cannot also be turbid / fluorescent / "
                     "dispersive (one bulk model per element)")
@@ -518,6 +523,7 @@ def merge(objects: Iterable[GeoObject], **overrides) -> GeoObject:
         reflectivity=objs[0].reflectivity,
         name=objs[0].name,
         dispersion_b=objs[0].dispersion_b,
+        dispersion_c=objs[0].dispersion_c,
         absorption=objs[0].absorption,
         axis=objs[0].axis,
         retardance=objs[0].retardance,

@@ -126,6 +126,76 @@ SF10 = glass(1.7280, 28.53)
 F2 = glass(1.6200, 36.37)
 
 
+# Sellmeier dispersion of real catalog glasses:
+#     n^2(wl) = 1 + sum_i B_i wl^2 / (wl^2 - C_i),   wl in micrometers,
+# the standard (B1..B3, C1..C3) form optical catalogs publish. Values are
+# the widely-published Schott catalog / Malitson fused-silica constants.
+SELLMEIER = {
+    "N-BK7": ((1.03961212, 0.231792344, 1.01046945),
+              (0.00600069867, 0.0200179144, 103.560653)),
+    "N-SF10": ((1.62153902, 0.256287842, 1.64447552),
+               (0.0122241457, 0.0595736775, 147.468793)),
+    "N-SF11": ((1.73759695, 0.313747346, 1.89878101),
+               (0.013188707, 0.0623068142, 155.23629)),
+    "F2": ((1.34533359, 0.209073176, 0.937357162),
+           (0.00997743871, 0.0470450767, 111.886764)),
+    "N-BAF10": ((1.5851495, 0.143559385, 1.08521269),
+                (0.00926681282, 0.0424489805, 105.613573)),
+    "N-SK16": ((1.34317774, 0.241144399, 0.994317969),
+               (0.00704687339, 0.0229005, 92.7508526)),
+    "FUSED-SILICA": ((0.6961663, 0.4079426, 0.8974794),
+                     (0.0046791483, 0.0135120631, 97.9340025)),
+}
+
+
+def sellmeier_index(wl_um, coeffs):
+    """Exact Sellmeier index n(wl). `coeffs` is a SELLMEIER key or a
+    ((B1, B2, B3), (C1, C2, C3)) pair; `wl_um` a scalar or numpy array of
+    vacuum wavelengths in micrometers."""
+    import numpy as np
+
+    if isinstance(coeffs, str):
+        coeffs = SELLMEIER[coeffs]
+    b, c = coeffs
+    wl2 = np.asarray(wl_um, np.float64) ** 2
+    n2 = 1.0 + sum(bi * wl2 / (wl2 - ci) for bi, ci in zip(b, c))
+    return np.sqrt(n2)
+
+
+def glass_from_sellmeier(coeffs, band=(0.4, 0.7), n_samples=129) -> dict:
+    """Fit a Sellmeier glass to the tracer's extended-Cauchy model
+    n = A + B/wl^2 + C/wl^4 by least squares over `band` [um].
+
+    Returns {"ior": A, "dispersion_b": B, "dispersion_c": C} ready to
+    splat into a refractive GeoObject / primitive factory:
+
+        oe.prism(..., material="refractive",
+                 **glass_from_sellmeier("N-SF10"))
+
+    Fit quality over the full visible band (0.4-0.7 um): ~7e-5 max
+    index error for crowns / fused silica, ~3e-4 for the densest flints
+    (N-SF11) — an order better than the two-term `glass()` helper. Over
+    the photopic core (0.48, 0.66) every catalog glass fits to ~4e-5 or
+    better, so narrow `band` to your source's spectrum when it matters.
+    Residuals above 5e-4 raise so a bad band cannot silently mis-model
+    a glass.
+    """
+    import numpy as np
+
+    wl = np.linspace(band[0], band[1], n_samples)
+    n = sellmeier_index(wl, coeffs)
+    design = np.stack([np.ones_like(wl), wl**-2.0, wl**-4.0], axis=1)
+    (a, b, c), *_ = np.linalg.lstsq(design, n, rcond=None)
+    err = np.abs(design @ np.array([a, b, c]) - n).max()
+    if err > 5e-4:
+        raise ValueError(
+            f"extended-Cauchy fit residual {err:.2e} over band {band} — "
+            "band too wide for the lambda^-4 model (fit a narrower band "
+            "per trace, or trace per-wavelength with exact indices)")
+    return {"ior": float(a), "dispersion_b": float(b),
+            "dispersion_c": float(c)}
+
+
 # complex refractive indices (n, k) of common mirror metals near the
 # sodium d-line (~0.55-0.59 um; Johnson & Christy / Palik order of
 # magnitude). Pass to a MIRROR GeoObject: metal_n, metal_k = ALUMINUM.

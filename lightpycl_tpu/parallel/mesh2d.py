@@ -138,6 +138,8 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 "coat_thickness": jax.lax.psum(
                     a["coat_thickness"] * mf[:, None], TRI_AXIS),
             }
+            if "ior_c" in a:
+                attrs["ior_c"] = jax.lax.psum(a["ior_c"] * mf, TRI_AXIS)
             if "bire_ne" in a:
                 attrs["bire_ne"] = jax.lax.psum(a["bire_ne"] * mf, TRI_AXIS)
             if "scat_mu" in a:

@@ -86,10 +86,11 @@ def validate_spectral_scene(elements) -> None:
     """Reject scenes whose geometry or physics is wavelength-coupled in a
     way the shared-geometry model cannot represent."""
     for el in elements:
-        if float(getattr(el, "dispersion_b", 0.0)) != 0.0:
+        if (float(getattr(el, "dispersion_b", 0.0)) != 0.0
+                or float(getattr(el, "dispersion_c", 0.0)) != 0.0):
             raise ValueError(
                 f"spectral tracing needs achromatic geometry; element "
-                f"{el.name or el.material} has dispersion_b != 0 "
+                f"{el.name or el.material} has dispersion_b/_c != 0 "
                 "(refraction angles would differ per wavelength — use "
                 "per-wavelength scalar traces for dispersive systems)")
         if el.material in (Material.GRATING, Material.POLARIZER,

@@ -117,6 +117,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     """
     v0s, e1s, e2s, mats, iors, refls, dets = [], [], [], [], [], [], []
     iorbs = []
+    iorcs = []
     absorbs = []
     axes, mlps, g0s = [], [], []
     mns, mks = [], []
@@ -160,6 +161,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         mats.append(np.full(t, int(el.material)))
         iors.append(np.full(t, el.ior))
         iorbs.append(np.full(t, float(getattr(el, "dispersion_b", 0.0))))
+        iorcs.append(np.full(t, float(getattr(el, "dispersion_c", 0.0))))
         absorbs.append(np.full(t, float(getattr(el, "absorption", 0.0))))
         refls.append(np.full(t, el.reflectivity))
         ax = (np.zeros(3) if getattr(el, "axis", None) is None
@@ -182,6 +184,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     v0 = np.concatenate(v0s); e1 = np.concatenate(e1s); e2 = np.concatenate(e2s)
     mat = np.concatenate(mats); ior_in = np.concatenate(iors)
     ior_b = np.concatenate(iorbs)
+    ior_c = np.concatenate(iorcs)
     tri_absorb = np.concatenate(absorbs)
     refl = np.concatenate(refls); det_id = np.concatenate(dets)
     g_axis = np.concatenate(axes); g_mlp = np.concatenate(mlps)
@@ -337,8 +340,9 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
             entering = cos_raw < 0
             n = np.where(entering[:, None], ng, -ng)
             n1 = ior[i]
-            # Cauchy dispersion: n(wl) = A + B / wl^2 (B = 0 by default)
-            n_tri = ior_in[ti[i]] + ior_b[ti[i]] / wl[i] ** 2
+            # (extended-)Cauchy dispersion: n = A + B/wl^2 + C/wl^4
+            n_tri = (ior_in[ti[i]] + ior_b[ti[i]] / wl[i] ** 2
+                     + ior_c[ti[i]] / wl[i] ** 4)
             n2 = np.where(entering, n_tri, ior_env)
             eta = n1 / n2
             cos_i = -np.sum(d[i] * n, axis=1)

@@ -62,6 +62,10 @@ class Scene(NamedTuple):
     #   layer 0 outermost; rows padded with h=0 layers (exactly inert in
     #   the Airy recursion); all-zero row = bare surface. L = the scene's
     #   max stack depth (>= 1)
+    ior_c: jnp.ndarray = None  # (T_pad,) f32 extended-Cauchy C [um^4]:
+    #   n = A + B/wl^2 + C/wl^4 (Sellmeier-catalog fits). Optional so
+    #   hand-built scenes (diff.py) stay valid — the shade term is gated
+    #   on its presence
     bire_ne: jnp.ndarray = None  # (T_pad,) f32 extraordinary principal
     #   index of BIREFRINGENT elements (0 elsewhere; `ior` holds n_o and
     #   `axis` the optic axis). Optional so hand-built scenes (diff.py)
@@ -139,6 +143,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         raise ValueError("scene needs at least one optical element")
     tv_list, mat_list, ior_list, refl_list, det_list = [], [], [], [], []
     iorb_list = []
+    iorc_list = []
     absorb_list = []
     axis_list, ret_list, gr_list, g0_list = [], [], [], []
     mn_list, mk_list = [], []
@@ -157,6 +162,8 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         mat_list.append(np.full(t, int(obj.material), np.int32))
         ior_list.append(np.full(t, float(obj.ior), np.float64))
         iorb_list.append(np.full(t, float(getattr(obj, "dispersion_b", 0.0)),
+                                 np.float64))
+        iorc_list.append(np.full(t, float(getattr(obj, "dispersion_c", 0.0)),
                                  np.float64))
         absorb_list.append(np.full(t, float(getattr(obj, "absorption", 0.0)),
                                    np.float64))
@@ -200,6 +207,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
     mat_np = np.concatenate(mat_list)
     ior_np = np.concatenate(ior_list)
     iorb_np = np.concatenate(iorb_list)
+    iorc_np = np.concatenate(iorc_list)
     absorb_np = np.concatenate(absorb_list)
     refl_np = np.concatenate(refl_list)
     det_np = np.concatenate(det_list)
@@ -233,6 +241,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         order = np.argsort(_morton3_np(qn), kind="stable")
         tv = tv[order]
         mat_np, ior_np, iorb_np = mat_np[order], ior_np[order], iorb_np[order]
+        iorc_np = iorc_np[order]
         absorb_np, refl_np, det_np = (absorb_np[order], refl_np[order],
                                       det_np[order])
         axis_np, ret_np = axis_np[order], ret_np[order]
@@ -283,6 +292,7 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         mat=jnp.asarray(_p(mat_np, fill=int(Material.TERMINATOR)), jnp.int32),
         ior=jnp.asarray(_p(ior_np, fill=1.0), jnp.float32),
         ior_b=jnp.asarray(_p(iorb_np, fill=0.0), jnp.float32),
+        ior_c=jnp.asarray(_p(iorc_np, fill=0.0), jnp.float32),
         absorb=jnp.asarray(_p(absorb_np, fill=0.0), jnp.float32),
         reflectivity=jnp.asarray(_p(refl_np, fill=0.0), jnp.float32),
         detector_id=jnp.asarray(_p(det_np, fill=-1), jnp.int32),

@@ -25,6 +25,117 @@ class TestGlassModel:
         assert n(0.45) > n(0.65)  # normal dispersion: blue slower
 
 
+class TestSellmeierCatalog:
+    """Real catalog glasses: exact Sellmeier curves, published d-line
+    index / Abbe anchors, and the extended-Cauchy (lambda^-4) fit the
+    tracer consumes (GeoObject.dispersion_c)."""
+
+    # published Schott / Malitson values
+    ND = {"N-BK7": 1.5168, "N-SF10": 1.72828, "N-SF11": 1.7847,
+          "F2": 1.6200, "N-BAF10": 1.6700, "N-SK16": 1.6204,
+          "FUSED-SILICA": 1.4585}
+    VD = {"N-BK7": 64.17, "N-SF10": 28.53, "N-SF11": 25.68,
+          "F2": 36.37, "N-BAF10": 47.11, "N-SK16": 60.32,
+          "FUSED-SILICA": 67.8}
+
+    def test_catalog_dline_and_abbe_anchors(self):
+        from lightpycl_tpu.materials import SELLMEIER, sellmeier_index
+
+        for g in SELLMEIER:
+            n_d = sellmeier_index(D_LINE, g)
+            v_d = (n_d - 1.0) / (sellmeier_index(F_LINE, g)
+                                 - sellmeier_index(C_LINE, g))
+            assert n_d == pytest.approx(self.ND[g], abs=2e-4), g
+            assert v_d == pytest.approx(self.VD[g], rel=5e-3), g
+
+    def test_extended_cauchy_fit_quality(self):
+        from lightpycl_tpu.materials import (SELLMEIER, glass_from_sellmeier,
+                                             sellmeier_index)
+
+        wl = np.linspace(0.4, 0.7, 301)
+        wlc = np.linspace(0.48, 0.66, 181)
+        for g in SELLMEIER:
+            fit = glass_from_sellmeier(g)
+            n = (fit["ior"] + fit["dispersion_b"] / wl**2
+                 + fit["dispersion_c"] / wl**4)
+            assert np.abs(n - sellmeier_index(wl, g)).max() < 4.5e-4, g
+            fitc = glass_from_sellmeier(g, band=(0.48, 0.66))
+            nc = (fitc["ior"] + fitc["dispersion_b"] / wlc**2
+                  + fitc["dispersion_c"] / wlc**4)
+            assert np.abs(nc - sellmeier_index(wlc, g)).max() < 5e-5, g
+
+    def test_lambda4_term_beats_two_term_fit(self):
+        """The dispersion_c column must earn its keep: for a dense flint
+        the three-term fit is several times closer than the best
+        two-term (A, B) fit over the same band."""
+        from lightpycl_tpu.materials import glass_from_sellmeier, sellmeier_index
+
+        wl = np.linspace(0.4, 0.7, 301)
+        n_true = sellmeier_index(wl, "N-SF11")
+        fit3 = glass_from_sellmeier("N-SF11")
+        err3 = np.abs(fit3["ior"] + fit3["dispersion_b"] / wl**2
+                      + fit3["dispersion_c"] / wl**4 - n_true).max()
+        X2 = np.stack([np.ones_like(wl), wl**-2.0], axis=1)
+        coef2, *_ = np.linalg.lstsq(X2, n_true, rcond=None)
+        err2 = np.abs(X2 @ coef2 - n_true).max()
+        assert err3 < err2 / 4.0, (err3, err2)
+
+    def test_band_guard_raises(self):
+        from lightpycl_tpu.materials import glass_from_sellmeier
+
+        with pytest.raises(ValueError, match="residual"):
+            glass_from_sellmeier("N-SF11", band=(0.37, 1.6))
+
+    def test_device_oracle_parity_with_dispersion_c(self):
+        """dispersion_c threads through the device gather AND the f64
+        oracle identically (prism, tri-wavelength source)."""
+        from lightpycl_tpu.materials import glass_from_sellmeier
+
+        fit = glass_from_sellmeier("N-SF11")
+        prism = oe.prism(width=1.04, height=0.3, length=1.0, **fit)
+        assert prism.dispersion_c != 0.0
+        dome = L.optical_elements(24, 8).sphere(8.0, material="measure")
+        src = CollimatedSource(center=(0.3, -0.5, 0), direction=(0, 1, 0),
+                               diameter=0.05, ray_count=256, power=1.0,
+                               seed=8, wavelength=([0.43, 0.55, 0.68],
+                                                   [1, 2, 1]))
+        o, d, p = src.sample()
+        wl = src.sample_wavelengths()
+        res = Tracer().trace(src, [prism, dome], trace_iterations=6,
+                             rays=RayBatch.from_arrays(
+                                 o, d, p, wavelengths=wl, capacity=4096))
+        ora = trace_oracle([prism, dome], o, d, p, trace_iterations=6,
+                           wavelengths=wl)
+        assert res.ledger["measured"] == pytest.approx(ora["measured"],
+                                                       rel=1e-3)
+        assert res.power_conservation_error() < 1e-4
+
+    def test_lambda4_term_steers_the_trace(self):
+        """Teeth: zeroing dispersion_c on the same (A, B) visibly moves
+        the blue prism deviation — the term reaches the actual Snell
+        computation, not just the catalog math."""
+        from lightpycl_tpu.materials import glass_from_sellmeier
+
+        fit = glass_from_sellmeier("N-SF11")
+        dn = fit["dispersion_c"] / 0.43**4   # index shift at 0.43 um
+        assert abs(dn) > 5e-3
+
+        def top_dir(with_c):
+            f = dict(fit) if with_c else dict(fit, dispersion_c=0.0)
+            prism = oe.prism(width=1.04, height=0.3, length=1.0, **f)
+            dome = L.optical_elements(24, 8).sphere(8.0, material="measure")
+            src = CollimatedSource(center=(0.3, -0.5, 0),
+                                   direction=(0, 1, 0), diameter=0.05,
+                                   ray_count=64, power=1.0, seed=9,
+                                   wavelength=0.43)
+            res = Tracer().trace(src, [prism, dome], trace_iterations=6,
+                                 capacity=1024)
+            return res.measured_dir[res.measured_power.argmax()]
+
+        ang = np.arccos(np.clip(top_dir(True) @ top_dir(False), -1, 1))
+        assert ang > 2e-3  # milliradians-scale steering, well resolved
+
+
 def _trace_prism(wavelength, backend="jnp"):
     """Narrow beam entering the prism base at normal incidence, exiting
     through the inclined face; returns the power-weighted mean direction of
