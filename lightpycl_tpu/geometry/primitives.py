@@ -348,6 +348,92 @@ class OpticalElements:
         return GeoObject(V, T, Material.REFRACTIVE, ior, **kw).translate(center)
 
 
+    def zernike_mirror(self, aperture: float, coeffs: dict,
+                       reflectivity: float = 0.98, center=(0, 0, 0),
+                       **kw) -> GeoObject:
+        """Freeform mirror: sag z(rho, theta) = sum_j c_j Z_j(rho/a, theta)
+        over the circular aperture (radius a = aperture/2), with Z_j the
+        Noll-indexed, Noll-NORMALIZED Zernike polynomials of
+        analysis.zernike_value — the same convention analysis.zernike_fit
+        recovers, so design and measurement speak one language.
+
+        `coeffs` maps Noll index -> coefficient in scene length units
+        (each coefficient IS its term's RMS surface deviation). Extension
+        beyond the reference's rotationally-symmetric factory (SURVEY.md
+        §3 'Primitive mesh factory'): freeform/off-axis optics.
+        Example: {2: 1e-3} tilts the surface; {4: c} focuses at
+        f = a^2 / (8 sqrt(3) c) (tests/test_freeform.py)."""
+        a = aperture / 2.0
+        sag = _zernike_sag_fn(coeffs, a)
+        rows = [(r, sag) for r in np.linspace(a, 0.0, self.n_radial + 1)]
+        V, T = _revolve_rows(rows, self.n_segments)
+        return GeoObject(V, T, Material.MIRROR, 1.0,
+                         reflectivity=reflectivity, **kw).translate(center)
+
+    def zernike_plate(self, aperture: float, thickness: float,
+                      coeffs: dict, ior: float = 1.5, center=(0, 0, 0),
+                      **kw) -> GeoObject:
+        """Refractive window with a flat front disc at z = 0 and a
+        freeform back surface z = thickness + sum_j c_j Z_j(rho/a, theta)
+        (Noll-normalized, like zernike_mirror). A thin plate imprints the
+        wavefront error W ~= (n - 1) sag onto a transmitted beam, so
+        analysis.zernike_fit on the traced OPL recovers (n-1) * coeffs —
+        the closed design->trace->measure loop tests/test_freeform.py
+        pins. Phase plates, corrector plates, deliberate-aberration test
+        optics."""
+        a = aperture / 2.0
+        sag = _zernike_sag_fn(coeffs, a)
+        phi_probe = np.linspace(0.0, 2.0 * np.pi, 256)
+        rim = sag(a * np.cos(phi_probe), a * np.sin(phi_probe))
+        if thickness + rim.min() <= 0.0:
+            raise ValueError(
+                "freeform back surface dips through the front plane at "
+                "the rim: increase thickness or shrink the coefficients")
+        front = [(r, 0.0) for r in np.linspace(0.0, a, self.n_radial + 1)]
+        back = [(r, lambda x, y, r=r: thickness + sag(x, y))
+                for r in np.linspace(a, 0.0, self.n_radial + 1)]
+        V, T = _revolve_rows(front + back, self.n_segments)
+        return GeoObject(V, T, Material.REFRACTIVE, ior,
+                         **kw).translate(center)
+
+
+def _zernike_sag_fn(coeffs: dict, a: float):
+    """sag(x, y) = sum_j c_j Z_j(rho/a, theta) as a vectorized callable
+    (Noll indices/normalization from analysis.zernike_value)."""
+    from lightpycl_tpu.analysis import zernike_value
+
+    items = sorted((int(j), float(c)) for j, c in coeffs.items())
+    if not items or items[0][0] < 1:
+        raise ValueError("coeffs: {noll_index (>= 1): coefficient}")
+
+    def sag(x, y):
+        rho = np.hypot(x, y) / a
+        theta = np.arctan2(y, x)
+        z = np.zeros_like(rho)
+        for j, c in items:
+            z = z + c * zernike_value(j, rho, theta)
+        return z
+
+    return sag
+
+
+def _revolve_rows(rows, n_segments: int):
+    """Like revolve_profile, but each row's z may be a callable z(x, y)
+    (freeform surfaces: z varies with azimuth). rows = [(r, z), ...]
+    ordered like a revolve profile ("bottom to top" for outward
+    normals); r == 0 rows weld to poles."""
+    phi = np.linspace(0.0, 2.0 * np.pi, n_segments, endpoint=False)
+    M = len(rows)
+    verts = np.empty((n_segments, M, 3))
+    for k, (r, z) in enumerate(rows):
+        x, y = np.cos(phi) * r, np.sin(phi) * r
+        verts[:, k, 0] = x
+        verts[:, k, 1] = y
+        verts[:, k, 2] = z(x, y) if callable(z) else z
+    tris = _grid_triangles(n_segments, M, wrap_u=True)
+    return _weld(verts.reshape(-1, 3), tris)
+
+
 def optical_elements(n_segments: int = 64, n_radial: int = 16) -> OpticalElements:
     """Reference-shaped constructor (geo_optical_elements.optical_elements)."""
     return OpticalElements(n_segments=n_segments, n_radial=n_radial)
