@@ -18,6 +18,22 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; force the CPU backend explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Harden against rare XLA-CPU compiler segfaults on the largest modules
+# late in long sessions (observed twice at ~90% of the full suite, both
+# in trace_spectral's compile; the same test passes standalone):
+# (a) raise the stack limit before the compiler's worker threads spawn,
+# (b) persistent compile cache so repeat runs skip the big compiles
+#     entirely (also a large suite-time win).
+import resource  # noqa: E402
+
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
+jax.config.update("jax_compilation_cache_dir", "/tmp/lpcl_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
