@@ -37,6 +37,7 @@ SMALL = {
     "example_white_led.py": {"RAY_COUNT": "6000"},
     "example_rough_mirror.py": {"RAY_COUNT": "8000"},
     "example_grin.py": {"RAY_COUNT": "1000"},
+    "example_schmidt.py": {"RAY_COUNT": "1500"},
     # sized for the CPU jnp fallback; on TPU bump via env before running
     "example_large_mesh.py": {"TOTAL_RAYS": "200000", "BATCH": "100000",
                               "MESH_SEGMENTS": "48",

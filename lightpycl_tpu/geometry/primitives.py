@@ -291,6 +291,20 @@ class OpticalElements:
             V, T, Material.MIRROR, 1.0, reflectivity=reflectivity, **kw
         ).translate(center)
 
+    def spherical_mirror(self, r: float, diameter: float,
+                         reflectivity: float = 0.98, center=(0, 0, 0),
+                         **kw) -> GeoObject:
+        """Spherical cap mirror: vertex at the origin, center of
+        curvature at (0, 0, r) — r > 0 is concave toward +z (paraxial
+        focus at r/2, with the classic marginal-ray spherical
+        aberration the Schmidt corrector exists to cancel —
+        examples/example_schmidt.py)."""
+        a = diameter / 2.0
+        prof = _cap_profile(r, a, 0.0, self.n_radial)[::-1]
+        V, T = revolve_profile(prof, self.n_segments)
+        return GeoObject(V, T, Material.MIRROR, 1.0,
+                         reflectivity=reflectivity, **kw).translate(center)
+
     def spherical_lens(self, r1, r2, aperture: float, thickness: float,
                        ior: float = 1.5, center=(0, 0, 0), **kw) -> GeoObject:
         """Spherical lens on the z axis: front vertex at z=0, back vertex at

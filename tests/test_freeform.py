@@ -118,6 +118,51 @@ class TestZernikePlate:
         for j in (5, 8, 9, 10):
             assert abs(fit["coeffs"][j - 1]) < 1e-5, j
 
+    def test_null_corrector_iteration_converges(self):
+        """Schmidt-style closed loop (compact version of
+        examples/example_schmidt.py): fit a fast singlet's traced
+        wavefront, subtract it from a corrector plate's sag, iterate.
+        Three Newton steps must cut the high-order RMS >= 4x even
+        though pupil distortion makes each single shot land only
+        ~60-90%. Mesh density matters here: at n_radial=32 the plate's
+        rho^6 (secondary-spherical) sag aliases into rho^4 and the
+        Newton loop oscillates — 48 rings resolve it."""
+        D, n_g = 0.5, 1.5
+        oe = L.optical_elements(n_segments=96, n_radial=48)
+        lens = oe.plano_convex_lens(r=0.5, aperture=0.6, thickness=0.1,
+                                    ior=n_g)
+        screen = oe.disc(radius=0.3, center=(0, 0, 0.25),
+                         material="measure", name="screen")
+        src = CollimatedSource(center=(0, 0, -1.0), direction=(0, 0, 1),
+                               diameter=D, power=1.0, ray_count=800,
+                               seed=4)
+        state = {"radius": None}
+
+        def fit_w(els):
+            res = Tracer().trace(src, els, trace_iterations=8,
+                                 capacity=12800)
+            opl, pw = res.measured_opl, res.measured_power
+            direct = opl < opl.min() + 0.012
+            xy = res.measured_pos[direct][:, :2]
+            if state["radius"] is None:
+                state["radius"] = float(np.hypot(xy[:, 0], xy[:, 1]).max())
+            return zernike_fit(xy, opl[direct], n_terms=22,
+                               powers=pw[direct],
+                               radius=state["radius"])["coeffs"]
+
+        c = fit_w([lens, screen])
+        rms0 = float(np.hypot.reduce(c[4:]))
+        assert rms0 > 5e-5              # the singlet really is aberrated
+        sag = {j: 0.0 for j in range(5, 23)}
+        for _ in range(3):
+            for j in sag:
+                sag[j] -= float(c[j - 1]) / (n_g - 1.0)
+            corr = oe.zernike_plate(aperture=D, thickness=0.01,
+                                    coeffs=sag, ior=n_g,
+                                    center=(0, 0, -0.4))
+            c = fit_w([corr, lens, screen])
+        assert float(np.hypot.reduce(c[4:])) < rms0 / 4.0
+
     def test_rim_dip_validation(self):
         oe = L.optical_elements()
         with pytest.raises(ValueError, match="rim"):
