@@ -158,3 +158,73 @@ class TestHexapolar:
         _, dd, _ = cs.rays_on_device(jax.random.key(5))
         norms = np.linalg.norm(np.asarray(dd, np.float64), axis=1)
         np.testing.assert_allclose(norms, 1.0, atol=2e-6)
+
+
+class TestHalton:
+    """Quasi-Monte Carlo (low-discrepancy) sampling: sampling='halton'
+    (extension; the reference samples pseudo-randomly only)."""
+
+    def test_radical_inverse_exact(self):
+        from lightpycl_tpu.sources import halton_sequence
+
+        np.testing.assert_allclose(
+            halton_sequence(7, 2),
+            [1 / 2, 1 / 4, 3 / 4, 1 / 8, 5 / 8, 3 / 8, 7 / 8])
+        np.testing.assert_allclose(
+            halton_sequence(4, 3), [1 / 3, 2 / 3, 1 / 9, 4 / 9])
+
+    def test_collimated_deterministic_and_low_discrepancy(self):
+        n = 4096
+        qmc = CollimatedSource(diameter=1.0, ray_count=n,
+                               sampling="halton")
+        o1, _, p1 = qmc.sample()
+        o2, _, _ = qmc.sample()
+        np.testing.assert_array_equal(o1, o2)        # no RNG at all
+        assert p1.sum() == pytest.approx(1.0)
+        r = np.linalg.norm(o1[:, :2], axis=1)
+        assert (r <= 0.5).all()
+        # the QMC win: aperture-averaged moments beat 1/sqrt(n) by far
+        rnd, _, _ = CollimatedSource(diameter=1.0, ray_count=n,
+                                     seed=7).sample()
+        err_qmc = np.abs(o1[:, :2].mean(0)).max()
+        err_rnd = np.abs(rnd[:, :2].mean(0)).max()
+        assert err_qmc < 5e-4
+        assert err_qmc < err_rnd / 5.0
+        assert (r**2).mean() == pytest.approx(0.125, abs=1e-3)
+
+    def test_collimated_on_device_matches_host(self):
+        cs = CollimatedSource(diameter=2.0, ray_count=128,
+                              sampling="halton")
+        oh, dh, _ = cs.sample()
+        od, dd, _ = cs.rays_on_device(jax.random.key(3))
+        np.testing.assert_allclose(np.asarray(od), oh, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dd), dh, atol=1e-6)
+
+    def test_divergence_cone_halton(self):
+        cs = CollimatedSource(diameter=0.5, ray_count=4096,
+                              divergence=0.2, sampling="halton")
+        _, d, _ = cs.sample()
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0,
+                                   atol=1e-12)
+        cz = d[:, 2]
+        assert (cz >= np.cos(0.2) - 1e-12).all()
+        # uniform-in-cap: mean cos = (1 + cos(mx)) / 2, QMC-tight
+        assert cz.mean() == pytest.approx((1 + np.cos(0.2)) / 2, abs=5e-5)
+
+    def test_area_source_halton(self):
+        from lightpycl_tpu.sources import AreaSource
+
+        a = AreaSource(radius=0.5, ray_count=4096, sampling="halton")
+        o1, d1, p1 = a.sample()
+        o2, _, _ = a.sample()
+        np.testing.assert_array_equal(o1, o2)
+        assert p1.sum() == pytest.approx(1.0)
+        # lambertian: mean cos = 2/3, QMC-tight; surface mean centered
+        assert d1[:, 2].mean() == pytest.approx(2 / 3, abs=1e-3)
+        assert np.abs(o1[:, :2].mean(0)).max() < 5e-4
+        # device path honors the same deterministic stream
+        od, dd, _ = a.rays_on_device(jax.random.key(2))
+        np.testing.assert_allclose(np.asarray(od), o1, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(dd), d1, atol=5e-6)
+        with pytest.raises(ValueError, match="sampling"):
+            AreaSource(sampling="sobol").sample()
