@@ -218,6 +218,23 @@ class CollimatedSource:
     #   disc coverage — aperture-averaged quantities converge ~(log n)/n
     #   instead of 1/sqrt(n), and the divergence cone (if any) draws from
     #   the same Halton stream (bases 5, 7)
+    profile: str = "uniform"  # or 'gaussian': TEM00 laser intensity
+    #   exp(-2 r^2 / waist^2), truncated at the aperture. Equal-power
+    #   rays with inverse-CDF radii under 'random'/'halton'; under
+    #   'hexapolar' the grid positions stay and the POWERS carry the
+    #   profile (spot-diagram layout with true apodization)
+    waist: float = 0.0  # 1/e^2 intensity radius [len]; required > 0 for
+    #   profile='gaussian'
+
+    def _gauss_radii(self, r, xp):
+        """Remap uniform-disc radii to the truncated-Gaussian profile by
+        inverse CDF: P(<r) = (1 - e^{-2 r^2/w^2}) / (1 - e^{-2 a^2/w^2})."""
+        if self.waist <= 0.0:
+            raise ValueError("profile='gaussian' needs waist > 0")
+        a = self.diameter / 2.0
+        u = (r / a) ** 2                     # the underlying uniform variate
+        cap = 1.0 - xp.exp(-2.0 * (a / self.waist) ** 2)
+        return self.waist * xp.sqrt(-xp.log1p(-u * cap) / 2.0)
 
     def _hexapolar(self, n):
         """Deterministic (r, phi) hexapolar grid covering the aperture:
@@ -251,6 +268,17 @@ class CollimatedSource:
             phi = rng.uniform(0.0, 2.0 * np.pi, n)
         else:
             raise ValueError(f"unknown sampling {self.sampling!r}")
+        powers = np.full(n, self.power / n)
+        if self.profile == "gaussian":
+            if self.sampling == "hexapolar":
+                if self.waist <= 0.0:
+                    raise ValueError("profile='gaussian' needs waist > 0")
+                wgt = np.exp(-2.0 * r**2 / self.waist**2)
+                powers = self.power * wgt / wgt.sum()
+            else:
+                r = self._gauss_radii(r, np)
+        elif self.profile != "uniform":
+            raise ValueError(f"unknown profile {self.profile!r}")
         F = _frame(self.direction)
         u, v, w = F
         origins = (
@@ -270,7 +298,6 @@ class CollimatedSource:
             dirs = dloc @ F
         else:
             dirs = np.broadcast_to(w, (n, 3)).copy()
-        powers = np.full(n, self.power / n)
         return origins, dirs, powers
 
     def sample_wavelengths(self, rng: Optional[np.random.Generator] = None,
@@ -299,6 +326,17 @@ class CollimatedSource:
                                      maxval=2.0 * jnp.pi)
         else:
             raise ValueError(f"unknown sampling {self.sampling!r}")
+        powers = jnp.full((n,), self.power / n, jnp.float32)
+        if self.profile == "gaussian":
+            if self.sampling == "hexapolar":
+                if self.waist <= 0.0:
+                    raise ValueError("profile='gaussian' needs waist > 0")
+                wgt = jnp.exp(-2.0 * r * r / jnp.float32(self.waist**2))
+                powers = self.power * wgt / jnp.sum(wgt)
+            else:
+                r = self._gauss_radii(r, jnp)
+        elif self.profile != "uniform":
+            raise ValueError(f"unknown profile {self.profile!r}")
         F = jnp.asarray(_frame(self.direction), dtype=jnp.float32)
         u, v, w = F[0], F[1], F[2]
         origins = (
@@ -307,13 +345,22 @@ class CollimatedSource:
             + r[:, None] * jnp.sin(phi)[:, None] * v
         )
         if self.divergence > 0.0:
-            # uniform in the divergence cone, same physics as sample().
+            # same physics as sample(); halton reuses the deterministic
+            # stream (bases 5, 7) so host and device emit identical rays.
             # NOTE: built elementwise, not `dloc @ F` — TPU matmuls default
             # to bf16 operand truncation (CLAUDE.md precision rule)
-            z = jax.random.uniform(k3, (n,), minval=jnp.cos(self.divergence),
-                                   maxval=1.0)
-            ph = jax.random.uniform(k4, (n,), minval=0.0,
-                                    maxval=2.0 * jnp.pi)
+            if self.sampling == "halton":
+                z = jnp.asarray(1.0 - halton_sequence(n, 5)
+                                * (1.0 - np.cos(self.divergence)),
+                                jnp.float32)
+                ph = jnp.asarray(2.0 * np.pi * halton_sequence(n, 7),
+                                 jnp.float32)
+            else:
+                z = jax.random.uniform(k3, (n,),
+                                       minval=jnp.cos(self.divergence),
+                                       maxval=1.0)
+                ph = jax.random.uniform(k4, (n,), minval=0.0,
+                                        maxval=2.0 * jnp.pi)
             s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
             dirs = (
                 (s * jnp.cos(ph))[:, None] * u
@@ -322,7 +369,6 @@ class CollimatedSource:
             ).astype(jnp.float32)
         else:
             dirs = jnp.broadcast_to(w, (n, 3))
-        powers = jnp.full((n,), self.power / n, jnp.float32)
         return origins.astype(jnp.float32), dirs, powers
 
 

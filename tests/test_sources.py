@@ -228,3 +228,59 @@ class TestHalton:
         np.testing.assert_allclose(np.asarray(dd), d1, atol=5e-6)
         with pytest.raises(ValueError, match="sampling"):
             AreaSource(sampling="sobol").sample()
+
+
+class TestGaussianProfile:
+    """TEM00 laser apodization: profile='gaussian' (extension; the
+    reference's collimated source is uniform only)."""
+
+    def test_encircled_power_matches_truncated_gaussian(self):
+        w, a = 0.4, 0.5
+        cs = CollimatedSource(diameter=2 * a, ray_count=8192,
+                              sampling="halton", profile="gaussian",
+                              waist=w)
+        o, _, p = cs.sample()
+        r = np.linalg.norm(o[:, :2], axis=1)
+        assert (r <= a + 1e-12).all()
+        assert p.sum() == pytest.approx(1.0)
+        # encircled power within r0: (1-e^{-2r0^2/w^2}) / (1-e^{-2a^2/w^2})
+        cap = 1.0 - np.exp(-2.0 * (a / w) ** 2)
+        for r0 in (0.1, 0.25, 0.4):
+            want = (1.0 - np.exp(-2.0 * (r0 / w) ** 2)) / cap
+            got = p[r < r0].sum()
+            assert got == pytest.approx(want, abs=2e-3), r0
+
+    def test_hexapolar_gaussian_weights_powers(self):
+        w = 0.3
+        cs = CollimatedSource(diameter=1.0, ray_count=200,
+                              sampling="hexapolar", profile="gaussian",
+                              waist=w)
+        o, _, p = cs.sample()
+        r = np.linalg.norm(o[:, :2], axis=1)
+        assert p.sum() == pytest.approx(1.0)
+        # power ratio of two rays = intensity ratio at their radii
+        i, j = r.argmin(), r.argmax()
+        want = np.exp(-2.0 * (r[i] ** 2 - r[j] ** 2) / w**2)
+        assert p[i] / p[j] == pytest.approx(want, rel=1e-6)
+
+    def test_device_matches_host(self):
+        cs = CollimatedSource(diameter=1.0, ray_count=256,
+                              sampling="halton", profile="gaussian",
+                              waist=0.3)
+        oh, dh, ph = cs.sample()
+        od, dd, pd = cs.rays_on_device(jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(od), oh, atol=5e-6)
+        np.testing.assert_allclose(np.asarray(pd), ph, atol=1e-9)
+
+    def test_halton_divergence_device_matches_host(self):
+        cs = CollimatedSource(diameter=1.0, ray_count=256,
+                              sampling="halton", divergence=0.15)
+        oh, dh, _ = cs.sample()
+        od, dd, _ = cs.rays_on_device(jax.random.key(1))
+        np.testing.assert_allclose(np.asarray(dd), dh, atol=5e-6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="waist"):
+            CollimatedSource(profile="gaussian").sample()
+        with pytest.raises(ValueError, match="profile"):
+            CollimatedSource(profile="tophat").sample()
