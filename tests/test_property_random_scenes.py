@@ -40,6 +40,12 @@ def random_scene(rng):
             ior=rng.uniform(1.3, 1.8)))(rng.uniform(0.6, 1.5)),
         lambda: oe.cube(rng.uniform(0.3, 0.8), material="refractive",
                         ior=rng.uniform(1.3, 1.8)),
+        # extended-Cauchy catalog glass (r3): the lambda^-2 AND lambda^-4
+        # dispersion columns reach both the device gather and the oracle
+        lambda: oe.cube(rng.uniform(0.3, 0.8), material="refractive",
+                        ior=rng.uniform(1.3, 1.8),
+                        dispersion_b=rng.uniform(0.002, 0.02),
+                        dispersion_c=rng.uniform(-3e-4, 8e-4)),
         # coated window: 1-3 random thin-film layers (exercises the
         # multilayer Airy recursion vs the oracle's matrix ladder on
         # arbitrary geometry/angles)
@@ -139,6 +145,7 @@ def test_random_dispersive_spectral_ledger_closes(seed):
         rng.uniform(0.3, 0.8), material="refractive",
         ior=rng.uniform(1.4, 1.8))
     glass.dispersion_b = float(rng.uniform(0.005, 0.02))
+    glass.dispersion_c = float(rng.uniform(-3e-4, 8e-4))
     glass.rotate(rng.normal(size=3) + 1e-3, rng.uniform(0, np.pi))
     els.insert(0, glass)
     src = random_source(rng)
