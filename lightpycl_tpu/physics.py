@@ -418,6 +418,27 @@ def grin_selfoc_step(r0, d0, h, center, axis, n0, a):
     return r1, d1, n_end, opl_inc
 
 
+def parallel_transport(v, d0, d1):
+    """Levi-Civita (minimal-rotation) transport of a frame vector along a
+    direction change d0 -> d1 (all (C, 3), directions unit): applies the
+    rotation about d0 x d1 that maps d0 onto d1, in the trig-free
+    double-reflection form
+
+        v' = v - (v.(d0+d1) / (1 + d0.d1)) (d0+d1) + 2 (v.d0) d1.
+
+    For v perpendicular to d0 this is the parallel transport of the
+    polarization frame along a curved ray (no rotation about the ray
+    axis); composing steps along a skew path accumulates the geometric
+    (Rytov) rotation, which tests/test_grin.py pins against the
+    2 pi (1 - cos alpha) solid-angle law on a SELFOC helix. Guarded
+    against the antiparallel singularity (unreachable for the small
+    per-step turning angles the engine produces)."""
+    s = d0 + d1
+    den = jnp.maximum(1.0 + dot(d0, d1), 1e-6)
+    return (v - (dot(v, s) / den)[:, None] * s
+            + 2.0 * dot(v, d0)[:, None] * d1)
+
+
 def _fresnel_interface_c(eta_a, eta_b):
     """Complex interface amplitude (eta_a - eta_b) / (eta_a + eta_b)."""
     one = jnp.complex64(1.0)

@@ -554,11 +554,9 @@ class Tracer:
 
             pitch = 2.0 * math.pi / math.sqrt(max(grin_as))
             cfg = cfg.replace(grin_step=pitch / 50.0)
-        if has_gr and cfg.polarization:
-            raise ValueError(
-                "GRIN propagation does not yet parallel-transport the "
-                "Stokes frame along curved rays: polarization=True with "
-                "GRIN elements is unsupported")
+        # polarization=True composes with GRIN since round 3: the frame
+        # is Levi-Civita-transported along each curved step (step.py),
+        # reproducing the geometric Rytov rotation on skew rays
         return cfg
 
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:

@@ -571,8 +571,20 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         r_g, d_g, n_g, opl_g = physics.grin_selfoc_step(
             rays.o, rays.d, t_draw, scene.grin_center[gmid],
             scene.grin_axis[gmid], scene.grin_n0[gmid], g_a)
+        if cfg.polarization:
+            # Levi-Civita transport of the polarization frame along the
+            # curved step: the s-direction rides the minimal rotation
+            # d -> d_g; Stokes fractions are untouched (no rotation
+            # about the ray — skew-path Rytov rotation emerges from the
+            # composition of steps)
+            basis_g = physics.parallel_transport(rays.basis, rays.d, d_g)
+            basis_g = basis_g - physics.dot(basis_g, d_g)[:, None] * d_g
+            basis_g = basis_g / jnp.maximum(
+                jnp.linalg.norm(basis_g, axis=1, keepdims=True), 1e-20)
+        else:
+            basis_g = None
     else:
-        in_grin = is_gstep = None
+        in_grin = is_gstep = basis_g = None
     hit_point = rays.o + t_draw[:, None] * rays.d
     # optical path length through the segment just traveled (n * length);
     # both children inherit it (same hit point)
@@ -766,10 +778,15 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     if cfg.polarization:
         # Stokes-Mueller path: rotate the frame into the incidence plane,
         # apply the polarized Fresnel/TIR Mueller split, re-derive the
-        # children's powers and Stokes fractions (see physics.py)
-        s_dir = physics.incidence_s_direction(rays.d, sn["n"], rays.basis)
-        cos_phi = physics.dot(rays.basis, s_dir)
-        sin_phi = physics.dot(jnp.cross(rays.basis, s_dir), rays.d)
+        # children's powers and Stokes fractions (see physics.py). Lanes
+        # arriving through a GRIN medium use the curve-propagated
+        # incident direction and the parallel-transported frame
+        b_pol = rays.basis
+        if in_grin is not None and basis_g is not None:
+            b_pol = jnp.where(in_grin[:, None], basis_g, rays.basis)
+        s_dir = physics.incidence_s_direction(d_inc, sn["n"], b_pol)
+        cos_phi = physics.dot(b_pol, s_dir)
+        sin_phi = physics.dot(jnp.cross(b_pol, s_dir), d_inc)
         s1f, s2f = physics.rotate_stokes(rays.s1, rays.s2, cos_phi, sin_phi)
         S = (live_p, s1f * live_p, s2f * live_p, rays.s3 * live_p)
         (r0, r1, r2, r3), (t0, t1, t2, t3) = physics.polarized_split(
@@ -807,13 +824,13 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # polarizer / waveplate: rotate the Stokes frame onto the element's
         # transmission / fast axis projected perpendicular to the ray
         ax = attrs["axis"]
-        ax_perp = ax - physics.dot(ax, rays.d)[:, None] * rays.d
+        ax_perp = ax - physics.dot(ax, d_inc)[:, None] * d_inc
         ax_len = jnp.linalg.norm(ax_perp, axis=1, keepdims=True)
         ax_ok = ax_len[:, 0] > 1e-6
         ax_perp = jnp.where(ax_ok[:, None],
-                            ax_perp / jnp.maximum(ax_len, 1e-20), rays.basis)
-        cos_e = physics.dot(rays.basis, ax_perp)
-        sin_e = physics.dot(jnp.cross(rays.basis, ax_perp), rays.d)
+                            ax_perp / jnp.maximum(ax_len, 1e-20), b_pol)
+        cos_e = physics.dot(b_pol, ax_perp)
+        sin_e = physics.dot(jnp.cross(b_pol, ax_perp), d_inc)
         e1f, e2f = physics.rotate_stokes(rays.s1, rays.s2, cos_e, sin_e)
         f_pol = 0.5 * (1.0 + e1f)          # Malus: ideal linear polarizer
         delta = attrs["retardance"]        # linear retarder about fast axis
@@ -948,6 +965,16 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         pa = jnp.where(is_gstep, live_p, pa)
         da = jnp.where(is_gstep[:, None], d_g, da)
         a_ior = jnp.where(is_gstep, n_g, a_ior)
+        if cfg.polarization and basis_g is not None:
+            # the mid-medium continuation carries the transported frame,
+            # and the Stokes components stay UNROTATED relative to it
+            # (parallel transport = no rotation about the ray; the
+            # default child chain above had rotated them into the
+            # surface s_dir frame, which is meaningless mid-medium)
+            new_basis = jnp.where(is_gstep[:, None], basis_g, new_basis)
+            a_s1 = jnp.where(is_gstep, rays.s1, a_s1)
+            a_s2 = jnp.where(is_gstep, rays.s2, a_s2)
+            a_s3 = jnp.where(is_gstep, rays.s3, a_s3)
     if cfg.has_gratings:
         # order m keeps (1 - g0) of the diffracted-side power (slot A);
         # the specular 0th-order leak g0 goes to slot B. Evanescent order

@@ -331,6 +331,128 @@ class TestAnalyticPropagator:
                                    rtol=2e-2)
 
 
+class TestPolarizedGrin:
+    """Polarization through curved GRIN rays: the s-direction frame is
+    Levi-Civita (minimal-rotation) parallel-transported along each step
+    (physics.parallel_transport). Anchors: transport algebra, energy
+    conservation, and the geometric (Rytov) rotation of a skew helical
+    ray — polarization rotates by the solid angle 2 pi (1 - cos alpha)
+    swept by the direction cone per helix turn, the classic GRIN-fiber
+    effect."""
+
+    def test_transport_algebra(self):
+        import jax.numpy as jnp
+
+        from lightpycl_tpu.physics import parallel_transport
+
+        rng = np.random.default_rng(2)
+        d0 = rng.normal(size=(64, 3))
+        d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+        # small random turns (like GRIN steps)
+        d1 = d0 + 0.05 * rng.normal(size=(64, 3))
+        d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+        v = np.cross(d0, rng.normal(size=(64, 3)))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        j = lambda x: jnp.asarray(x, jnp.float32)
+        out = np.asarray(parallel_transport(j(v), j(d0), j(d1)))
+        # maps the tangent onto the new tangent; preserves norm and
+        # perpendicularity
+        d_map = np.asarray(parallel_transport(j(d0), j(d0), j(d1)))
+        np.testing.assert_allclose(d_map, d1, atol=1e-6)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
+                                   atol=1e-5)
+        np.testing.assert_allclose((out * d1).sum(1), 0.0, atol=1e-5)
+
+    def test_planar_curve_zero_holonomy(self):
+        """Transport around a closed PLANAR direction loop returns the
+        frame unchanged (zero enclosed solid angle) — the property that
+        keeps meridional-ray polarization fixed."""
+        import jax.numpy as jnp
+
+        from lightpycl_tpu.physics import parallel_transport
+
+        th = np.linspace(0.0, 2.0 * np.pi, 181)
+        v = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)  # out of plane
+        w = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)  # in plane
+        for i in range(len(th) - 1):
+            d0 = jnp.asarray([[np.sin(th[i]), 0.0, np.cos(th[i])]],
+                             jnp.float32)
+            d1 = jnp.asarray([[np.sin(th[i + 1]), 0.0, np.cos(th[i + 1])]],
+                             jnp.float32)
+            v = parallel_transport(v, d0, d1)
+            w = parallel_transport(w, d0, d1)
+        np.testing.assert_allclose(np.asarray(v), [[0.0, 1.0, 0.0]],
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(w), [[1.0, 0.0, 0.0]],
+                                   atol=2e-4)
+
+    @staticmethod
+    def _helix_trace(n_turns, alpha, stokes):
+        """Launch one external ray that refracts into an exact SELFOC
+        helix of cone angle `alpha`, through a rod of exactly n_turns
+        helix pitches; measure on a screen past the exit face."""
+        s, c = np.sin(alpha), np.cos(alpha)
+        n_loc = N0 / np.sqrt(1.0 + s * s)     # helix: n^2 (1+s^2) = n0^2
+        rho0 = s / (np.sqrt(A) * np.sqrt(1.0 + s * s))
+        vz = n_loc * c
+        length = n_turns * 2.0 * np.pi * vz / (N0 * np.sqrt(A))
+        sin_ext = n_loc * s                   # entry Snell at the flat face
+        cos_ext = np.sqrt(1.0 - sin_ext**2)
+        z0 = 1.0
+        origin = (rho0, -z0 * sin_ext / cos_ext, 0.0)
+        oe = L.optical_elements()
+        rod = oe.cube((1.2, 1.2, length), center=(0, 0, z0 + length / 2),
+                      material="refractive", ior=N0, grin_a=A,
+                      axis=(0, 0, 1), grin_center=(0, 0, z0))
+        screen = oe.rectangle(width=10.0, depth=10.0,
+                              center=(0, 0, z0 + length + GAP),
+                              material="measure", name="exit")
+        world = oe.sphere(radius=30.0, material="measure", name="world")
+        src = CollimatedSource(center=origin, direction=(0, sin_ext, cos_ext),
+                               diameter=1e-6, power=1.0, ray_count=1,
+                               stokes=stokes)
+        iters = int(length / (np.pi / np.sqrt(A) / 50.0)) + 20
+        res = Tracer(TraceConfig(polarization=True)).trace(
+            src, [rod, screen, world], trace_iterations=iters, capacity=64)
+        assert res.power_conservation_error() < 1e-4
+        sel = res.measured_det == 0
+        k = int(np.argmax(res.measured_power[sel]))
+        return (res.measured_dir[sel][k], res.measured_stokes[sel][k],
+                res.measured_pos[sel][k])
+
+    def test_rytov_rotation_on_skew_helix(self):
+        """One extra helix turn rotates the linear-polarization axis by
+        the solid angle 2 pi (1 - cos alpha) of the direction cone. The
+        exit geometry (position, direction, s-frame) is identical for 1
+        and 2 turns, so the angle DIFFERENCE isolates the geometric
+        rotation from entry/exit Fresnel effects."""
+        alpha = np.deg2rad(25.0)
+        d1, st1, p1 = self._helix_trace(1, alpha, (1.0, 0.0, 0.0))
+        d2, st2, p2 = self._helix_trace(2, alpha, (1.0, 0.0, 0.0))
+        # identical exit geometry (full turns return to the entry azimuth)
+        np.testing.assert_allclose(d1, d2, atol=2e-3)
+        np.testing.assert_allclose(p1[:2], p2[:2], atol=2e-3)
+        th1 = 0.5 * np.arctan2(st1[1], st1[0])
+        th2 = 0.5 * np.arctan2(st2[1], st2[0])
+        dth = (th2 - th1 + np.pi / 2) % np.pi - np.pi / 2
+        want = 2.0 * np.pi * (1.0 - np.cos(alpha))
+        assert abs(abs(dth) - want) < 0.05 * want, (dth, want)
+
+    def test_meridional_polarization_preserved(self):
+        """A meridional (planar-curve) path carries zero geometric
+        rotation: 1 vs 2 half-pitch meridional bounces leave the linear
+        axis unchanged (the control experiment for the helix)."""
+        d1, st1, _ = self._helix_trace(1, np.deg2rad(25.0), (0.0, 1.0, 0.0))
+        # 45-degree linear input on the SAME helix: the rotation must be
+        # input-angle-independent (geometric, not diattenuation)
+        d2, st2, _ = self._helix_trace(2, np.deg2rad(25.0), (0.0, 1.0, 0.0))
+        th1 = 0.5 * np.arctan2(st1[1], st1[0])
+        th2 = 0.5 * np.arctan2(st2[1], st2[0])
+        dth = (th2 - th1 + np.pi / 2) % np.pi - np.pi / 2
+        want = 2.0 * np.pi * (1.0 - np.cos(np.deg2rad(25.0)))
+        assert abs(abs(dth) - want) < 0.07 * want, (dth, want)
+
+
 class TestPlumbing:
     def test_deterministic_no_rng(self):
         cfg = TraceConfig()
@@ -375,9 +497,11 @@ class TestPlumbing:
         with pytest.raises(ValueError, match="replicated"):
             Tracer().trace(src, els, trace_iterations=4, capacity=256,
                            mode="mesh2d", mesh=make_mesh2d(2, 4))
-        with pytest.raises(ValueError, match="Stokes"):
-            Tracer(TraceConfig(polarization=True)).trace(
-                src, els, trace_iterations=4, capacity=256)
+        # polarization=True composes with GRIN (round 3): smoke-check
+        # the polarized path conserves through curved steps
+        resp = Tracer(TraceConfig(polarization=True)).trace(
+            src, els, trace_iterations=20, capacity=256)
+        assert resp.power_conservation_error() < 1e-4
 
     def test_oracle_refuses(self):
         with pytest.raises(ValueError, match="straight"):
