@@ -53,14 +53,17 @@ _radius = None
 
 def fit_wavefront(elements):
     """Fit the direct bundle's raw OPL on the screen pupil. The direct
-    window must exclude even the corrector's internal ghosts
-    (+2 n t_plate extra OPL). Piston/tilt/defocus are reference and
-    focus choices; Noll j >= 5 is the aberration content."""
+    window must pass the converging beam's own defocus OPL spread
+    (~sphere sag across the pupil, ~0.02 here) while excluding the
+    corrector's internal ghosts at +2 n t_plate = +0.09 — a window the
+    same size as the defocus spread razor-clips the pupil rim and
+    destabilizes the loop. Piston/tilt/defocus are reference and focus
+    choices; Noll j >= 5 is the aberration content."""
     global _radius
     res = Tracer().trace(src, elements, trace_iterations=8,
                          capacity=16 * RAY_COUNT)
     opl, pw = res.measured_opl, res.measured_power
-    direct = opl < opl.min() + 0.012
+    direct = opl < opl.min() + 0.05
     xy = res.measured_pos[direct][:, :2]
     if _radius is None:                 # pupil disc fixed on the first fit
         _radius = float(np.hypot(xy[:, 0], xy[:, 1]).max())
@@ -78,7 +81,7 @@ sag = {j: 0.0 for j in range(5, N_TERMS + 1)}
 for it in range(1, 4):
     for j in sag:                       # Newton step on the plate figure
         sag[j] -= float(c[j - 1]) / (N_GLASS - 1.0)
-    corrector = oe.zernike_plate(aperture=D, thickness=0.01, coeffs=sag,
+    corrector = oe.zernike_plate(aperture=D, thickness=0.03, coeffs=sag,
                                  ior=N_GLASS, center=(0, 0, -0.4))
     c = fit_wavefront([corrector, lens, screen])
     rms = float(np.hypot.reduce(c[4:]))
