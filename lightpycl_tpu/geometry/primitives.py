@@ -362,6 +362,50 @@ class OpticalElements:
         return GeoObject(V, T, Material.REFRACTIVE, ior, **kw).translate(center)
 
 
+    def axicon(self, diameter: float, cone_angle: float,
+               thickness: float = 0.1, ior: float = 1.5,
+               center=(0, 0, 0), **kw) -> GeoObject:
+        """Conical (axicon) lens: flat front disc at z = 0, conical back
+        surface with base angle `cone_angle` [rad] rising to the apex on
+        the axis at z = thickness + (diameter/2) tan(cone_angle).
+
+        A collimated +z beam refracts toward the axis by the exact
+        wedge deviation delta = asin(n sin a) - a (thin-axicon limit
+        (n-1) a), crossing the axis over an extended LINE focus and
+        forming the annular far field axicons exist for (Bessel-beam
+        generators, ring illumination, corneal surgery optics)."""
+        if not 0.0 < cone_angle < np.pi / 2:
+            raise ValueError("cone_angle must be in (0, pi/2)")
+        a = diameter / 2.0
+        ta = np.tan(cone_angle)
+        r_f = np.linspace(0.0, a, self.n_radial + 1)
+        front = np.stack([r_f, np.zeros_like(r_f)], axis=1)
+        r_b = np.linspace(a, 0.0, self.n_radial + 1)
+        back = np.stack([r_b, thickness + (a - r_b) * ta], axis=1)
+        V, T = revolve_profile(np.concatenate([front, back]),
+                               self.n_segments)
+        return GeoObject(V, T, Material.REFRACTIVE, ior,
+                         **kw).translate(center)
+
+    def corner_cube(self, size: float = 1.0, center=(0, 0, 0),
+                    reflectivity: float = 1.0, **kw) -> GeoObject:
+        """Hollow corner-cube retroreflector: three mutually
+        perpendicular mirror squares (side `size`) meeting at the corner
+        point, opening toward (+1, +1, +1). Any ray that strikes all
+        three faces leaves EXACTLY anti-parallel to its arrival
+        direction regardless of orientation — the survey-marker /
+        lunar-ranging element (tests/test_retro_axicon.py)."""
+        s = float(size)
+        V = np.array([
+            [0, 0, 0], [0, s, 0], [0, s, s], [0, 0, s],   # x = 0 face
+            [0, 0, 0], [s, 0, 0], [s, 0, s], [0, 0, s],   # y = 0 face
+            [0, 0, 0], [s, 0, 0], [s, s, 0], [0, s, 0],   # z = 0 face
+        ], np.float64)
+        T = np.array([(0, 1, 2), (0, 2, 3), (4, 5, 6), (4, 6, 7),
+                      (8, 9, 10), (8, 10, 11)], np.int32)
+        return GeoObject(V, T, Material.MIRROR, 1.0,
+                         reflectivity=reflectivity, **kw).translate(center)
+
     def zernike_mirror(self, aperture: float, coeffs: dict,
                        reflectivity: float = 0.98, center=(0, 0, 0),
                        **kw) -> GeoObject:
