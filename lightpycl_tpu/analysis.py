@@ -543,6 +543,58 @@ def intensity_map(positions, powers, plane_normal=(0, 0, 1), plane_point=(0, 0, 
 # plot_elements_and_rays, SURVEY.md §3)
 # ---------------------------------------------------------------------------
 
+def fiber_coupling(field, halfwidth, mode_waist, center=(0.0, 0.0),
+                   tilt=(0.0, 0.0), wavelength=None) -> float:
+    """Power coupling efficiency into a single-mode fiber's LP01
+    (Gaussian) mode from a coherent image-plane field:
+
+        eta = |<psi, U>|^2 / (<U, U> <psi, psi>)
+
+    field:      (B, B) complex field at the fiber face — a coherent
+                trace's `TraceResult.image_complex`, sampled on the
+                +-halfwidth pixel grid (the `image_*` plane).
+    mode_waist: 1/e^2 AMPLITUDE radius w0 of the mode field (MFD / 2).
+    center:     transverse mode offset (same units as halfwidth).
+    tilt:       angular misalignment [rad] per transverse axis, applied
+                as the mode's phase ramp (needs `wavelength`, same
+                length units as the grid... wavelength in the SAME units
+                as halfwidth).
+
+    Analytic behavior (pinned in tests/test_fiber.py): matched Gaussian
+    -> 1; lateral offset dx -> exp(-dx^2 / w0^2); waist mismatch
+    (w_b, w0) -> (2 w_b w0 / (w_b^2 + w0^2))^2; tilt theta ->
+    exp(-(pi w0 theta / lambda)^2). Extension over the reference (no
+    wavefront/coupling analysis); standard fiber-optics overlap
+    integral.
+
+    NOTE on ray-sampled fields: the coherent accumulator bins
+    sum sqrt(P_i) e^{i phi} per pixel, so the binned amplitude is
+    (ray density) x sqrt(ray power). For the binned field to be
+    proportional to the physical E(r), sample UNIFORM ray density and
+    carry the beam profile in the POWERS — exactly what
+    CollimatedSource(sampling='hexapolar', profile='gaussian') does —
+    and keep >= ~10 rays per occupied pixel: at sparse occupancy the
+    count x sqrt(P) binning inflates <U, U> by E[c^2]/E[c]^2 and biases
+    eta low (measured: 0.83 instead of ~1 at one ray per pixel)."""
+    U = np.asarray(field, np.complex128)
+    B = U.shape[0]
+    xs = (np.arange(B) + 0.5) / B * 2.0 * halfwidth - halfwidth
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    w0 = float(mode_waist)
+    psi = np.exp(-((X - center[0]) ** 2 + (Y - center[1]) ** 2) / w0**2)
+    if tilt[0] != 0.0 or tilt[1] != 0.0:
+        if not wavelength:
+            raise ValueError("tilt needs `wavelength` (same units as "
+                             "the image grid)")
+        k = 2.0 * np.pi / float(wavelength)
+        psi = psi * np.exp(1j * k * (tilt[0] * X + tilt[1] * Y))
+    num = np.abs(np.vdot(psi, U)) ** 2
+    den = np.vdot(U, U).real * np.vdot(psi, psi).real
+    if den <= 0.0:
+        raise ValueError("empty field or degenerate mode")
+    return float(num / den)
+
+
 def _plt():
     import matplotlib
     matplotlib.use("Agg", force=False)
