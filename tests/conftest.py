@@ -31,6 +31,19 @@ try:
     resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 except (ValueError, OSError):
     pass
+
+# (c) XLA:CPU keeps a (rw-, r-x, r--) mmap triple per live compiled
+# executable; the full suite accumulates ~60k mappings and segfaults
+# mid-compile when it crosses the kernel default vm.max_map_count=65530
+# (diagnosed by watching /proc/<pid>/maps grow to the limit right where
+# the crashes happened). Raise it when running as root; ignore failures.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 1_000_000:
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write("4000000")
+except (OSError, ValueError):
+    pass
 jax.config.update("jax_compilation_cache_dir", "/tmp/lpcl_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
