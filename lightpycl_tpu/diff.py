@@ -385,3 +385,143 @@ def make_spot_loss(*, ior: float, thickness: float, aperture_radius: float,
                                  min_power=0.25 * per_ray)
 
     return jax.jit(loss)
+
+
+# --------------------------------------------------------------------------
+# Differentiable thin-film coating design
+# --------------------------------------------------------------------------
+# The device film model (physics.multilayer_rs_rp, the same Airy recursion
+# the tracer evaluates per hit) is pure jnp, so it is differentiable with
+# respect to every layer index and thickness. That turns the coating model
+# into a coating DESIGNER: minimize the band-averaged reflectance of a
+# stack by gradient descent, then hand the optimized [(n, h), ...] list
+# straight to GeoObject(coating=...) and trace it. The reference carries
+# no film model at all (SURVEY.md §8.5 lists coatings as absent), so this
+# subsystem is TPU-rebuild-only capability.
+
+
+def band_reflectance(layers_n, layers_h, *, n_sub, wavelengths,
+                     n_inc=1.0, cos_i=1.0, weights=None):
+    """Mean unpolarized power reflectance of a lossless dielectric stack
+    over a (incidence-angle x wavelength) grid — differentiable w.r.t.
+    every entry of `layers_n` / `layers_h`.
+
+    layers_n / layers_h : sequences (or 1-D arrays) of layer indices and
+        physical thicknesses, layer 0 adjacent to the incident medium.
+        Units: thickness and wavelength in the same unit (the engine uses
+        um — GeoObject(coating=[(n, h_um), ...])).
+    wavelengths : (W,) array of vacuum wavelengths spanning the band.
+    cos_i : scalar or (A,) array of incidence cosines; the average runs
+        over the full (A, W) grid (a +/- field-angle spec becomes one
+        array of cosines).
+    weights : optional (W,) spectral weights (e.g. a source spectrum or
+        photopic curve); normalized internally.
+    """
+    from lightpycl_tpu import physics
+
+    wl = jnp.asarray(wavelengths, jnp.float32).reshape(1, -1)
+    ci = jnp.atleast_1d(jnp.asarray(cos_i, jnp.float32)).reshape(-1, 1)
+    ln = [jnp.asarray(n, jnp.float32) for n in layers_n]
+    lh = [jnp.asarray(h, jnp.float32) for h in layers_h]
+    R = physics.multilayer_reflectance(ci, jnp.float32(n_inc), ln, lh,
+                                       jnp.float32(n_sub), wl)
+    if weights is None:
+        return jnp.mean(R)
+    w = jnp.asarray(weights, jnp.float32).reshape(1, -1)
+    w = w / jnp.maximum(jnp.sum(w), _TINY)
+    return jnp.mean(jnp.sum(R * w, axis=1))
+
+
+def design_coating(n_layers: int, *, n_sub, wavelengths, n_inc=1.0,
+                   cos_i=1.0, fixed_n=None, init_n=None, init_h=None,
+                   weights=None, n_min=1.05, n_max=4.0,
+                   steps=1500, lr=0.03, seed=0):
+    """Gradient-descent anti-reflection design: minimize the band-averaged
+    unpolarized reflectance of an `n_layers` stack on substrate `n_sub`.
+
+    fixed_n : optional sequence of layer indices to HOLD FIXED (the
+        realistic catalog-material case — e.g. [1.38, 2.10] MgF2/ZrO2 for
+        a V-coat); only thicknesses optimize. Otherwise indices
+        co-optimize inside [n_min, n_max] via a sigmoid reparametrization
+        (thicknesses stay positive via softplus), so the descent is
+        unconstrained and cannot leave the physical domain.
+    init_n / init_h : optional starting stack (defaults: indices spread in
+        [1.3, 1.9] alternating, thicknesses quarter-wave at the band
+        center).
+    Returns (n, h, R_mean): optimized float numpy arrays and the achieved
+    mean band reflectance. `list(zip(n, h))` is a ready
+    GeoObject(coating=...) argument.
+    """
+    import optax
+
+    wl_arr = np.atleast_1d(np.asarray(wavelengths, np.float64))
+    wl0 = float(wl_arr.mean())
+    if init_n is None:
+        init_n = [1.38 if k % 2 == 0 else 1.9 for k in range(n_layers)]
+    if init_h is None:
+        base = fixed_n if fixed_n is not None else init_n
+        init_h = [wl0 / (4.0 * float(n)) for n in base]
+    if fixed_n is not None and len(fixed_n) != n_layers:
+        raise ValueError("fixed_n must have n_layers entries")
+    if len(init_h) != n_layers or (fixed_n is None
+                                   and len(init_n) != n_layers):
+        raise ValueError("init stack must have n_layers entries")
+
+    h_scale = wl0 / 4.0  # softplus(x) ~ O(1) -> thickness ~ quarter-wave
+
+    def _inv_softplus(y):
+        y = np.maximum(y, 1e-6)
+        return np.where(y > 30.0, y, np.log(np.expm1(y)))
+
+    def _inv_sigmoid(p):
+        p = np.clip(p, 1e-6, 1.0 - 1e-6)
+        return np.log(p / (1.0 - p))
+
+    xh0 = jnp.asarray(_inv_softplus(np.asarray(init_h) / h_scale),
+                      jnp.float32)
+    if fixed_n is None:
+        frac = (np.asarray(init_n, np.float64) - n_min) / (n_max - n_min)
+        xn0 = jnp.asarray(_inv_sigmoid(frac), jnp.float32)
+        params = {"xn": xn0, "xh": xh0}
+    else:
+        params = {"xh": xh0}
+        n_fixed = jnp.asarray(fixed_n, jnp.float32)
+
+    def unpack(p):
+        h = jax.nn.softplus(p["xh"]) * h_scale
+        if fixed_n is None:
+            n = n_min + (n_max - n_min) * jax.nn.sigmoid(p["xn"])
+        else:
+            n = n_fixed
+        return n, h
+
+    def loss(p):
+        n, h = unpack(p)
+        return band_reflectance(list(n), list(h), n_sub=n_sub,
+                                wavelengths=wavelengths, n_inc=n_inc,
+                                cos_i=cos_i, weights=weights)
+
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        # val is the loss at the INPUT params, so (val, input params)
+        # pairs are consistent for best-iterate tracking
+        val, g = jax.value_and_grad(loss)(params)
+        upd, state = opt.update(g, state)
+        return optax.apply_updates(params, upd), state, val
+
+    best_v, best_p = float(jax.jit(loss)(params)), params
+    for it in range(steps):
+        new_params, state, val = step(params, state)
+        v = float(val)
+        if v < best_v:
+            best_v, best_p = v, params
+        params = new_params
+    v = float(jax.jit(loss)(params))   # the loop never scores the last step
+    if v < best_v:
+        best_v, best_p = v, params
+    # report the best iterate (adam can overshoot near convergence)
+    n, h = unpack(best_p)
+    return np.asarray(n, np.float64), np.asarray(h, np.float64), best_v
