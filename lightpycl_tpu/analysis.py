@@ -677,6 +677,96 @@ def plot_elements_and_rays(elements, segments, max_rays: int = 200, ax=None,
 
 
 # --------------------------------------------------------------------------
+# Per-facet incident-flux / irradiance maps (TraceConfig.flux_map)
+# --------------------------------------------------------------------------
+
+def surface_flux(tri_flux, scene, element_names=None):
+    """Turn a flux-map trace's per-triangle incident power into an
+    irradiance map (illumination-design extension; the reference only
+    bins measure-surface directivity — SURVEY.md §3 L5).
+
+    Args:
+      tri_flux: (T,) incident power per scene triangle
+                (TraceResult.tri_flux from a TraceConfig(flux_map=True)
+                run; T = real triangle count in flattened scene order).
+      scene:    the traced Scene (tracer.scene) — supplies facet geometry
+                (v0/e1/e2) and the per-triangle element index.
+      element_names: optional list naming each element for `per_element`.
+
+    Returns dict:
+      'flux'       (T,) incident power per facet (the input, as numpy)
+      'area'       (T,) facet areas
+      'irradiance' (T,) flux / area  [power per area]
+      'centroid'   (T, 3) facet centroids (plotting / export)
+      'element_id' (T,) i32 owning element per facet
+      'per_element' dict element -> total incident power
+
+    Note this is a FLUX map, not a conservation ledger: a ray refracting
+    through both faces of a lens deposits its arriving power on both.
+    """
+    flux = np.asarray(tri_flux, np.float64)
+    T = flux.shape[0]
+    v0 = np.asarray(scene.v0, np.float64)[:T]
+    e1 = np.asarray(scene.e1, np.float64)[:T]
+    e2 = np.asarray(scene.e2, np.float64)[:T]
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    centroid = v0 + (e1 + e2) / 3.0
+    eid = np.asarray(scene.element_id)[:T].astype(np.int64)
+    n_el = int(eid.max()) + 1 if T else 0
+    totals = np.zeros(max(n_el, 1))
+    np.add.at(totals, np.clip(eid, 0, None), flux)
+    if element_names is not None:
+        per_element = {element_names[i] if i < len(element_names) else i:
+                       float(totals[i]) for i in range(n_el)}
+    else:
+        per_element = {i: float(totals[i]) for i in range(n_el)}
+    return {
+        "flux": flux,
+        "area": area,
+        "irradiance": flux / np.maximum(area, 1e-30),
+        "centroid": centroid,
+        "element_id": eid,
+        "per_element": per_element,
+    }
+
+
+def plot_surface_flux(tri_flux, scene, quantity: str = "irradiance",
+                      ax=None, path=None, show=False, cmap="viridis",
+                      log_scale=False):
+    """3-D facet plot of a flux-map trace: each scene triangle colored by
+    its incident flux or irradiance (matplotlib Poly3DCollection)."""
+    plt = _plt()
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    sf = surface_flux(tri_flux, scene)
+    vals = sf[quantity]
+    if log_scale:
+        vals = np.log10(np.maximum(vals, 1e-30))
+    T = len(vals)
+    v0 = np.asarray(scene.v0, np.float64)[:T]
+    e1 = np.asarray(scene.e1, np.float64)[:T]
+    e2 = np.asarray(scene.e2, np.float64)[:T]
+    verts = np.stack([v0, v0 + e1, v0 + e2], axis=1)
+    if ax is None:
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+    norm = plt.Normalize(vals.min(), max(vals.max(), vals.min() + 1e-30))
+    colors = plt.get_cmap(cmap)(norm(vals))
+    coll = Poly3DCollection(verts, facecolors=colors, edgecolors="none")
+    ax.add_collection3d(coll)
+    lo = verts.reshape(-1, 3).min(axis=0)
+    hi = verts.reshape(-1, 3).max(axis=0)
+    ax.set_xlim(lo[0], hi[0]); ax.set_ylim(lo[1], hi[1])
+    ax.set_zlim(lo[2], hi[2])
+    ax.set_title(f"surface {quantity}")
+    if path:
+        ax.figure.savefig(path, dpi=120)
+    if show:
+        plt.show()
+    return ax
+
+
+# --------------------------------------------------------------------------
 # Ghost / stray-light path analysis (TraceConfig.track_paths)
 # --------------------------------------------------------------------------
 

@@ -115,7 +115,10 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
         led = Ledger.start(jnp.sum(jnp.where(rays.alive, rays.power, 0.0)))
         det = DetectorState.zeros(
             cfg.hist_azimuth_bins, cfg.hist_polar_bins, n_detectors,
-            cfg.image_bins, coherent=cfg.coherent
+            cfg.image_bins, coherent=cfg.coherent,
+            # scene replicated -> triangle ids are global; per-shard
+            # partial flux maps psum exactly like the histogram
+            n_tris=(scene.v0.shape[0] if cfg.flux_map else 0),
         )
         if cfg.needs_rng:
             shard_key = jax.random.fold_in(

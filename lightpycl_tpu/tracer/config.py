@@ -171,6 +171,16 @@ class TraceConfig:
     # sum the per-plane intensities — the physically correct white-light
     # pattern with its coherence envelope. Requires image_bins > 0.
     coherent: bool = False
+    # per-facet incident-flux map (extension — illumination design): every
+    # valid surface hit scatter-adds the ARRIVING parent power into a
+    # per-triangle accumulator (DetectorState.tri_flux), regardless of
+    # material. analysis.surface_flux divides by facet area to give the
+    # irradiance map; per-element totals aggregate it. Note this is a flux
+    # map, not a conservation ledger: a ray refracting through two lens
+    # faces deposits its power on BOTH facets. Needs the scene replicated
+    # (triangle indices are global): mesh2d is refused; spectral traces do
+    # not support it yet.
+    flux_map: bool = False
     # ghost / stray-light path tracking (extension): every surviving child
     # appends a digit (element index, reflected-or-transmitted branch) to
     # its f32 path signature in base path_base = 2 * n_elements + 1; the

@@ -71,6 +71,10 @@ class TraceResult:
     # itself; image_coherent sums the per-plane intensities (white-light
     # pattern with its physical coherence envelope)
     image_amp_spectral: Optional[np.ndarray] = None
+    # flux-map runs only (TraceConfig.flux_map): (T,) incident power per
+    # scene triangle, T = the REAL (unpadded) triangle count in scene
+    # order. analysis.surface_flux turns it into an irradiance map.
+    tri_flux: Optional[np.ndarray] = None
 
     @property
     def tests_per_second(self) -> float:
@@ -231,6 +235,7 @@ class Tracer:
                 "fluorescent/GRIN scenes need the scene replicated (the "
                 "per-element tables index by rays.medium): use "
                 "mode='host'/'device'/'multichip', not 'mesh2d'")
+        self._check_flux_map(cfg, mode)
         if cfg.has_fluorescence:
             if cfg.coherent:
                 raise ValueError(
@@ -273,7 +278,9 @@ class Tracer:
         emitted = float(np.asarray(jnp.sum(jnp.where(rays.alive, rays.power, 0.0))))
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
                                   max(len(self.detector_names), 1),
-                                  cfg.image_bins, coherent=cfg.coherent)
+                                  cfg.image_bins, coherent=cfg.coherent,
+                                  n_tris=(self.scene.num_triangles_padded
+                                          if cfg.flux_map else 0))
         led = Ledger.start(emitted)
 
         log.info(
@@ -373,6 +380,11 @@ class Tracer:
         if method not in ("auto", "shared", "batched"):
             raise ValueError(f"trace_spectral method must be 'auto', "
                              f"'shared' or 'batched', got {method!r}")
+        if cfg.flux_map:
+            raise ValueError(
+                "flux_map is not supported by spectral traces yet: run a "
+                "scalar trace (the per-facet flux map is wavelength-"
+                "integrated anyway)")
         if any(getattr(e, "fluorescence", 0.0) > 0.0 for e in self.elements):
             raise ValueError(
                 "trace_spectral assumes wavelengths are conserved, but the "
@@ -559,6 +571,23 @@ class Tracer:
         # reproducing the geometric Rytov rotation on skew rays
         return cfg
 
+    def _check_flux_map(self, cfg: TraceConfig, mode: str) -> None:
+        """flux_map semantics are exact only when every intersect hit is a
+        real surface arrival with global triangle indices."""
+        if not cfg.flux_map:
+            return
+        if mode == "mesh2d":
+            raise ValueError(
+                "flux_map=True needs global triangle indices (the scene "
+                "replicated): use mode='host'/'device'/'multichip', not "
+                "'mesh2d'")
+        if cfg.has_scattering or cfg.has_fluorescence or cfg.has_grin:
+            raise ValueError(
+                "flux_map=True is undefined with volume events (scattering/"
+                "fluorescence/GRIN): a ray that scatters mid-flight never "
+                "arrives at the facet intersect() reported, so the "
+                "per-facet incident flux would overcount")
+
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:
         """Auto-disable the 2C split buffer + compaction when the scene has
         no refractive elements (nothing can split); refuse the unsafe
@@ -742,6 +771,7 @@ class Tracer:
                 "fluorescent/GRIN scenes need the scene replicated (the "
                 "per-element tables index by rays.medium): use "
                 "mode='device'/'multichip', not 'mesh2d'")
+        self._check_flux_map(cfg, mode)
         scene_sh = None
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import make_ray_mesh
@@ -779,6 +809,8 @@ class Tracer:
         image64 = np.zeros((nb, nb))
         na = nb if (cfg.coherent and cfg.image_bins > 0) else 1
         image_amp64 = np.zeros((2, na, na))
+        n_tris_acc = self.scene.num_triangles_padded if cfg.flux_map else 0
+        tri_flux64 = np.zeros(max(n_tris_acc, 1))
         led64 = np.zeros(5)  # emitted, measured, absorbed, escaped, culled
         start_batch = 0
         if checkpoint_path is not None:
@@ -796,6 +828,8 @@ class Tracer:
                 image64 = np.asarray(st["extra"].get("image64", image64))
                 image_amp64 = np.asarray(
                     st["extra"].get("image_amp64", image_amp64))
+                tri_flux64 = np.asarray(
+                    st["extra"].get("tri_flux64", tri_flux64))
                 led64 = np.asarray(st["extra"]["led64"])
                 start_batch = int(st["extra"].get("next_batch", 0))
                 log.info("resuming batched trace at batch %d", start_batch)
@@ -855,7 +889,8 @@ class Tracer:
                 det_b = DetectorState.zeros(cfg.hist_azimuth_bins,
                                             cfg.hist_polar_bins, n_det,
                                             cfg.image_bins,
-                                            coherent=cfg.coherent)
+                                            coherent=cfg.coherent,
+                                            n_tris=n_tris_acc)
                 led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
                 rays, det_b, led_b, iters_b = step_mod.trace_loop_jit(
                     self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations,
@@ -870,12 +905,15 @@ class Tracer:
             per_det64 += np.asarray(det_b.per_detector, np.float64)
             image64 += np.asarray(det_b.image, np.float64)
             image_amp64 += np.asarray(det_b.image_amp, np.float64)
+            if cfg.flux_map:
+                tri_flux64 += np.asarray(det_b.tri_flux, np.float64)
             led64 += np.asarray(jnp.stack(list(led_b)), np.float64)
             if checkpoint_path is not None:
                 from lightpycl_tpu.io.checkpoint import save_state
 
                 save_state(checkpoint_path, hist64=hist64, per_det64=per_det64,
                            image64=image64, image_amp64=image_amp64,
+                           tri_flux64=tri_flux64,
                            led64=led64, next_batch=b + 1)
             log.info("batch %d/%d done", b + 1, n_batches)
         wall = time.perf_counter() - t0
@@ -904,6 +942,8 @@ class Tracer:
             segments=[],
             final_live_power=0.0,
             image_amp=(image_amp64 if image_amp64.shape[1] > 1 else None),
+            tri_flux=(tri_flux64[: self.num_triangles]
+                      if cfg.flux_map else None),
         )
         self.last_result = result
         return result
@@ -960,6 +1000,9 @@ class Tracer:
             final_live_power=live_power,
             image_amp=(np.asarray(det.image_amp)
                        if det.image_amp.shape[1] > 1 else None),
+            # (1,) zeros = flux_map disabled; real runs are padded past 1
+            tri_flux=(np.asarray(det.tri_flux)[:real_tris]
+                      if det.tri_flux.shape[0] > 1 else None),
         )
 
     # -- reference-shaped getters -------------------------------------------
@@ -972,6 +1015,22 @@ class Tracer:
 
     def get_detector_histogram(self):
         return self._require_result().hist
+
+    def get_surface_flux(self):
+        """Irradiance map of the last flux-map trace (analysis.surface_flux
+        on TraceResult.tri_flux): per-facet incident power / irradiance and
+        per-element totals. Needs TraceConfig(flux_map=True)."""
+        r = self._require_result()
+        if r.tri_flux is None:
+            raise ValueError(
+                "no flux map on the last trace: set "
+                "TraceConfig(flux_map=True) (host/device/multichip modes)")
+        from lightpycl_tpu import analysis
+
+        names = [getattr(e, "name", None) or i
+                 for i, e in enumerate(self.elements)]
+        return analysis.surface_flux(r.tri_flux, self.scene,
+                                     element_names=names)
 
     def get_power_ledger(self):
         return dict(self._require_result().ledger)

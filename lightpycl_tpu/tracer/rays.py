@@ -165,10 +165,13 @@ class DetectorState(NamedTuple):
     image: jnp.ndarray         # (image_bins, image_bins) f32 planar map
     image_amp: jnp.ndarray     # (2, nb, nb) f32 coherent field (re, im)
     #   amplitude sums (TraceConfig.coherent; (2, 1, 1) zeros when off)
+    tri_flux: jnp.ndarray      # (T_pad,) f32 per-triangle INCIDENT power
+    #   (TraceConfig.flux_map surface-irradiance maps; (1,) zeros when off)
 
     @staticmethod
     def zeros(n_az: int, n_pol: int, n_detectors: int,
-              image_bins: int = 0, coherent: bool = False) -> "DetectorState":
+              image_bins: int = 0, coherent: bool = False,
+              n_tris: int = 0) -> "DetectorState":
         nb = max(image_bins, 1)
         na = nb if (coherent and image_bins > 0) else 1
         return DetectorState(
@@ -176,6 +179,7 @@ class DetectorState(NamedTuple):
             jnp.zeros((max(n_detectors, 1),), jnp.float32),
             jnp.zeros((nb, nb), jnp.float32),
             jnp.zeros((2, na, na), jnp.float32),
+            jnp.zeros((max(n_tris, 1),), jnp.float32),
         )
 
 

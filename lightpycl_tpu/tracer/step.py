@@ -1253,7 +1253,8 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
 def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
                                measured_power, det_id,
                                cfg: TraceConfig, opl=None,
-                               wavelength=None) -> DetectorState:
+                               wavelength=None, tri=None,
+                               incident_power=None) -> DetectorState:
     """Scatter-add measured power into the (azimuth x polar) histogram,
     per-detector totals, and the optional planar image, from bare arrays:
     hit_point (C, 3), dirs (C, 3) arrival directions, measured_power (C,)
@@ -1298,7 +1299,18 @@ def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
             pad_amp = pad_amp.at[0, flat_img].add(re)
             pad_amp = pad_amp.at[1, flat_img].add(im)
             image_amp = pad_amp[:, :-1].reshape(image_amp.shape)
-    return DetectorState(hist, per_det, image, image_amp)
+
+    tri_flux = det.tri_flux
+    if cfg.flux_map and tri is not None and incident_power is not None:
+        # per-facet incident-flux map: scatter the ARRIVING parent power at
+        # the hit triangle (misses carry tri == -1 -> routed to the dropped
+        # pad slot). tri_flux is sized to the scene's padded count by the
+        # engine, so valid hits always land in range.
+        T = tri_flux.shape[0]
+        idx = jnp.where(tri >= 0, tri, T)
+        tri_flux = jnp.pad(tri_flux, (0, 1)).at[idx].add(
+            incident_power, mode="drop")[:-1]
+    return DetectorState(hist, per_det, image, image_amp, tri_flux)
 
 
 def image_flat_indices(hit_point, cfg: TraceConfig):
@@ -1335,15 +1347,21 @@ def coherent_amplitudes(measured_power, opl, wavelength):
 
 
 def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
-                        cfg: TraceConfig) -> DetectorState:
+                        cfg: TraceConfig, tri=None) -> DetectorState:
     """Scatter-add measured power into the (azimuth x polar) histogram and
     per-detector totals (reference: measurement-surface collection +
-    directivity binning, SURVEY.md §3/§4.4 — moved on-device)."""
+    directivity binning, SURVEY.md §3/§4.4 — moved on-device). `tri` is the
+    intersect result (hit triangle per parent), consumed only by the
+    cfg.flux_map per-facet incident-power map."""
     C = sh.hit_point.shape[0]
+    inc = None
+    if cfg.flux_map and tri is not None:
+        inc = jnp.where((tri >= 0) & rays.alive, rays.power, 0.0)
     return accumulate_detector_arrays(det, sh.hit_point, rays.d,
                                       sh.measured_power, sh.det_id, cfg,
                                       opl=sh.child_opl[:C],
-                                      wavelength=rays.wavelength)
+                                      wavelength=rays.wavelength,
+                                      tri=tri, incident_power=inc)
 
 
 # --------------------------------------------------------------------------
@@ -1485,7 +1503,7 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
         rays = reorder_rays(scene, rays)
     t, tri = intersect(scene, rays.o, rays.d, cfg, alive=rays.alive)
     sh = shade(scene, rays, t, tri, cfg, key=key)
-    det = accumulate_detector(det, sh, rays, cfg)
+    det = accumulate_detector(det, sh, rays, cfg, tri=tri)
     rr_delta = jnp.float32(0.0)
     if cfg.roulette_threshold > 0.0:
         if key is None:
