@@ -20,8 +20,9 @@ from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
 # may forward-fill fields ADDED since an older version but must never
 # guess at incompatible ones
 SCHEMA_VERSION = 4  # v3 adds DetectorState.image_amp (coherent imaging);
-#   v4 adds DetectorState.tri_flux (per-facet incident-flux maps) — both
-#   forward-fill to zeros when resuming older checkpoints
+#   v4 adds DetectorState.tri_flux (per-facet incident-flux maps) and
+#   DetectorState.time_hist (time-of-flight histograms) — all forward-fill
+#   to zeros when resuming older checkpoints
 
 
 def normalize_path(path: str) -> str:
@@ -99,9 +100,11 @@ def load_state(path: str):
                 return jnp.asarray(z[f"det_{f}"])
             # fields added after the checkpoint was written: accumulation
             # starts from zero with the field's disabled-state shape
-            # (v<=2 has no image_amp; v<=3 has no tri_flux)
+            # (v<=2 has no image_amp; v<=3 has no tri_flux/time_hist)
             if f == "tri_flux":
                 return jnp.zeros((1,), jnp.float32)
+            if f == "time_hist":
+                return jnp.zeros((1, 1), jnp.float32)
             return jnp.zeros((2, 1, 1), jnp.float32)
 
         out["detector"] = DetectorState(

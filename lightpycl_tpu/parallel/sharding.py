@@ -119,6 +119,7 @@ def trace_multichip(scene: Scene, rays: RayBatch, cfg: TraceConfig,
             # scene replicated -> triangle ids are global; per-shard
             # partial flux maps psum exactly like the histogram
             n_tris=(scene.v0.shape[0] if cfg.flux_map else 0),
+            time_bins=cfg.time_bins,
         )
         if cfg.needs_rng:
             shard_key = jax.random.fold_in(

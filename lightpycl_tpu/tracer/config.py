@@ -171,6 +171,17 @@ class TraceConfig:
     # sum the per-plane intensities — the physically correct white-light
     # pattern with its coherence envelope. Requires image_bins > 0.
     coherent: bool = False
+    # time-resolved detection (extension — pulse response / time-of-flight):
+    # measured power additionally bins by the arriving ray's accumulated
+    # OPTICAL PATH LENGTH into a (D, time_bins) per-detector histogram
+    # (DetectorState.time_hist). OPL = sum n * geometric length, so bin i
+    # spans OPL in [opl_min + i*dt, ...) with dt = (opl_max - opl_min) /
+    # time_bins — divide by c in your unit system for seconds. Arrivals
+    # outside [opl_min, opl_max) clamp into the edge bins so total power
+    # is preserved (sum(time_hist) == measured). 0 bins = disabled.
+    time_bins: int = 0
+    opl_min: float = 0.0
+    opl_max: float = 0.0
     # per-facet incident-flux map (extension — illumination design): every
     # valid surface hit scatter-adds the ARRIVING parent power into a
     # per-triangle accumulator (DetectorState.tri_flux), regardless of

@@ -75,6 +75,11 @@ class TraceResult:
     # scene triangle, T = the REAL (unpadded) triangle count in scene
     # order. analysis.surface_flux turns it into an irradiance map.
     tri_flux: Optional[np.ndarray] = None
+    # time-resolved runs only (TraceConfig.time_bins): (D, nt) measured
+    # power binned by arrival optical path length, plus the (nt+1,) OPL
+    # bin edges. t = OPL / c in your unit system.
+    time_hist: Optional[np.ndarray] = None
+    opl_edges: Optional[np.ndarray] = None
 
     @property
     def tests_per_second(self) -> float:
@@ -107,6 +112,18 @@ class TraceResult:
         if name not in self.detector_names:
             raise KeyError(f"unknown detector {name!r}; have {self.detector_names}")
         return self.per_detector_spectrum[self.detector_names.index(name)]
+
+    def detector_time_histogram(self, name: str):
+        """(opl_edges (nt+1,), power (nt,)) time-of-flight histogram of
+        the named detector (TraceConfig.time_bins runs). Convert OPL to
+        arrival time by dividing the edges by c in your unit system."""
+        if self.time_hist is None:
+            raise ValueError("not a time-resolved trace: set "
+                             "TraceConfig(time_bins=..., opl_min=..., "
+                             "opl_max=...)")
+        if name not in self.detector_names:
+            raise KeyError(f"unknown detector {name!r}; have {self.detector_names}")
+        return self.opl_edges, self.time_hist[self.detector_names.index(name)]
 
     def power_conservation_error(self) -> float:
         l = self.ledger
@@ -236,6 +253,7 @@ class Tracer:
                 "per-element tables index by rays.medium): use "
                 "mode='host'/'device'/'multichip', not 'mesh2d'")
         self._check_flux_map(cfg, mode)
+        self._check_time_bins(cfg)
         if cfg.has_fluorescence:
             if cfg.coherent:
                 raise ValueError(
@@ -280,7 +298,8 @@ class Tracer:
                                   max(len(self.detector_names), 1),
                                   cfg.image_bins, coherent=cfg.coherent,
                                   n_tris=(self.scene.num_triangles_padded
-                                          if cfg.flux_map else 0))
+                                          if cfg.flux_map else 0),
+                                  time_bins=cfg.time_bins)
         led = Ledger.start(emitted)
 
         log.info(
@@ -384,6 +403,11 @@ class Tracer:
             raise ValueError(
                 "flux_map is not supported by spectral traces yet: run a "
                 "scalar trace (the per-facet flux map is wavelength-"
+                "integrated anyway)")
+        if cfg.time_bins > 0:
+            raise ValueError(
+                "time_bins is not supported by spectral traces yet: run a "
+                "scalar trace (the time-of-flight histogram is wavelength-"
                 "integrated anyway)")
         if any(getattr(e, "fluorescence", 0.0) > 0.0 for e in self.elements):
             raise ValueError(
@@ -571,6 +595,12 @@ class Tracer:
         # reproducing the geometric Rytov rotation on skew rays
         return cfg
 
+    def _check_time_bins(self, cfg: TraceConfig) -> None:
+        if cfg.time_bins > 0 and not (cfg.opl_max > cfg.opl_min):
+            raise ValueError(
+                "time_bins > 0 needs an OPL window: set opl_max > opl_min "
+                "(OPL = sum n * length; t = OPL / c)")
+
     def _check_flux_map(self, cfg: TraceConfig, mode: str) -> None:
         """flux_map semantics are exact only when every intersect hit is a
         real surface arrival with global triangle indices."""
@@ -627,7 +657,7 @@ class Tracer:
             wall = time.perf_counter() - t0
             result = self._package(
                 rays_out, det, led, [], [], cfg.trace_iterations, C, wall,
-                record_paths=False,
+                record_paths=False, cfg=cfg,
             )
         elif mode == "mesh2d":
             from lightpycl_tpu.parallel.mesh2d import (
@@ -650,7 +680,7 @@ class Tracer:
             wall = time.perf_counter() - t0
             result = self._package(
                 rays_out, det, led, [], [], cfg.trace_iterations, C, wall,
-                record_paths=False,
+                record_paths=False, cfg=cfg,
             )
         elif mode == "device":
             if record_paths:
@@ -663,7 +693,8 @@ class Tracer:
             wall = time.perf_counter() - t0
             iters = int(np.asarray(iters_run))  # actual bounces (early exit)
             result = self._package(
-                rays_out, det, led, [], [], iters, C, wall, record_paths=False
+                rays_out, det, led, [], [], iters, C, wall,
+                record_paths=False, cfg=cfg,
             )
         elif mode == "host":
             harvested = []
@@ -713,7 +744,8 @@ class Tracer:
             jax.block_until_ready(led)
             wall = time.perf_counter() - t0
             result = self._package(
-                rays, det, led, harvested, segments, iters, C, wall, record_paths
+                rays, det, led, harvested, segments, iters, C, wall,
+                record_paths, cfg=cfg,
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
@@ -772,6 +804,7 @@ class Tracer:
                 "per-element tables index by rays.medium): use "
                 "mode='device'/'multichip', not 'mesh2d'")
         self._check_flux_map(cfg, mode)
+        self._check_time_bins(cfg)
         scene_sh = None
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import make_ray_mesh
@@ -811,6 +844,8 @@ class Tracer:
         image_amp64 = np.zeros((2, na, na))
         n_tris_acc = self.scene.num_triangles_padded if cfg.flux_map else 0
         tri_flux64 = np.zeros(max(n_tris_acc, 1))
+        nd_t = n_det if cfg.time_bins > 0 else 1
+        time64 = np.zeros((nd_t, max(cfg.time_bins, 1)))
         led64 = np.zeros(5)  # emitted, measured, absorbed, escaped, culled
         start_batch = 0
         if checkpoint_path is not None:
@@ -830,6 +865,7 @@ class Tracer:
                     st["extra"].get("image_amp64", image_amp64))
                 tri_flux64 = np.asarray(
                     st["extra"].get("tri_flux64", tri_flux64))
+                time64 = np.asarray(st["extra"].get("time64", time64))
                 led64 = np.asarray(st["extra"]["led64"])
                 start_batch = int(st["extra"].get("next_batch", 0))
                 log.info("resuming batched trace at batch %d", start_batch)
@@ -890,7 +926,8 @@ class Tracer:
                                             cfg.hist_polar_bins, n_det,
                                             cfg.image_bins,
                                             coherent=cfg.coherent,
-                                            n_tris=n_tris_acc)
+                                            n_tris=n_tris_acc,
+                                            time_bins=cfg.time_bins)
                 led_b = Ledger.start(jnp.sum(rays.power * rays.alive))
                 rays, det_b, led_b, iters_b = step_mod.trace_loop_jit(
                     self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations,
@@ -907,13 +944,15 @@ class Tracer:
             image_amp64 += np.asarray(det_b.image_amp, np.float64)
             if cfg.flux_map:
                 tri_flux64 += np.asarray(det_b.tri_flux, np.float64)
+            if cfg.time_bins > 0:
+                time64 += np.asarray(det_b.time_hist, np.float64)
             led64 += np.asarray(jnp.stack(list(led_b)), np.float64)
             if checkpoint_path is not None:
                 from lightpycl_tpu.io.checkpoint import save_state
 
                 save_state(checkpoint_path, hist64=hist64, per_det64=per_det64,
                            image64=image64, image_amp64=image_amp64,
-                           tri_flux64=tri_flux64,
+                           tri_flux64=tri_flux64, time64=time64,
                            led64=led64, next_batch=b + 1)
             log.info("batch %d/%d done", b + 1, n_batches)
         wall = time.perf_counter() - t0
@@ -944,6 +983,10 @@ class Tracer:
             image_amp=(image_amp64 if image_amp64.shape[1] > 1 else None),
             tri_flux=(tri_flux64[: self.num_triangles]
                       if cfg.flux_map else None),
+            time_hist=(time64 if cfg.time_bins > 0 else None),
+            opl_edges=(np.linspace(cfg.opl_min, cfg.opl_max,
+                                   cfg.time_bins + 1)
+                       if cfg.time_bins > 0 else None),
         )
         self.last_result = result
         return result
@@ -957,7 +1000,7 @@ class Tracer:
         )
 
     def _package(self, rays, det, led, harvested, segments, iters, C, wall,
-                 record_paths) -> TraceResult:
+                 record_paths, cfg=None) -> TraceResult:
         if harvested:
             pos = np.concatenate([h[0] for h in harvested])
             dirs = np.concatenate([h[1] for h in harvested])
@@ -1003,6 +1046,11 @@ class Tracer:
             # (1,) zeros = flux_map disabled; real runs are padded past 1
             tri_flux=(np.asarray(det.tri_flux)[:real_tris]
                       if det.tri_flux.shape[0] > 1 else None),
+            time_hist=(np.asarray(det.time_hist)
+                       if cfg is not None and cfg.time_bins > 0 else None),
+            opl_edges=(np.linspace(cfg.opl_min, cfg.opl_max,
+                                   cfg.time_bins + 1)
+                       if cfg is not None and cfg.time_bins > 0 else None),
         )
 
     # -- reference-shaped getters -------------------------------------------

@@ -167,19 +167,25 @@ class DetectorState(NamedTuple):
     #   amplitude sums (TraceConfig.coherent; (2, 1, 1) zeros when off)
     tri_flux: jnp.ndarray      # (T_pad,) f32 per-triangle INCIDENT power
     #   (TraceConfig.flux_map surface-irradiance maps; (1,) zeros when off)
+    time_hist: jnp.ndarray     # (D, time_bins) f32 per-detector measured
+    #   power binned by OPTICAL PATH LENGTH at arrival — the exact
+    #   time-of-flight histogram, t = OPL / c (TraceConfig.time_bins;
+    #   (1, 1) zeros when off)
 
     @staticmethod
     def zeros(n_az: int, n_pol: int, n_detectors: int,
               image_bins: int = 0, coherent: bool = False,
-              n_tris: int = 0) -> "DetectorState":
+              n_tris: int = 0, time_bins: int = 0) -> "DetectorState":
         nb = max(image_bins, 1)
         na = nb if (coherent and image_bins > 0) else 1
+        nd_t = max(n_detectors, 1) if time_bins > 0 else 1
         return DetectorState(
             jnp.zeros((n_az, n_pol), jnp.float32),
             jnp.zeros((max(n_detectors, 1),), jnp.float32),
             jnp.zeros((nb, nb), jnp.float32),
             jnp.zeros((2, na, na), jnp.float32),
             jnp.zeros((max(n_tris, 1),), jnp.float32),
+            jnp.zeros((nd_t, max(time_bins, 1)), jnp.float32),
         )
 
 

@@ -1300,6 +1300,19 @@ def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
             pad_amp = pad_amp.at[1, flat_img].add(im)
             image_amp = pad_amp[:, :-1].reshape(image_amp.shape)
 
+    time_hist = det.time_hist
+    if cfg.time_bins > 0 and opl is not None:
+        # time-of-flight: bin measured power by arrival OPL, per detector.
+        # Out-of-range arrivals clamp into the edge bins so the histogram
+        # total stays exactly the measured power.
+        nt = time_hist.shape[1]
+        span = max(cfg.opl_max - cfg.opl_min, 1e-30)
+        it = jnp.clip(((opl - cfg.opl_min) / span * nt).astype(jnp.int32),
+                      0, nt - 1)
+        flat_t = did * nt + it
+        time_hist = time_hist.reshape(-1).at[flat_t].add(
+            measured_power).reshape(time_hist.shape)
+
     tri_flux = det.tri_flux
     if cfg.flux_map and tri is not None and incident_power is not None:
         # per-facet incident-flux map: scatter the ARRIVING parent power at
@@ -1310,7 +1323,8 @@ def accumulate_detector_arrays(det: DetectorState, hit_point, dirs,
         idx = jnp.where(tri >= 0, tri, T)
         tri_flux = jnp.pad(tri_flux, (0, 1)).at[idx].add(
             incident_power, mode="drop")[:-1]
-    return DetectorState(hist, per_det, image, image_amp, tri_flux)
+    return DetectorState(hist, per_det, image, image_amp, tri_flux,
+                         time_hist)
 
 
 def image_flat_indices(hit_point, cfg: TraceConfig):
