@@ -80,6 +80,11 @@ class TraceResult:
     # bin edges. t = OPL / c in your unit system.
     time_hist: Optional[np.ndarray] = None
     opl_edges: Optional[np.ndarray] = None
+    # trace_batched runs only: (B, D) measured power per batch per
+    # detector. Batches draw independent samples of the same source, so
+    # these are B i.i.d. estimates — detector_stderr() turns them into a
+    # Monte-Carlo standard error on each detected-power total.
+    per_batch_detector: Optional[np.ndarray] = None
 
     @property
     def tests_per_second(self) -> float:
@@ -112,6 +117,25 @@ class TraceResult:
         if name not in self.detector_names:
             raise KeyError(f"unknown detector {name!r}; have {self.detector_names}")
         return self.per_detector_spectrum[self.detector_names.index(name)]
+
+    def detector_stderr(self, name: str) -> float:
+        """Monte-Carlo standard error of detector_power(name), from the
+        scatter of the per-batch totals (trace_batched runs with >= 2
+        batches): SE(sum_b m_b) = sqrt(B) * std(m_b, ddof=1). Batches
+        sample the source independently, so the estimate is unbiased."""
+        if self.per_batch_detector is None:
+            raise ValueError(
+                "no per-batch statistics: run Tracer.trace_batched "
+                "(single traces have no independent replicas to measure "
+                "spread from)")
+        if name not in self.detector_names:
+            raise KeyError(f"unknown detector {name!r}; have {self.detector_names}")
+        m = self.per_batch_detector[:, self.detector_names.index(name)]
+        B = m.shape[0]
+        if B < 2:
+            raise ValueError(
+                f"need >= 2 batches for a spread estimate, have {B}")
+        return float(np.sqrt(B) * np.std(m, ddof=1))
 
     def detector_time_histogram(self, name: str):
         """(opl_edges (nt+1,), power (nt,)) time-of-flight histogram of
@@ -846,6 +870,7 @@ class Tracer:
         tri_flux64 = np.zeros(max(n_tris_acc, 1))
         nd_t = n_det if cfg.time_bins > 0 else 1
         time64 = np.zeros((nd_t, max(cfg.time_bins, 1)))
+        per_batch: list = []  # (D,) measured power per completed batch
         led64 = np.zeros(5)  # emitted, measured, absorbed, escaped, culled
         start_batch = 0
         if checkpoint_path is not None:
@@ -866,6 +891,9 @@ class Tracer:
                 tri_flux64 = np.asarray(
                     st["extra"].get("tri_flux64", tri_flux64))
                 time64 = np.asarray(st["extra"].get("time64", time64))
+                pb = st["extra"].get("per_batch")
+                if pb is not None and np.asarray(pb).size:
+                    per_batch = [row for row in np.asarray(pb)]
                 led64 = np.asarray(st["extra"]["led64"])
                 start_batch = int(st["extra"].get("next_batch", 0))
                 log.info("resuming batched trace at batch %d", start_batch)
@@ -940,6 +968,7 @@ class Tracer:
             led_b = led_b._replace(culled=led_b.culled + leftover)
             hist64 += np.asarray(det_b.hist, np.float64)
             per_det64 += np.asarray(det_b.per_detector, np.float64)
+            per_batch.append(np.asarray(det_b.per_detector, np.float64))
             image64 += np.asarray(det_b.image, np.float64)
             image_amp64 += np.asarray(det_b.image_amp, np.float64)
             if cfg.flux_map:
@@ -953,6 +982,7 @@ class Tracer:
                 save_state(checkpoint_path, hist64=hist64, per_det64=per_det64,
                            image64=image64, image_amp64=image_amp64,
                            tri_flux64=tri_flux64, time64=time64,
+                           per_batch=np.asarray(per_batch),
                            led64=led64, next_batch=b + 1)
             log.info("batch %d/%d done", b + 1, n_batches)
         wall = time.perf_counter() - t0
@@ -984,6 +1014,8 @@ class Tracer:
             tri_flux=(tri_flux64[: self.num_triangles]
                       if cfg.flux_map else None),
             time_hist=(time64 if cfg.time_bins > 0 else None),
+            per_batch_detector=(np.asarray(per_batch)
+                                if per_batch else None),
             opl_edges=(np.linspace(cfg.opl_min, cfg.opl_max,
                                    cfg.time_bins + 1)
                        if cfg.time_bins > 0 else None),
