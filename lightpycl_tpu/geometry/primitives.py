@@ -362,6 +362,59 @@ class OpticalElements:
         return GeoObject(V, T, Material.REFRACTIVE, ior, **kw).translate(center)
 
 
+    def fresnel_lens(self, r: float, aperture: float, thickness: float,
+                     n_grooves: int = 8, ior: float = 1.5,
+                     center=(0, 0, 0), **kw) -> GeoObject:
+        """Plano-Fresnel lens: the collapse of a plano-convex singlet
+        (flat front at z = 0, curvature radius `r` on the back) into
+        `n_grooves` equal-width annular grooves cut into a slab of
+        `thickness`. Each groove keeps the PARENT surface's exact local
+        curvature — within zone j the back surface is
+
+            z(rho) = thickness - (s(rho) - s(rho_j)),   s = |r| - sqrt(r^2 - rho^2)
+
+        so every refracting facet bends rays exactly like the parent lens
+        (thin-lens focal length f = |r| / (n - 1)); the vertical risers
+        between zones are modeled too (they are the real stray-light
+        mechanism of molded Fresnel optics). The slab must be thicker than
+        the deepest groove: thickness > s(a) - s(a - a/n_grooves).
+
+        Extension beyond the reference factory (SURVEY.md §3 'Primitive
+        mesh factory' lists spherical lenses only)."""
+        a = aperture / 2.0
+        R = abs(r)
+        if R < a:
+            raise ValueError("curvature radius smaller than aperture radius")
+
+        def sag(rho):
+            return R - np.sqrt(np.maximum(R * R - rho * rho, 0.0))
+
+        edges = np.linspace(0.0, a, n_grooves + 1)
+        depth_max = float(np.max(sag(edges[1:]) - sag(edges[:-1])))
+        if thickness <= depth_max * (1 + 1e-9):
+            raise ValueError(
+                f"thickness {thickness} does not clear the deepest groove "
+                f"({depth_max:.4g}): thicken the slab or add grooves")
+        # per-zone curved facet samples + a same-radius riser point back
+        # up to the slab plane (two consecutive profile points at equal r
+        # revolve into the vertical riser wall)
+        n_sub = max(2, int(np.ceil((self.n_radial + 1) / n_grooves)))
+        back = [(0.0, thickness)]
+        for j in range(n_grooves):
+            rho = np.linspace(edges[j], edges[j + 1], n_sub + 1)[1:]
+            z = thickness - (sag(rho) - sag(edges[j]))
+            back.extend(zip(rho, z))
+            if j + 1 < n_grooves:
+                back.append((edges[j + 1], thickness))  # riser
+        back = np.asarray(back)
+        front = np.stack([np.linspace(0.0, a, self.n_radial + 1),
+                          np.zeros(self.n_radial + 1)], axis=1)
+        # front vertex -> front rim -> (edge wall) -> back rim -> vertex,
+        # the spherical_lens ordering that keeps normals outward
+        prof = np.concatenate([front, back[::-1]], axis=0)
+        V, T = revolve_profile(prof, self.n_segments)
+        return GeoObject(V, T, Material.REFRACTIVE, ior, **kw).translate(center)
+
     def axicon(self, diameter: float, cone_angle: float,
                thickness: float = 0.1, ior: float = 1.5,
                center=(0, 0, 0), **kw) -> GeoObject:
