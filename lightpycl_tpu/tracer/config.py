@@ -144,6 +144,18 @@ class TraceConfig:
     #   each
     #   step costs one trace iteration, so trace_iterations must cover
     #   path_length / grin_step plus the ordinary surface bounces
+    grin_substeps: int = 1  # curved sub-steps taken per trace ITERATION
+    #   for rays inside a GRIN medium: between sub-steps the ray
+    #   re-intersects only the GRIN elements' own surfaces (a compact
+    #   Tg-triangle set, scene.grin_wu/..), so k sub-steps cost
+    #   k x (C x Tg) instead of k full (C x T_scene) intersects — a large
+    #   win for long rods inside big scenes. trace_iterations then only
+    #   needs to cover path_length / (grin_substeps * grin_step).
+    #   ASSUMPTION (the single exactness caveat): nothing else intrudes
+    #   into a GRIN element's interior — mid-medium sub-steps check
+    #   distance to GRIN surfaces only, so an embedded foreign element
+    #   would be stepped over. 1 (default) = the always-exact behavior
+    #   where every step pays a full-scene intersect.
     seed: int = 0
     # optional on-device planar intensity image of measured hit points
     # (BASELINE configs[1] focal-plane map at mega-ray scale): an

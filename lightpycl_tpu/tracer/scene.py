@@ -102,6 +102,14 @@ class Scene(NamedTuple):
     grin_n0: jnp.ndarray = None     # (E,) f32 on-axis index n0
     grin_center: jnp.ndarray = None  # (E, 3) f32 profile-axis point
     grin_axis: jnp.ndarray = None   # (E, 3) f32 unit profile axis
+    # compact unit-transform rows of ONLY the GRIN elements' triangles
+    # (zero-row padded to a chunk multiple): TraceConfig.grin_substeps > 1
+    # re-intersects mid-medium rays against this tiny set instead of the
+    # whole scene, so k curved sub-steps cost k x (C x Tg) instead of
+    # k full (C x T) intersects
+    grin_wu: jnp.ndarray = None     # (Tg_pad, 4) f32
+    grin_wv: jnp.ndarray = None
+    grin_ww: jnp.ndarray = None
 
     @property
     def num_triangles_padded(self) -> int:
@@ -346,10 +354,29 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
                 gn[i] = float(o.ior)
                 gc[i] = np.asarray(o.grin_center, np.float64)
                 gx[i] = np.asarray(o.axis, np.float64)
+        # compact surface set for grin_substeps: gather the grin elements'
+        # triangle transform rows (element_id rides any spatial sort, and
+        # padding rows carry element_id = -1 so they never join)
+        eid = np.asarray(scene.element_id)
+        is_grin_tri = np.zeros(eid.shape, bool)
+        for i, o in enumerate(objects):
+            if float(getattr(o, "grin_a", 0.0)) != 0.0:
+                is_grin_tri |= eid == i
+        gwu = np.asarray(scene.wu)[is_grin_tri]
+        gwv = np.asarray(scene.wv)[is_grin_tri]
+        gww = np.asarray(scene.ww)[is_grin_tri]
+        pad_g = _round_up(max(len(gwu), 1), 128) - len(gwu)
+        if pad_g:
+            z = np.zeros((pad_g, 4), gwu.dtype)  # zero rows never hit
+            gwu, gwv, gww = (np.concatenate([a, z])
+                             for a in (gwu, gwv, gww))
         scene = scene._replace(
             grin_a=jnp.asarray(ga, jnp.float32),
             grin_n0=jnp.asarray(gn, jnp.float32),
             grin_center=jnp.asarray(gc, jnp.float32),
             grin_axis=jnp.asarray(gx, jnp.float32),
+            grin_wu=jnp.asarray(gwu, jnp.float32),
+            grin_wv=jnp.asarray(gwv, jnp.float32),
+            grin_ww=jnp.asarray(gww, jnp.float32),
         )
     return scene, detector_names

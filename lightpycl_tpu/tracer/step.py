@@ -132,6 +132,46 @@ def intersect_jnp(scene: Scene, o, d, cfg: TraceConfig, ray_block: int = 4096):
     return bt, jnp.where(jnp.isfinite(bt), bi, -1)
 
 
+def nearest_t_rows(o, d, wu, wv, ww, cfg: TraceConfig, ray_block: int = 4096):
+    """Nearest-hit DISTANCE of C rays against an arbitrary compact set of
+    unit-transform rows (no triangle ids) — the GRIN multi-substep path's
+    own-surface check (TraceConfig.grin_substeps). Same hit predicate as
+    intersect_jnp so step decisions match the full intersect exactly."""
+    C = o.shape[0]
+    Tp = wu.shape[0]
+    chunk = int(min(128, Tp))
+    n_chunks = -(-Tp // chunk)  # build pads to a 128 multiple already
+    wu_t = wu.reshape(n_chunks, chunk, 4)
+    wv_t = wv.reshape(n_chunks, chunk, 4)
+    ww_t = ww.reshape(n_chunks, chunk, 4)
+
+    rb = int(min(ray_block, C))
+    n_rblocks = -(-C // rb)
+    pad_r = n_rblocks * rb - C
+    o_p = jnp.pad(o, ((0, pad_r), (0, 0))) if pad_r else o
+    d_p = jnp.pad(d, ((0, pad_r), (0, 0))) if pad_r else d
+    o4 = jnp.concatenate([o_p, jnp.ones((o_p.shape[0], 1), jnp.float32)],
+                         axis=1).reshape(n_rblocks, rb, 4)
+    d4 = jnp.concatenate([d_p, jnp.zeros((d_p.shape[0], 1), jnp.float32)],
+                         axis=1).reshape(n_rblocks, rb, 4)
+    eps = jnp.float32(cfg.eps)
+    eps_b = jnp.float32(cfg.eps_bary)
+    t_max = jnp.float32(cfg.max_ray_len)
+
+    def per_ray_block(args):
+        o4b, d4b = args
+
+        def tri_scan(best_t, tile):
+            t, _ = _intersect_tile(o4b, d4b, *tile, eps, eps_b, t_max)
+            return jnp.minimum(best_t, t), None
+
+        bt, _ = jax.lax.scan(tri_scan, jnp.full((rb,), _INF),
+                             (wu_t, wv_t, ww_t))
+        return bt
+
+    return jax.lax.map(per_ray_block, (o4, d4)).reshape(-1)[:C]
+
+
 def intersect(scene: Scene, o, d, cfg: TraceConfig, alive=None):
     """Backend-dispatching nearest-hit. `alive` (optional) lets the Pallas
     cull skip all-dead ray blocks."""
@@ -583,8 +623,58 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
                 jnp.linalg.norm(basis_g, axis=1, keepdims=True), 1e-20)
         else:
             basis_g = None
+        seg_len = t_draw
+        if cfg.grin_substeps > 1 and scene.grin_wu is not None:
+            # take up to grin_substeps - 1 MORE curved steps this bounce,
+            # re-checking the surface distance against only the GRIN
+            # elements' own triangles (scene.grin_wu — a Tg-sized set)
+            # between steps. Decisions use the same hit predicate and eps
+            # as the full intersect, so while nothing foreign intrudes
+            # into the medium the trajectory is identical to taking one
+            # step per iteration (see TraceConfig.grin_substeps).
+            gc_l = scene.grin_center[gmid]
+            gx_l = scene.grin_axis[gmid]
+            gn0_l = scene.grin_n0[gmid]
+            h_g = jnp.float32(cfg.grin_step)
+
+            def _substep(i, st):
+                r, dd, nn, opl_a, bas, act, s_tot = st
+                t_s = nearest_t_rows(r, dd, scene.grin_wu, scene.grin_wv,
+                                     scene.grin_ww, cfg)
+                # t_s == inf means NO grin surface ahead: the previous
+                # curved step overshot the element (axial advance of a
+                # bending step can exceed the straight chord's) — stop and
+                # let the next full-scene intersect interact, exactly as
+                # the one-step-per-iteration mode self-heals
+                go = act & (t_s > h_g) & jnp.isfinite(t_s)
+                r2, d2, n2, dopl = physics.grin_selfoc_step(
+                    r, dd, h_g, gc_l, gx_l, gn0_l, g_a)
+                if cfg.polarization:
+                    b2 = physics.parallel_transport(bas, dd, d2)
+                    b2 = b2 - physics.dot(b2, d2)[:, None] * d2
+                    b2 = b2 / jnp.maximum(
+                        jnp.linalg.norm(b2, axis=1, keepdims=True), 1e-20)
+                    bas = jnp.where(go[:, None], b2, bas)
+                r = jnp.where(go[:, None], r2, r)
+                dd = jnp.where(go[:, None], d2, dd)
+                nn = jnp.where(go, n2, nn)
+                opl_a = opl_a + jnp.where(go, dopl, 0.0)
+                s_tot = s_tot + jnp.where(go, h_g, 0.0)
+                return (r, dd, nn, opl_a, bas, go, s_tot)
+
+            st0 = (r_g, d_g, n_g, opl_g,
+                   basis_g if basis_g is not None else d_g,  # dummy carry
+                   is_gstep, t_draw)
+            r_g, d_g, n_g, opl_g, bas_out, _, s_tot = jax.lax.fori_loop(
+                0, cfg.grin_substeps - 1, _substep, st0)
+            if basis_g is not None:
+                basis_g = bas_out
+            # Beer-Lambert below must see the TOTAL arc traveled, not
+            # just the first sub-step
+            seg_len = jnp.where(is_gstep, s_tot, t_draw)
     else:
         in_grin = is_gstep = basis_g = None
+        seg_len = t_draw
     hit_point = rays.o + t_draw[:, None] * rays.d
     # optical path length through the segment just traveled (n * length);
     # both children inherit it (same hit point)
@@ -598,7 +688,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     # Beer-Lambert bulk attenuation over the segment just traveled
     # (rays.absorb == 0 in vacuum/air -> no-op; extension over the
     # reference, which has loss only at surfaces)
-    atten = jnp.exp(-rays.absorb * t_draw)
+    atten = jnp.exp(-rays.absorb * seg_len)
     bulk_absorbed = jnp.sum(live_p * (1.0 - atten))
     live_p = live_p * atten
 

@@ -531,3 +531,80 @@ class TestPlumbing:
         r_on = Tracer(TraceConfig(has_grin=True, grin_step=0.1)).trace(
             src, els, trace_iterations=6, capacity=2048)
         assert r_off.ledger == r_on.ledger
+
+
+class TestMultiSubstep:
+    """TraceConfig.grin_substeps: k curved sub-steps per trace iteration,
+    re-intersecting only the GRIN elements' own surfaces between steps
+    (scene.grin_wu compact set). Must reproduce the one-step-per-iteration
+    trajectories exactly — same propagator, same step length, same hit
+    predicate — while needing ~k x fewer full-scene intersects."""
+
+    def _trace(self, substeps, iterations, length=PITCH / 4, r0=0.2,
+               absorption=0.0, polarization=False):
+        oe = L.optical_elements()
+        rod = _rod(length)
+        rod.absorption = absorption
+        screen = oe.rectangle(width=10.0, depth=10.0,
+                              center=(0, 0, 1.0 + length + GAP),
+                              material="measure", name="exit")
+        world = oe.sphere(radius=20.0, material="measure", name="world")
+        src = CollimatedSource(center=(0, 0, 0), direction=(0, 0, 1),
+                               diameter=2 * r0, power=1.0, ray_count=256,
+                               seed=11)
+        cfg = TraceConfig(grin_substeps=substeps,
+                          polarization=polarization)
+        res = Tracer(cfg).trace(src, [rod, screen, world],
+                                trace_iterations=iterations, capacity=2048)
+        assert res.power_conservation_error() < 1e-4
+        return res
+
+    def test_matches_single_step(self):
+        """Same physics, ~4x fewer iterations: detected power, ledger and
+        exit-ray positions agree with the one-step-per-iteration trace."""
+        ref = self._trace(substeps=1, iterations=60)
+        fast = self._trace(substeps=4, iterations=18)
+        assert abs(fast.detector_power("exit")
+                   - ref.detector_power("exit")) < 1e-5
+        for k in ("measured", "absorbed", "escaped"):
+            assert abs(fast.ledger[k] - ref.ledger[k]) < 2e-5
+        # exit-spot centroids agree (the quarter-pitch rod focuses the
+        # beam near the axis)
+        sel_r = ref.measured_det == 0
+        sel_f = fast.measured_det == 0
+        c_ref = np.average(ref.measured_pos[sel_r][:, :2], axis=0,
+                           weights=ref.measured_power[sel_r])
+        c_fast = np.average(fast.measured_pos[sel_f][:, :2], axis=0,
+                            weights=fast.measured_power[sel_f])
+        np.testing.assert_allclose(c_fast, c_ref, atol=1e-5)
+        rms_ref = float(np.sqrt(np.average(
+            np.sum(ref.measured_pos[sel_r][:, :2] ** 2, axis=1),
+            weights=ref.measured_power[sel_r])))
+        rms_fast = float(np.sqrt(np.average(
+            np.sum(fast.measured_pos[sel_f][:, :2] ** 2, axis=1),
+            weights=fast.measured_power[sel_f])))
+        assert abs(rms_fast - rms_ref) < 1e-5
+
+    def test_beer_lambert_uses_total_arc(self):
+        """The absorption segment length must be the TOTAL arc of all
+        sub-steps, not just the first one (mu = 0.8 over a quarter-pitch
+        rod absorbs ~47% of what enters)."""
+        ref = self._trace(substeps=1, iterations=60, absorption=0.8)
+        fast = self._trace(substeps=8, iterations=12, absorption=0.8)
+        assert ref.ledger["absorbed"] > 0.3  # the anchor has teeth
+        assert abs(fast.ledger["absorbed"] - ref.ledger["absorbed"]) < 2e-4
+        assert abs(fast.detector_power("exit")
+                   - ref.detector_power("exit")) < 2e-4
+
+    def test_polarized_frame_transport_matches(self):
+        ref = self._trace(substeps=1, iterations=60, polarization=True)
+        fast = self._trace(substeps=4, iterations=18, polarization=True)
+        assert abs(fast.detector_power("exit")
+                   - ref.detector_power("exit")) < 1e-5
+        sel_r = ref.measured_det == 0
+        sel_f = fast.measured_det == 0
+        s_ref = np.average(ref.measured_stokes[sel_r], axis=0,
+                           weights=ref.measured_power[sel_r])
+        s_fast = np.average(fast.measured_stokes[sel_f], axis=0,
+                            weights=fast.measured_power[sel_f])
+        np.testing.assert_allclose(s_fast, s_ref, atol=1e-5)
