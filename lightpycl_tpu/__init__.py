@@ -25,6 +25,10 @@ from lightpycl_tpu.materials import Material, glass
 from lightpycl_tpu.geometry.mesh import (GeoObject, instance_grid, instances,
                                          merge)
 from lightpycl_tpu.geometry.primitives import OpticalElements, optical_elements
+from lightpycl_tpu.geometry.analytic import (
+    AnalyticSurface, analytic_annulus, analytic_biconvex_lens, analytic_disc,
+    analytic_lens, analytic_mirror, analytic_plano_convex_lens,
+    analytic_sphere, conic_surface, cylinder_surface)
 from lightpycl_tpu.sources import AreaSource, LightSource, light_source
 from lightpycl_tpu.tracer.config import TraceConfig
 from lightpycl_tpu.tracer.scene import Scene, build_scene
@@ -43,6 +47,16 @@ __all__ = [
     "instance_grid",
     "OpticalElements",
     "optical_elements",
+    "AnalyticSurface",
+    "conic_surface",
+    "cylinder_surface",
+    "analytic_lens",
+    "analytic_plano_convex_lens",
+    "analytic_biconvex_lens",
+    "analytic_mirror",
+    "analytic_disc",
+    "analytic_annulus",
+    "analytic_sphere",
     "AreaSource",
     "LightSource",
     "light_source",

@@ -659,6 +659,9 @@ def plot_elements_and_rays(elements, segments, max_rays: int = 200, ax=None,
         fig = plt.figure()
         ax = fig.add_subplot(projection="3d")
     for el in elements:
+        if getattr(el, "quad_abgd", None) is not None:
+            # analytic surface: draw a tessellation, not the placeholder
+            el = el.to_mesh()
         tv = el.triangle_vertices()
         stride = max(1, len(tv) // 400)
         for tri in tv[::stride]:

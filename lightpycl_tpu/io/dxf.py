@@ -314,6 +314,10 @@ def save_traced_scene(path: str, elements, segments=(), max_rays_per_iter: int =
     """
     w = DXFWriter()
     for i, el in enumerate(elements):
+        if getattr(el, "quad_abgd", None) is not None:
+            # analytic surface: export a tessellation, not the one-triangle
+            # placeholder its `vertices` hold (geometry/analytic.py)
+            el = el.to_mesh()
         w.add_mesh(el.vertices, el.triangles, layer=el.name or f"element_{i}")
     for starts, ends, alive in segments:
         idx = np.nonzero(alive)[0][:max_rays_per_iter]

@@ -140,6 +140,12 @@ class TraceConfig:
     # fraction of the shortest profile pitch). Needs the scene replicated
     # (per-element tables): mesh2d is refused.
     has_grin: bool = False
+    # True runs the exact quadric intersector (geometry/analytic.py
+    # surfaces: ops/quadric.py) after each triangle intersect and merges
+    # the nearest hit. DETERMINISTIC, no RNG. Auto-enabled by the engine
+    # when the scene contains AnalyticSurface elements; needs the scene
+    # replicated (mesh2d is refused).
+    has_analytic: bool = False
     grin_step: float = 0.0  # curved-step arc length inside GRIN media;
     #   each
     #   step costs one trace iteration, so trace_iterations must cover

@@ -271,11 +271,13 @@ class Tracer:
                 cfg = cfg.replace(path_base=2 * len(self.elements) + 1)
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
-        if (cfg.has_fluorescence or cfg.has_grin) and mode == "mesh2d":
+        if (cfg.has_fluorescence or cfg.has_grin
+                or cfg.has_analytic) and mode == "mesh2d":
             raise ValueError(
-                "fluorescent/GRIN scenes need the scene replicated (the "
-                "per-element tables index by rays.medium): use "
-                "mode='host'/'device'/'multichip', not 'mesh2d'")
+                "fluorescent/GRIN/analytic-surface scenes need the scene "
+                "replicated (their tables index by element, not by sharded "
+                "triangle column): use mode='host'/'device'/'multichip', "
+                "not 'mesh2d'")
         self._check_flux_map(cfg, mode)
         self._check_time_bins(cfg)
         if cfg.has_fluorescence:
@@ -617,6 +619,12 @@ class Tracer:
         # polarization=True composes with GRIN since round 3: the frame
         # is Levi-Civita-transported along each curved step (step.py),
         # reproducing the geometric Rytov rotation on skew rays
+        # exact quadric surfaces (geometry/analytic.py): run the analytic
+        # intersector exactly when the scene has them
+        has_an = any(getattr(e, "quad_abgd", None) is not None
+                     for e in self.elements)
+        if cfg.has_analytic != has_an:
+            cfg = cfg.replace(has_analytic=has_an)
         return cfg
 
     def _check_time_bins(self, cfg: TraceConfig) -> None:
@@ -822,11 +830,13 @@ class Tracer:
                 "image_halfwidth) too")
         cfg = self._tune_splitting(cfg)
         cfg = self._check_polarization(cfg)
-        if (cfg.has_fluorescence or cfg.has_grin) and mode == "mesh2d":
+        if (cfg.has_fluorescence or cfg.has_grin
+                or cfg.has_analytic) and mode == "mesh2d":
             raise ValueError(
-                "fluorescent/GRIN scenes need the scene replicated (the "
-                "per-element tables index by rays.medium): use "
-                "mode='device'/'multichip', not 'mesh2d'")
+                "fluorescent/GRIN/analytic-surface scenes need the scene "
+                "replicated (their tables index by element, not by sharded "
+                "triangle column): use mode='device'/'multichip', not "
+                "'mesh2d'")
         self._check_flux_map(cfg, mode)
         self._check_time_bins(cfg)
         scene_sh = None

@@ -67,6 +67,65 @@ def _reflect(d, n):
     return d - 2.0 * np.sum(d * n, axis=1, keepdims=True) * n
 
 
+def _quadric_nearest_hit(o, d, quads, eps, eps_b, t_max):
+    """f64 nearest hit over the analytic surfaces (geometry/analytic.py
+    model: alpha (x^2+y^2) + beta z^2 + gamma z + delta = 0, bounded).
+
+    Deliberately the PLAIN quadratic formula in float64 — a different
+    formulation from the device path's recentered citardauq roots
+    (ops/quadric.py), per this module's independence principle.
+
+    Returns (t (N,), row (N,) attribute-row index or -1, normal (N, 3))."""
+    N = len(o)
+    best_t = np.full(N, np.inf)
+    best_row = np.full(N, -1, np.int64)
+    best_n = np.zeros((N, 3))
+    for row, abgd, rlim, zlim, vertex, frame in quads:
+        al, be, ga, de = abgd
+        ol = (o - vertex) @ frame.T
+        dl = d @ frame.T
+        A = al * (dl[:, 0] ** 2 + dl[:, 1] ** 2) + be * dl[:, 2] ** 2
+        B = (2.0 * al * (ol[:, 0] * dl[:, 0] + ol[:, 1] * dl[:, 1])
+             + 2.0 * be * ol[:, 2] * dl[:, 2] + ga * dl[:, 2])
+        Cq = (al * (ol[:, 0] ** 2 + ol[:, 1] ** 2) + be * ol[:, 2] ** 2
+              + ga * ol[:, 2] + de)
+        disc = B * B - 4.0 * A * Cq
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        is_q = A != 0.0
+        Asafe = np.where(is_q, A, 1.0)
+        t0 = np.where(is_q & (disc >= 0.0), (-B - sq) / (2.0 * Asafe), np.inf)
+        t1 = np.where(is_q & (disc >= 0.0), (-B + sq) / (2.0 * Asafe), np.inf)
+        Bsafe = np.where(B != 0.0, B, 1.0)
+        t_lin = np.where(~is_q & (B != 0.0), -Cq / Bsafe, np.inf)
+        t0 = np.where(is_q, t0, t_lin)
+
+        cand = np.full(N, np.inf)
+        for tt in (t0, t1):
+            fin = np.isfinite(tt)
+            p = ol + np.where(fin, tt, 0.0)[:, None] * dl
+            r2 = p[:, 0] ** 2 + p[:, 1] ** 2
+            z = p[:, 2]
+            ok = (fin & (tt > eps) & (tt < t_max)
+                  & (r2 >= rlim[0] ** 2 * (1.0 - eps_b))
+                  & (r2 <= rlim[1] ** 2 * (1.0 + eps_b) + eps_b)
+                  & (z >= zlim[0] - eps_b * (1.0 + abs(zlim[0])))
+                  & (z <= zlim[1] + eps_b * (1.0 + abs(zlim[1]))))
+            cand = np.minimum(cand, np.where(ok, tt, np.inf))
+
+        better = cand < best_t
+        if better.any():
+            pl = ol[better] + cand[better, None] * dl[better]
+            grad = np.stack([2.0 * al * pl[:, 0], 2.0 * al * pl[:, 1],
+                             2.0 * be * pl[:, 2] + ga], axis=1)
+            nw = grad @ frame
+            nw /= np.maximum(np.linalg.norm(nw, axis=1, keepdims=True),
+                             1e-300)
+            best_t[better] = cand[better]
+            best_row[better] = row
+            best_n[better] = nw
+    return best_t, best_row, best_n
+
+
 def _film_reflectance_matrix(cos_i, n1, stack_n, stack_h, n2, wl):
     """Unpolarized R of a lossless dielectric stack via the
     CHARACTERISTIC-MATRIX method (Abeles/Macleod), complex128 —
@@ -123,6 +182,8 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
     mns, mks = [], []
     coat_stacks = []
     det_names = []
+    quads = []      # analytic surfaces: (attr row, abgd, rlim, zlim, vx, fr)
+    n_tris = 0
     for el in elements:
         if el.material in (Material.POLARIZER, Material.WAVEPLATE,
                            Material.BIREFRINGENT):
@@ -157,7 +218,22 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         t = len(tv)
         if t == 0:
             continue
-        v0s.append(tv[:, 0]); e1s.append(tv[:, 1] - tv[:, 0]); e2s.append(tv[:, 2] - tv[:, 0])
+        if getattr(el, "quad_abgd", None) is not None:
+            # analytic surface (geometry/analytic.py): its placeholder
+            # triangle gets ZERO edges so Möller–Trumbore can never hit it
+            # (a = dot(e1, h) == 0); the exact f64 quadric pass below hits
+            # the surface instead and reuses this attribute row
+            quads.append((n_tris, np.asarray(el.quad_abgd, np.float64),
+                          np.asarray(el.quad_rlim, np.float64),
+                          np.asarray(el.quad_zlim, np.float64),
+                          np.asarray(el.quad_vertex, np.float64),
+                          np.asarray(el.quad_frame, np.float64)))
+            v0s.append(tv[:, 0])
+            e1s.append(np.zeros((t, 3)))
+            e2s.append(np.zeros((t, 3)))
+        else:
+            v0s.append(tv[:, 0]); e1s.append(tv[:, 1] - tv[:, 0]); e2s.append(tv[:, 2] - tv[:, 0])
+        n_tris += t
         mats.append(np.full(t, int(el.material)))
         iors.append(np.full(t, el.ior))
         iorbs.append(np.full(t, float(getattr(el, "dispersion_b", 0.0))))
@@ -219,6 +295,16 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         if len(o) == 0:
             break
         t, ti = _mt_nearest_hit(o, d, v0, e1, e2, eps, eps_bary, max_ray_len)
+        # per-ray geometric normal: the triangle's, overridden with the
+        # exact quadric gradient where an analytic surface is nearer
+        ng_ray = n_geom[np.maximum(ti, 0)]
+        if quads:
+            tq, qrow, qn = _quadric_nearest_hit(
+                o, d, quads, eps, max(eps_bary, 1e-6), max_ray_len)
+            use_q = tq < t
+            t = np.where(use_q, tq, t)
+            ti = np.where(use_q, qrow, ti)
+            ng_ray = np.where(use_q[:, None], qn, ng_ray)
         hit = ti >= 0
         hp = o + np.where(hit, t, max_ray_len)[:, None] * d
 
@@ -253,7 +339,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         # mirrors: one reflected child
         if is_mirror.any():
             i = is_mirror
-            ng = n_geom[ti[i]]
+            ng = ng_ray[i]
             cos = np.sum(d[i] * ng, axis=1)
             n = np.where(cos[:, None] < 0, ng, -ng)
             r = refl[ti[i]]
@@ -285,7 +371,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         # leaves the groove component untouched), re-assemble.
         if is_gr.any():
             i = is_gr
-            ng = n_geom[ti[i]]
+            ng = ng_ray[i]
             cos = np.sum(d[i] * ng, axis=1)
             n = np.where(cos[:, None] < 0, ng, -ng)
             g = np.cross(np.cross(n, g_axis[ti[i]]), n)   # tangential axis
@@ -321,7 +407,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         # transmitted child (1 - R), no refraction or medium change
         if is_bs.any():
             i = is_bs
-            ng = n_geom[ti[i]]
+            ng = ng_ray[i]
             cos = np.sum(d[i] * ng, axis=1)
             n = np.where(cos[:, None] < 0, ng, -ng)
             r = refl[ti[i]]
@@ -335,7 +421,7 @@ def trace_oracle(elements, origins, dirs, powers, *, trace_iterations=8,
         # dielectrics: Fresnel split into reflected + refracted children
         if is_refr.any():
             i = is_refr
-            ng = n_geom[ti[i]]
+            ng = ng_ray[i]
             cos_raw = np.sum(d[i] * ng, axis=1)
             entering = cos_raw < 0
             n = np.where(entering[:, None], ng, -ng)

@@ -110,6 +110,19 @@ class Scene(NamedTuple):
     grin_wu: jnp.ndarray = None     # (Tg_pad, 4) f32
     grin_wv: jnp.ndarray = None
     grin_ww: jnp.ndarray = None
+    # ANALYTIC (exact quadric) surfaces — geometry/analytic.py. Each owns
+    # one ordinary attribute row above (its placeholder triangle's, whose
+    # wu/wv/ww are zeroed so the triangle path never hits it); the exact
+    # intersection runs in ops/quadric.intersect_quadrics and merges with
+    # the triangle nearest-hit in trace_step. None when the scene has no
+    # analytic surfaces. Replicated across chips like the mesh (the
+    # engine refuses mesh2d, which shards triangle columns).
+    quad_abgd: jnp.ndarray = None    # (Q, 4) f32 local implicit form
+    quad_rlim: jnp.ndarray = None    # (Q, 2) f32 radial hit bounds
+    quad_zlim: jnp.ndarray = None    # (Q, 2) f32 axial hit bounds (local)
+    quad_vertex: jnp.ndarray = None  # (Q, 3) f32 local-frame origin
+    quad_frame: jnp.ndarray = None   # (Q, 3, 3) f32 rows = local axes
+    quad_tri: jnp.ndarray = None     # (Q,) i32 attribute-row index
 
     @property
     def num_triangles_padded(self) -> int:
@@ -279,6 +292,19 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         rows[ok, :, :3] = A_inv
         rows[ok, :, 3] = b
 
+    # analytic quadric surfaces: zero their placeholder triangles' transform
+    # rows (the padding mechanism — DW == 0 never hits) and record which
+    # attribute row each surface owns; ops/quadric.py intersects them
+    # exactly and trace_step merges via that row index
+    quad_objs = [(i, o) for i, o in enumerate(objects)
+                 if getattr(o, "quad_abgd", None) is not None]
+    quad_tri_np = None
+    if quad_objs:
+        quad_tri_np = np.array(
+            [int(np.nonzero(elem_np == i)[0][0]) for i, _ in quad_objs],
+            np.int32)
+        rows[quad_tri_np] = 0.0
+
     T_pad = _round_up(max(T, 1), pad_to)
     pad = T_pad - T
 
@@ -319,6 +345,21 @@ def build_scene(objects: Sequence[GeoObject], pad_to: int = 256,
         rough_g=jnp.asarray(_p(rg_np, fill=0.0), jnp.float32),
         element_id=jnp.asarray(_p(elem_np, fill=-1), jnp.int32),
     )
+    if quad_objs:
+        scene = scene._replace(
+            quad_abgd=jnp.asarray(
+                np.stack([o.quad_abgd for _, o in quad_objs]), jnp.float32),
+            quad_rlim=jnp.asarray(
+                np.stack([o.quad_rlim for _, o in quad_objs]), jnp.float32),
+            quad_zlim=jnp.asarray(
+                np.stack([o.quad_zlim for _, o in quad_objs]), jnp.float32),
+            quad_vertex=jnp.asarray(
+                np.stack([o.quad_vertex for _, o in quad_objs]),
+                jnp.float32),
+            quad_frame=jnp.asarray(
+                np.stack([o.quad_frame for _, o in quad_objs]), jnp.float32),
+            quad_tri=jnp.asarray(quad_tri_np),
+        )
     # per-element fluorescence tables (indexed by rays.medium, NOT by
     # triangle — spatial_sort does not touch them). Only attached when
     # some element fluoresces, so clear scenes keep fluor_* = None

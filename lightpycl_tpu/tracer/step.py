@@ -31,7 +31,10 @@ from lightpycl_tpu.tracer.config import TraceConfig
 from lightpycl_tpu.tracer.rays import DetectorState, Ledger, RayBatch
 from lightpycl_tpu.tracer.scene import Scene
 
-_INF = jnp.float32(jnp.inf)
+# python float, NOT jnp.float32(...): a module-level device array is lifted
+# into every enclosing jaxpr as a captured-constant executable input, which
+# the donation fastpath can mis-bind on repeat execution (see ops/quadric.py)
+_INF = float("inf")
 
 
 # --------------------------------------------------------------------------
@@ -352,6 +355,22 @@ def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
         out["coat_ior"] = g[:, k:k + L]
         out["coat_thickness"] = g[:, k + L:k + 2 * L]
     return out
+
+
+def default_hit_attrs(scene, safe_tri, cfg):
+    """The cfg-gated gather shade performs when no attrs override is
+    given — exposed so trace_step's analytic-surface merge (and any other
+    normal-overriding caller) builds the identical attribute set."""
+    return gather_hit_attrs(
+        scene, safe_tri,
+        with_optics=cfg.polarization or cfg.has_gratings,
+        with_coatings=cfg.has_coatings,
+        with_bire=(cfg.has_birefringence and cfg.polarization
+                   and getattr(scene, "bire_ne", None) is not None),
+        with_scatter=(cfg.has_scattering
+                      and getattr(scene, "scat_mu", None) is not None),
+        with_rough=(cfg.has_roughness
+                    and getattr(scene, "rough_sigma", None) is not None))
 
 
 def _shade_birefringent(scene, rays, sn, attrs, live_p, s_dir, hit_valid,
@@ -693,16 +712,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
     live_p = live_p * atten
 
     if attrs is None:
-        attrs = gather_hit_attrs(
-            scene, safe_tri,
-            with_optics=cfg.polarization or cfg.has_gratings,
-            with_coatings=cfg.has_coatings,
-            with_bire=(cfg.has_birefringence and cfg.polarization
-                       and getattr(scene, "bire_ne", None) is not None),
-            with_scatter=(cfg.has_scattering
-                          and getattr(scene, "scat_mu", None) is not None),
-            with_rough=(cfg.has_roughness
-                        and getattr(scene, "rough_sigma", None) is not None))
+        attrs = default_hit_attrs(scene, safe_tri, cfg)
     # birefringence is polarized-model-only (the o/e split is a Stokes
     # projection); unpolarized traces absorb such hits (ledger-exact,
     # engine refuses the combination anyway)
@@ -1606,7 +1616,22 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
     if cfg.cull:
         rays = reorder_rays(scene, rays)
     t, tri = intersect(scene, rays.o, rays.d, cfg, alive=rays.alive)
-    sh = shade(scene, rays, t, tri, cfg, key=key)
+    attrs = None
+    if cfg.has_analytic and getattr(scene, "quad_abgd", None) is not None:
+        # exact quadric surfaces (geometry/analytic.py): merge their
+        # nearest hit with the triangle result; the winning surface's
+        # attribute row is its placeholder triangle's, so the full
+        # material model downstream is untouched — only the geometric
+        # normal is overridden with the exact quadric gradient
+        from lightpycl_tpu.ops.quadric import intersect_quadrics
+
+        tq, qtri, nq = intersect_quadrics(scene, rays.o, rays.d, cfg)
+        use_q = tq < t
+        t = jnp.where(use_q, tq, t)
+        tri = jnp.where(use_q, qtri, tri)
+        attrs = default_hit_attrs(scene, jnp.maximum(tri, 0), cfg)
+        attrs["normal"] = jnp.where(use_q[:, None], nq, attrs["normal"])
+    sh = shade(scene, rays, t, tri, cfg, attrs=attrs, key=key)
     det = accumulate_detector(det, sh, rays, cfg, tri=tri)
     rr_delta = jnp.float32(0.0)
     if cfg.roulette_threshold > 0.0:
