@@ -388,6 +388,218 @@ def make_spot_loss(*, ior: float, thickness: float, aperture_radius: float,
 
 
 # --------------------------------------------------------------------------
+# Differentiable EXACT-surface design (analytic quadrics)
+# --------------------------------------------------------------------------
+# The analytic-surface intersection (ops/quadric.py) is pure jnp, so a lens
+# prescription expressed as quadric coefficients is differentiable with NO
+# tessellation in the loop: gradients of curvature / conic / thickness are
+# exact instead of carrying O(1/n_seg^2) facet noise. This is what makes
+# third-order shape optimization possible — docs/ROADMAP.md records that
+# Coddington best-form recovery on MESHED singlets is tessellation-limited
+# (the facet cone blur swamps the q-dependence); with exact caps the spot
+# RMS resolves it cleanly (tests/test_diff_analytic.py).
+
+
+def quadric_intersect_diff(scene: Scene, o, d, cfg: TraceConfig):
+    """Gradient-safe twin of ops/quadric.intersect_quadrics: dense (C, Q)
+    evaluation, guarded denominators and clamped sqrt so the reverse pass
+    stays finite, finite _BIG sentinel instead of +inf on miss.
+
+    Returns (t (C,), tri (C,) attribute-row index [-1 on miss],
+    normal (C, 3) outward unit normal; zero on miss lanes)."""
+    eps = jnp.float32(cfg.eps)
+    eps_b = jnp.float32(max(cfg.eps_bary, 1e-6))
+    t_max = jnp.float32(cfg.max_ray_len)
+    abgd = scene.quad_abgd          # (Q, 4)
+    rlim2 = scene.quad_rlim ** 2    # (Q, 2)
+    zlim = scene.quad_zlim          # (Q, 2)
+    vertex = scene.quad_vertex      # (Q, 3)
+    frame = scene.quad_frame        # (Q, 3, 3)
+
+    # local coords: (C, Q, 3)
+    rel = o[:, None, :] - vertex[None, :, :]
+    ol = jnp.einsum("qij,cqj->cqi", frame, rel, precision=_HI)
+    dl = jnp.einsum("qij,cj->cqi", frame, d, precision=_HI)
+    al, be, ga = abgd[:, 0], abgd[:, 1], abgd[:, 2]
+    de = abgd[:, 3]
+    # recenter at closest approach to the local origin (f32 conditioning,
+    # same trick as the forward kernel)
+    s0 = -jnp.sum(ol * dl, axis=-1)
+    oc = ol + s0[..., None] * dl
+    A = al * (dl[..., 0] ** 2 + dl[..., 1] ** 2) + be * dl[..., 2] ** 2
+    B = (2.0 * al * (oc[..., 0] * dl[..., 0] + oc[..., 1] * dl[..., 1])
+         + 2.0 * be * oc[..., 2] * dl[..., 2] + ga * dl[..., 2])
+    Cq = (al * (oc[..., 0] ** 2 + oc[..., 1] ** 2) + be * oc[..., 2] ** 2
+          + ga * oc[..., 2] + de)
+    disc = B * B - 4.0 * A * Cq
+    dpos = disc > 0.0
+    # sqrt VJP is 1/(2 sqrt): clamp the argument away from 0 on the
+    # masked-out lanes so tangent rays don't inject inf cotangents
+    sq = jnp.where(dpos, jnp.sqrt(jnp.where(dpos, disc, 1.0)), 0.0)
+    sgn = jnp.where(B >= 0.0, 1.0, -1.0)
+    q = -0.5 * (B + sgn * sq)
+    is_quad = jnp.abs(A) > _TINY
+    qok = jnp.abs(q) > _TINY
+    t_qa = q / jnp.where(is_quad, A, 1.0)
+    t_qb = Cq / jnp.where(qok, q, 1.0)
+    qvalid = is_quad & dpos & qok
+    lok = jnp.abs(B) > _TINY
+    t_lin = -Cq / jnp.where(lok, B, 1.0)
+    lvalid = (~is_quad) & lok
+    t0 = jnp.where(qvalid, t_qa, jnp.where(lvalid, t_lin, _BIG)) + s0
+    t1 = jnp.where(qvalid, t_qb, _BIG) + s0
+
+    def accept(t):
+        p = ol + t[..., None] * dl
+        r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+        z = p[..., 2]
+        ok = ((t > eps) & (t < t_max)
+              & (r2 >= rlim2[:, 0] * (1.0 - eps_b))
+              & (r2 <= rlim2[:, 1] * (1.0 + eps_b) + eps_b)
+              & (z >= zlim[:, 0] - eps_b * (1.0 + jnp.abs(zlim[:, 0])))
+              & (z <= zlim[:, 1] + eps_b * (1.0 + jnp.abs(zlim[:, 1]))))
+        return jnp.where(ok, t, _BIG)
+
+    tq = jnp.minimum(accept(t0), accept(t1))      # (C, Q)
+    qi = jnp.argmin(tq, axis=1).astype(jnp.int32)
+    tbest = jnp.min(tq, axis=1)
+    valid = tbest < t_max
+
+    # outward normal = quadric gradient at the winning hit point
+    fr = frame[qi]
+    ab = abgd[qi]
+    hit = o + jnp.where(valid, tbest, 0.0)[:, None] * d
+    pl = jnp.einsum("cij,cj->ci", fr, hit - vertex[qi], precision=_HI)
+    grad_l = jnp.stack([2.0 * ab[:, 0] * pl[:, 0],
+                        2.0 * ab[:, 0] * pl[:, 1],
+                        2.0 * ab[:, 1] * pl[:, 2] + ab[:, 2]], axis=1)
+    n_w = jnp.einsum("ci,cij->cj", grad_l, fr, precision=_HI)
+    n_w = n_w / jnp.sqrt(
+        jnp.maximum(jnp.sum(n_w * n_w, axis=1, keepdims=True), _TINY))
+    tri = jnp.where(valid, scene.quad_tri[qi], -1)
+    return jnp.where(valid, tbest, _BIG), tri, jnp.where(
+        valid[:, None], n_w, 0.0)
+
+
+def analytic_singlet_scene(c1, c2, thickness, aperture_radius, ior,
+                           k1=0.0, k2=0.0, pad_to: int = 256) -> Scene:
+    """Scene of one EXACT-surface singlet (front conic cap, back conic cap,
+    cylindrical rim — same construction as geometry/analytic.analytic_lens)
+    differentiable w.r.t. c1, c2, k1, k2, thickness, and aperture_radius.
+    Lensmaker convention: c = 1/R, biconvex is c1 > 0, c2 < 0; rays travel
+    +z. Each surface owns one degenerate placeholder triangle for its
+    attribute row (zero transform rows — the triangle pass never hits)."""
+    c1 = jnp.asarray(c1, jnp.float32)
+    c2 = jnp.asarray(c2, jnp.float32)
+    th = jnp.asarray(thickness, jnp.float32)
+    a = jnp.asarray(aperture_radius, jnp.float32)
+    a2 = a * a
+    s1 = sag(c1, a2, k1)                 # front sag at the rim (world z)
+    s2 = sag(c2, a2, k2)                 # back sag (negative for biconvex)
+    z0 = jnp.float32(0.0)
+
+    # placeholder triangles anchor the attribute rows; all three vertices
+    # coincide -> zero area -> zero transform rows in scene_from_triangles
+    v_f = jnp.stack([z0, z0, z0])
+    v_b = jnp.stack([z0, z0, th])
+    tv = jnp.stack([jnp.stack([v_f, v_f, v_f]),
+                    jnp.stack([v_b, v_b, v_b]),
+                    jnp.stack([v_f, v_f, v_f])])
+    scene = scene_from_triangles(tv, mat=int(Material.REFRACTIVE), ior=ior,
+                                 pad_to=pad_to)
+
+    one = jnp.float32(1.0)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    flip = jnp.asarray([[1.0, 0.0, 0.0],     # right-handed frame with
+                        [0.0, -1.0, 0.0],    # z_local = -z_world (back cap
+                        [0.0, 0.0, -1.0]],   # body on its +z_local side)
+                       jnp.float32)
+    zeros = jnp.zeros((), jnp.float32)
+    abgd = jnp.stack([
+        jnp.stack([c1, c1 * (1.0 + k1), -2.0 * one, zeros]),
+        jnp.stack([-c2, -c2 * (1.0 + k2), -2.0 * one, zeros]),
+        jnp.stack([one, zeros, zeros, -a2]),
+    ])
+    sb = -s2                              # back sag in the back-cap frame
+    rlim = jnp.stack([
+        jnp.stack([zeros, a]), jnp.stack([zeros, a]),
+        jnp.stack([zeros, 2.0 * a]),
+    ])
+
+    def _span(s):
+        return jnp.stack([jnp.minimum(zeros, s), jnp.maximum(zeros, s)])
+
+    rim_lo = s1
+    rim_hi = th + s2
+    zlim = jnp.stack([
+        _span(s1), _span(sb),
+        jnp.stack([jnp.minimum(rim_lo, rim_hi), jnp.maximum(rim_lo,
+                                                            rim_hi)]),
+    ])
+    vertex = jnp.stack([
+        jnp.stack([z0, z0, z0]), jnp.stack([z0, z0, th]),
+        jnp.stack([z0, z0, z0]),
+    ])
+    frame = jnp.stack([eye, flip, eye])
+    return scene._replace(quad_abgd=abgd, quad_rlim=rlim, quad_zlim=zlim,
+                          quad_vertex=vertex, quad_frame=frame,
+                          quad_tri=jnp.arange(3, dtype=jnp.int32))
+
+
+def trace_diff_analytic(scene: Scene, rays: RayBatch, cfg: TraceConfig,
+                        n_bounces: int, collect_escaped: bool = False):
+    """trace_diff with the exact-quadric merge (the differentiable twin of
+    trace_step's cfg.has_analytic branch): triangle and quadric nearest
+    hits merge per ray, the winning quadric's attribute row is its
+    placeholder triangle's, only the geometric normal is overridden."""
+    from lightpycl_tpu.tracer.step import default_hit_attrs
+
+    esc = []
+    for _ in range(n_bounces):
+        t, tri = intersect_diff(scene, rays.o, rays.d, cfg)
+        tq, qtri, nq = quadric_intersect_diff(scene, rays.o, rays.d, cfg)
+        use_q = tq < t
+        t = jnp.where(use_q, tq, t)
+        tri = jnp.where(use_q, qtri, tri)
+        if collect_escaped:
+            miss = rays.alive & (tri < 0)
+            esc.append((rays.o, rays.d, jnp.where(miss, rays.power, 0.0)))
+        attrs = default_hit_attrs(scene, jnp.maximum(tri, 0), cfg)
+        attrs["normal"] = jnp.where(use_q[:, None], nq, attrs["normal"])
+        sh = shade(scene, rays, t, tri, cfg, attrs=attrs)
+        rays, _ = compact(sh, rays.capacity, cfg)
+    if collect_escaped:
+        eo, ed, ep = (jnp.concatenate([e[i] for e in esc]) for i in range(3))
+        return rays, (eo, ed, ep)
+    return rays
+
+
+def make_analytic_spot_loss(*, ior: float, thickness: float,
+                            aperture_radius: float, n_rays: int = 300,
+                            beam_fill: float = 0.8, n_bounces: int = 4,
+                            cfg: TraceConfig | None = None):
+    """Loss factory on EXACT surfaces: (c1, c2, k1, k2, z_plane) -> RMS
+    spot radius at z = z_plane for a collimated on-axis beam. All five
+    arguments differentiable; no tessellation noise in the gradient. Use
+    for best-form (Coddington) shape optimization, conic optimization
+    (the stigmatic k = -n^2 singlet), or focus solving."""
+    cfg = cfg or TraceConfig(backend="jnp", has_gratings=False,
+                             has_coatings=False, has_metals=False)
+    rays0 = collimated_bundle(n_rays, beam_fill * aperture_radius)
+    per_ray = float(jnp.max(rays0.power))
+
+    def loss(c1, c2, k1, k2, z_plane):
+        scene = analytic_singlet_scene(c1, c2, thickness, aperture_radius,
+                                       ior, k1=k1, k2=k2)
+        _, (eo, ed, ep) = trace_diff_analytic(scene, rays0, cfg, n_bounces,
+                                              collect_escaped=True)
+        return spot_rms_at_plane(eo, ed, ep, z_plane,
+                                 min_power=0.25 * per_ray)
+
+    return jax.jit(loss)
+
+
+# --------------------------------------------------------------------------
 # Differentiable thin-film coating design
 # --------------------------------------------------------------------------
 # The device film model (physics.multilayer_rs_rp, the same Airy recursion
