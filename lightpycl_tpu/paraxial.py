@@ -26,6 +26,7 @@ import numpy as np
 __all__ = [
     "propagation", "refraction", "thin_lens", "mirror", "grin_rod",
     "thick_lens", "compose", "system_properties", "trace_ray",
+    "seidel", "seidel_singlet",
 ]
 
 
@@ -137,3 +138,107 @@ def trace_ray(M: np.ndarray, y: float, slope: float,
     geometric slope."""
     y2, u2 = M @ np.array([y, n_in * slope])
     return float(y2), float(u2)
+
+
+# -- third-order (Seidel) aberration sums ------------------------------------
+
+def seidel(curvatures, spacings, indices, *, y, u, ybar, ubar):
+    """Seidel third-order aberration sums for a centered system of
+    spherical refracting surfaces (extension: the reference has no
+    aberration theory — SURVEY.md L5 lists only traced-spot analysis;
+    this is the standard design-time complement, cross-checked against
+    the exact tracer in tests/test_paraxial.py).
+
+    Surface-by-surface refraction-invariant form (Welford, *Aberrations
+    of Optical Systems*, ch. 8): a paraxial MARGINAL ray ``(y, u)`` and
+    CHIEF ray ``(ybar, ubar)`` — heights and GEOMETRIC slopes dy/dz just
+    before the first surface — are traced through the prescription, and
+    each surface contributes
+
+        A    = n (c y + u)            (refraction invariant, = n i)
+        Abar = n (c ybar + ubar)
+        S1_j = -A^2    y  d(u/n)      (spherical)
+        S2_j = -A Abar y  d(u/n)      (coma)
+        S3_j = -Abar^2 y  d(u/n)      (astigmatism)
+        S4_j = -H^2    c  d(1/n)      (Petzval field curvature)
+        S5_j = (Abar/A) (S3_j + S4_j) (distortion)
+
+    with d(x) = x_after - x_before and the Lagrange invariant
+    H = n (ubar y - u ybar) (constant through the system).
+
+    Args:
+      curvatures: per-surface curvature c = 1/R (0.0 for flat); R > 0
+        when the center of curvature lies after the vertex, matching
+        `refraction` and `OpticalElements.spherical_lens`.
+      spacings: axial gaps AFTER each surface except the last
+        (len = len(curvatures) - 1); pass [] for a single surface.
+      indices: refractive indices [n_before_first, n_after_1, ...,
+        n_after_last] (len = len(curvatures) + 1).
+      y, u, ybar, ubar: marginal/chief ray state at the first surface.
+
+    Returns dict with 'S1'..'S5' (system sums), 'per_surface' ((5, k)
+    array), 'H', and the exit marginal state 'y_out'/'u_out'. Wavefront
+    aberration at full aperture: W = S1/8 sigma^4 + ... (Welford eq.
+    8.35); transverse marginal spherical at paraxial focus
+    eps = S1 / (2 n_out u_out), longitudinal LSA = -S1 / (2 n_out
+    u_out^2) (signed along +z: negative = marginal focus short, the
+    undercorrected singlet case).
+
+    NOTE on stop position: place the chief ray so ybar = 0 at the
+    aperture stop. S1..S4 need any two independent rays; only S5 (and
+    the split of S2/S3) depends on the stop through (ybar, ubar).
+    """
+    c_arr = [0.0 if (r is None) else float(r) for r in curvatures]
+    k = len(c_arr)
+    if len(indices) != k + 1:
+        raise ValueError(f"indices must have {k + 1} entries, got "
+                         f"{len(indices)}")
+    if len(spacings) != max(k - 1, 0):
+        raise ValueError(f"spacings must have {k - 1} entries, got "
+                         f"{len(spacings)}")
+    y, u, ybar, ubar = (float(v) for v in (y, u, ybar, ubar))
+    n = float(indices[0])
+    H = n * (ubar * y - u * ybar)
+    per = np.zeros((5, k))
+    for j in range(k):
+        c, n2 = c_arr[j], float(indices[j + 1])
+        A = n * (c * y + u)
+        Abar = n * (c * ybar + ubar)
+        u2 = A / n2 - c * y            # n' u' = n u - y c (n' - n)
+        ubar2 = Abar / n2 - c * ybar
+        d_un = u2 / n2 - u / n
+        d_inv_n = 1.0 / n2 - 1.0 / n
+        s1 = -A * A * y * d_un
+        s2 = -A * Abar * y * d_un
+        s3 = -Abar * Abar * y * d_un
+        s4 = -H * H * c * d_inv_n
+        s5 = (Abar / A) * (s3 + s4) if abs(A) > 1e-300 else 0.0
+        per[:, j] = (s1, s2, s3, s4, s5)
+        u, ubar, n = u2, ubar2, n2
+        if j < k - 1:
+            d = float(spacings[j])
+            y += d * u
+            ybar += d * ubar
+    S = per.sum(axis=1)
+    return {
+        "S1": float(S[0]), "S2": float(S[1]), "S3": float(S[2]),
+        "S4": float(S[3]), "S5": float(S[4]),
+        "per_surface": per, "H": H,
+        "y_out": y, "u_out": u, "n_out": n,
+    }
+
+
+def seidel_singlet(r1, r2, thickness: float, n: float, *, y: float,
+                   n_env: float = 1.0, stop_at_lens: bool = True,
+                   ubar: float = 0.0):
+    """Seidel sums of the `spherical_lens(r1, r2, ..., thickness, ior=n)`
+    singlet for a marginal ray parallel to the axis at height `y`
+    (object at infinity). With stop_at_lens the chief ray crosses the
+    axis at the front vertex with slope `ubar` (field angle)."""
+    c1 = 0.0 if (r1 is None or np.isinf(r1)) else 1.0 / r1
+    c2 = 0.0 if (r2 is None or np.isinf(r2)) else 1.0 / r2
+    if not stop_at_lens:
+        raise ValueError("only stop_at_lens=True is provided; call "
+                         "seidel() directly for a remote stop")
+    return seidel([c1, c2], [thickness], [n_env, n, n_env],
+                  y=y, u=0.0, ybar=0.0, ubar=ubar)

@@ -133,6 +133,149 @@ class TestMirrorAndGrin:
             px.system_properties(px.propagation(1.0))
 
 
+class TestSeidel:
+    """Third-order sums against convention-free textbook anchors
+    (Welford ch. 8) plus an exact-trace closed loop."""
+
+    PHI, Y, UBAR = 1.0 / 100.0, 5.0, 0.02
+
+    def thin(self, q, n=1.5):
+        # shape factor q = (c1 + c2)/(c1 - c2) at fixed power
+        dc = self.PHI / (n - 1.0)
+        c1, c2 = dc * (q + 1) / 2.0, dc * (q - 1) / 2.0
+        return px.seidel([c1, c2], [1e-9], [1.0, n, 1.0],
+                         y=self.Y, u=0.0, ybar=0.0, ubar=self.UBAR)
+
+    def test_lagrange_invariant(self):
+        r = self.thin(0.3)
+        assert r["H"] == pytest.approx(self.UBAR * self.Y, rel=1e-12)
+
+    def test_thin_lens_petzval(self):
+        # S4 = H^2 phi / n, independent of bending
+        for q in (-1.0, 0.0, 0.7):
+            r = self.thin(q)
+            assert r["S4"] == pytest.approx(
+                r["H"] ** 2 * self.PHI / 1.5, rel=1e-9)
+
+    def test_thin_lens_astigmatism_stop_at_lens(self):
+        # S3 = H^2 phi, independent of bending (stop in contact)
+        for q in (-0.5, 0.9):
+            r = self.thin(q)
+            assert r["S3"] == pytest.approx(r["H"] ** 2 * self.PHI,
+                                            rel=1e-6)
+
+    def test_thin_lens_zero_distortion_stop_at_lens(self):
+        assert self.thin(0.5)["S5"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_thin_lens_spherical_closed_form(self):
+        # Welford's bending/conjugate form, object at infinity (p = 1 in
+        # this sign convention; verified against the exact trace below)
+        n, q = 1.5, 0.5
+        p = 1.0
+        expected = self.Y ** 4 * self.PHI ** 3 / 4.0 * (
+            (n / (n - 1.0)) ** 2
+            + (n + 2.0) / (n * (n - 1.0) ** 2) * q * q
+            - 4.0 * (n + 1.0) / (n * (n - 1.0)) * q * p
+            + (3.0 * n + 2.0) / n * p * p)
+        assert self.thin(q, n)["S1"] == pytest.approx(expected, rel=1e-6)
+
+    def test_best_form_shape_factor(self):
+        # argmin_q S1 = 2 (n^2 - 1)/(n + 2) = 0.714286 for n = 1.5 —
+        # the same q* the exact-surface traced scan brackets in
+        # tests/test_diff_analytic.py (Coddington best form)
+        qs = np.linspace(0.0, 1.5, 1501)
+        s1 = np.array([self.thin(q)["S1"] for q in qs])
+        assert (s1 > 0).all()  # singlet can't correct spherical
+        assert qs[np.argmin(s1)] == pytest.approx(
+            2.0 * (1.5 ** 2 - 1.0) / (1.5 + 2.0), abs=2e-3)
+
+    def test_aplanatic_surface(self):
+        # object at the aplanatic conjugate of a single sphere:
+        # u = -y n c/(n + n') makes d(u/n) = 0 -> S1 = S2 = S3 = 0
+        c, n1, n2, y = 1.0 / 50.0, 1.0, 1.5, 5.0
+        r = px.seidel([c], [], [n1, n2], y=y, u=-y * n1 * c / (n1 + n2),
+                      ybar=0.0, ubar=self.UBAR)
+        for key in ("S1", "S2", "S3"):
+            assert r[key] == pytest.approx(0.0, abs=1e-15)
+
+    def test_normal_incidence_surface(self):
+        # marginal ray through the center of curvature: A = 0 ->
+        # S1 = S2 = 0 (but astigmatism survives)
+        c, n1, n2, y = 1.0 / 50.0, 1.0, 1.5, 5.0
+        r = px.seidel([c], [], [n1, n2], y=y, u=-y * c,
+                      ybar=0.0, ubar=self.UBAR)
+        assert r["S1"] == pytest.approx(0.0, abs=1e-15)
+        assert r["S2"] == pytest.approx(0.0, abs=1e-15)
+        assert abs(r["S3"]) > 0
+
+    @staticmethod
+    def _exact_focus(h, r1, r2, t, n):
+        """Exact f64 meridional trace of a spherical singlet: axis
+        crossing z of a ray entering parallel at height h (independent
+        2-D check, no framework code)."""
+        p = np.array([h, -10.0])
+        d = np.array([0.0, 1.0])
+
+        def hit(p, d, zc, R):
+            oc = p - np.array([0.0, zc])
+            b = oc @ d
+            sq = np.sqrt(b * b - (oc @ oc - R * R))
+            zv = zc - np.sign(R) * abs(R)
+            cand = [tt for tt in (-b - sq, -b + sq) if tt > 1e-12]
+            tt = min(cand, key=lambda s: abs((p + s * d)[1] - zv))
+            return p + tt * d
+
+        def refract(d, nrm, na, nb):
+            if nrm @ d > 0:
+                nrm = -nrm
+            ci = -(d @ nrm)
+            ct = np.sqrt(1.0 - (na / nb) ** 2 * (1.0 - ci * ci))
+            out = (na / nb) * d + (na / nb * ci - ct) * nrm
+            return out / np.linalg.norm(out)
+
+        p = hit(p, d, r1, r1)
+        d = refract(d, (p - np.array([0.0, r1])) / abs(r1), 1.0, n)
+        p = hit(p, d, t + r2, r2)
+        d = refract(d, (p - np.array([0.0, t + r2])) / abs(r2), n, 1.0)
+        return p[1] - p[0] / d[0] * d[1]
+
+    def test_lsa_matches_exact_trace(self):
+        # longitudinal spherical LSA = -S1 / (2 n' u'^2) vs the exact
+        # trace, converging as h -> 0 (third-order theory)
+        r1, r2, t, n = 60.0, -60.0, 5.0, 1.5
+        z_par = self._exact_focus(1e-6, r1, r2, t, n)
+        for h, tol in ((2.0, 0.005), (4.0, 0.02)):
+            lsa_exact = self._exact_focus(h, r1, r2, t, n) - z_par
+            r = px.seidel([1 / r1, 1 / r2], [t], [1.0, n, 1.0],
+                          y=h, u=0.0, ybar=0.0, ubar=0.01)
+            lsa = -r["S1"] / (2.0 * r["n_out"] * r["u_out"] ** 2)
+            assert lsa < 0  # undercorrected: marginal focus short
+            assert lsa == pytest.approx(lsa_exact, rel=tol)
+
+    def test_exit_state_matches_abcd(self):
+        # seidel()'s internal paraxial trace agrees with the ABCD module
+        r1, r2, t, n = 60.0, -60.0, 5.0, 1.5
+        r = px.seidel([1 / r1, 1 / r2], [t], [1.0, n, 1.0],
+                      y=3.0, u=0.0, ybar=0.0, ubar=0.01)
+        y2, u2_reduced = px.trace_ray(px.thick_lens(r1, r2, t, n), 3.0, 0.0)
+        assert r["y_out"] == pytest.approx(y2, rel=1e-12)
+        assert r["u_out"] == pytest.approx(u2_reduced, rel=1e-12)  # n_out=1
+
+    def test_singlet_helper(self):
+        r = px.seidel_singlet(60.0, -60.0, 5.0, 1.5, y=3.0, ubar=0.01)
+        full = px.seidel([1 / 60.0, -1 / 60.0], [5.0], [1.0, 1.5, 1.0],
+                         y=3.0, u=0.0, ybar=0.0, ubar=0.01)
+        for key in ("S1", "S2", "S3", "S4", "S5"):
+            assert r[key] == pytest.approx(full[key], rel=1e-12)
+
+    def test_validation_errors(self):
+        with pytest.raises(ValueError, match="indices"):
+            px.seidel([0.1], [], [1.0], y=1, u=0, ybar=0, ubar=0.01)
+        with pytest.raises(ValueError, match="spacings"):
+            px.seidel([0.1, 0.2], [], [1.0, 1.5, 1.0],
+                      y=1, u=0, ybar=0, ubar=0.01)
+
+
 class TestTracerCrossCheck:
     def test_traced_focus_matches_abcd_bfd(self):
         """Mesh-trace a paraxial collimated beam through spherical_lens
