@@ -142,7 +142,8 @@ def trace_ray(M: np.ndarray, y: float, slope: float,
 
 # -- third-order (Seidel) aberration sums ------------------------------------
 
-def seidel(curvatures, spacings, indices, *, y, u, ybar, ubar):
+def seidel(curvatures, spacings, indices, *, y, u, ybar, ubar,
+           delta_n=None):
     """Seidel third-order aberration sums for a centered system of
     spherical refracting surfaces (extension: the reference has no
     aberration theory — SURVEY.md L5 lists only traced-spot analysis;
@@ -175,9 +176,22 @@ def seidel(curvatures, spacings, indices, *, y, u, ybar, ubar):
       indices: refractive indices [n_before_first, n_after_1, ...,
         n_after_last] (len = len(curvatures) + 1).
       y, u, ybar, ubar: marginal/chief ray state at the first surface.
+      delta_n: optional per-space dispersions dn = n_F - n_C (same
+        length/order as `indices`, 0.0 for air/vacuum). When given, the
+        first-order chromatic sums are returned too:
+
+            CL_j = A    y d(dn/n)     (axial / longitudinal color)
+            CT_j = Abar y d(dn/n)     (lateral / transverse color)
+
+        Longitudinal chromatic focal shift (F minus C, at the image):
+        dz = -CL / (n_out u_out^2); lateral color image-height shift:
+        dy = -CT / (n_out u_out). Thin lens in air: CL = y^2 phi / V
+        with V the Abbe number — zero for an achromat (sum phi_i/V_i
+        = 0; tests/test_paraxial.py::TestChromatic).
 
     Returns dict with 'S1'..'S5' (system sums), 'per_surface' ((5, k)
-    array), 'H', and the exit marginal state 'y_out'/'u_out'. Wavefront
+    array), 'H', and the exit marginal state 'y_out'/'u_out' (plus
+    'CL'/'CT' when delta_n is given). Wavefront
     aberration at full aperture: W = S1/8 sigma^4 + ... (Welford eq.
     8.35); transverse marginal spherical at paraxial focus
     eps = S1 / (2 n_out u_out), longitudinal LSA = -S1 / (2 n_out
@@ -196,10 +210,14 @@ def seidel(curvatures, spacings, indices, *, y, u, ybar, ubar):
     if len(spacings) != max(k - 1, 0):
         raise ValueError(f"spacings must have {k - 1} entries, got "
                          f"{len(spacings)}")
+    if delta_n is not None and len(delta_n) != k + 1:
+        raise ValueError(f"delta_n must have {k + 1} entries, got "
+                         f"{len(delta_n)}")
     y, u, ybar, ubar = (float(v) for v in (y, u, ybar, ubar))
     n = float(indices[0])
     H = n * (ubar * y - u * ybar)
     per = np.zeros((5, k))
+    CL = CT = 0.0
     for j in range(k):
         c, n2 = c_arr[j], float(indices[j + 1])
         A = n * (c * y + u)
@@ -214,18 +232,25 @@ def seidel(curvatures, spacings, indices, *, y, u, ybar, ubar):
         s4 = -H * H * c * d_inv_n
         s5 = (Abar / A) * (s3 + s4) if abs(A) > 1e-300 else 0.0
         per[:, j] = (s1, s2, s3, s4, s5)
+        if delta_n is not None:
+            d_dn = float(delta_n[j + 1]) / n2 - float(delta_n[j]) / n
+            CL += A * y * d_dn
+            CT += Abar * y * d_dn
         u, ubar, n = u2, ubar2, n2
         if j < k - 1:
             d = float(spacings[j])
             y += d * u
             ybar += d * ubar
     S = per.sum(axis=1)
-    return {
+    out = {
         "S1": float(S[0]), "S2": float(S[1]), "S3": float(S[2]),
         "S4": float(S[3]), "S5": float(S[4]),
         "per_surface": per, "H": H,
         "y_out": y, "u_out": u, "n_out": n,
     }
+    if delta_n is not None:
+        out["CL"], out["CT"] = CL, CT
+    return out
 
 
 def seidel_singlet(r1, r2, thickness: float, n: float, *, y: float,

@@ -276,6 +276,115 @@ class TestSeidel:
                       y=1, u=0, ybar=0, ubar=0.01)
 
 
+class TestChromatic:
+    """First-order chromatic sums CL/CT (axial and lateral color)."""
+
+    PHI, Y = 1.0 / 100.0, 5.0
+
+    def test_thin_lens_axial_color(self):
+        # CL = y^2 phi / V, independent of bending
+        n_d, V = 1.5168, 64.17
+        dn = (n_d - 1.0) / V
+        dc = self.PHI / (n_d - 1.0)
+        for q in (-0.5, 0.0, 0.75):
+            c1, c2 = dc * (q + 1) / 2.0, dc * (q - 1) / 2.0
+            r = px.seidel([c1, c2], [1e-9], [1.0, n_d, 1.0], y=self.Y,
+                          u=0.0, ybar=0.0, ubar=0.02,
+                          delta_n=[0.0, dn, 0.0])
+            assert r["CL"] == pytest.approx(self.Y ** 2 * self.PHI / V,
+                                            rel=1e-6)
+            # stop in contact: no lateral color
+            assert r["CT"] == pytest.approx(0.0, abs=1e-12)
+
+    def test_remote_stop_lateral_color(self):
+        n_d, V = 1.5168, 64.17
+        dc = self.PHI / (n_d - 1.0)
+        r = px.seidel([dc * 0.75, -dc * 0.25], [1e-9], [1.0, n_d, 1.0],
+                      y=self.Y, u=0.0, ybar=2.0, ubar=0.02,
+                      delta_n=[0.0, (n_d - 1.0) / V, 0.0])
+        assert abs(r["CT"]) > 1e-4
+
+    def test_thick_lens_focus_shift_matches_abcd(self):
+        # dz(F - C) = -CL / (n' u'^2) vs the exact paraxial BFD change
+        from lightpycl_tpu import materials as mats
+
+        n_d, V = 1.5168, 64.17
+        a, b = mats.glass(n_d, V)
+        nF = a + b / mats.F_LINE ** 2
+        nC = a + b / mats.C_LINE ** 2
+        r1, r2, t = 60.0, -60.0, 5.0
+        shift = (px.system_properties(px.thick_lens(r1, r2, t, nF))["bfd"]
+                 - px.system_properties(px.thick_lens(r1, r2, t, nC))["bfd"])
+        r = px.seidel([1 / r1, 1 / r2], [t], [1.0, n_d, 1.0], y=3.0,
+                      u=0.0, ybar=0.0, ubar=0.01,
+                      delta_n=[0.0, nF - nC, 0.0])
+        pred = -r["CL"] / (r["n_out"] * r["u_out"] ** 2)
+        assert pred < 0  # blue focuses shorter (normal dispersion)
+        assert pred == pytest.approx(shift, rel=0.01)
+
+    def test_achromatic_doublet(self):
+        # phi1/V1 + phi2/V2 = 0 (BK7 crown + F2 flint): CL vanishes
+        # while each element alone contributes ~y^2 |phi_i| / V_i
+        nd1, V1 = 1.5168, 64.17
+        nd2, V2 = 1.6200, 36.37
+        phi1 = self.PHI * V1 / (V1 - V2)
+        phi2 = -self.PHI * V2 / (V1 - V2)
+        dc1, dc2 = phi1 / (nd1 - 1.0), phi2 / (nd2 - 1.0)
+        r = px.seidel([dc1 / 2, -dc1 / 2, dc2 / 2, -dc2 / 2], [1e-9] * 3,
+                      [1.0, nd1, 1.0, nd2, 1.0], y=self.Y, u=0.0,
+                      ybar=0.0, ubar=0.02,
+                      delta_n=[0.0, (nd1 - 1.0) / V1, 0.0,
+                               (nd2 - 1.0) / V2, 0.0])
+        element_scale = self.Y ** 2 * abs(phi1) / V1
+        assert abs(r["CL"]) < 1e-6 * element_scale
+
+    def test_delta_n_validation(self):
+        with pytest.raises(ValueError, match="delta_n"):
+            px.seidel([0.1], [], [1.0, 1.5], y=1, u=0, ybar=0, ubar=0.01,
+                      delta_n=[0.0])
+
+    def test_traced_chromatic_focal_shift(self):
+        """Closed loop vs the real dispersive tracer: best focus of an
+        SF10 singlet at the F vs C line shifts by -CL/(n' u'^2)."""
+        from lightpycl_tpu import materials as mats
+        from lightpycl_tpu.analysis import best_focus
+        from lightpycl_tpu.sources import CollimatedSource
+        from lightpycl_tpu.tracer.config import TraceConfig
+        from lightpycl_tpu.tracer.engine import Tracer
+
+        n_d, V = 1.7280, 28.53  # SF10: strong dispersion
+        a, b = mats.glass(n_d, V)
+        r1, r2, t = 0.8, -0.8, 0.2
+
+        oe = L.optical_elements(n_segments=128, n_radial=64)
+        lens = oe.spherical_lens(r1, r2, aperture=0.4, thickness=t, ior=a)
+        lens.dispersion_b = b
+        wall = oe.sphere(radius=10.0, material="measure", name="wall")
+        tracer = Tracer(TraceConfig())
+
+        def focus_at(wl):
+            src = CollimatedSource(center=(0, 0, -0.4), direction=(0, 0, 1),
+                                   diameter=0.1, power=1.0, ray_count=512,
+                                   seed=7, wavelength=wl)
+            res = tracer.trace(src, [lens, wall], trace_iterations=3,
+                               capacity=2048)
+            fwd = res.measured_dir[:, 2] > 0.5
+            assert fwd.sum() > 300
+            return best_focus(res.measured_pos[fwd], res.measured_dir[fwd],
+                              res.measured_power[fwd],
+                              z_range=(0.3, 1.4))[0]
+
+        shift = focus_at(mats.F_LINE) - focus_at(mats.C_LINE)
+        nF = a + b / mats.F_LINE ** 2
+        nC = a + b / mats.C_LINE ** 2
+        r = px.seidel([1 / r1, 1 / r2], [t], [1.0, n_d, 1.0], y=0.05,
+                      u=0.0, ybar=0.0, ubar=0.01,
+                      delta_n=[0.0, nF - nC, 0.0])
+        pred = -r["CL"] / (r["n_out"] * r["u_out"] ** 2)
+        assert pred < 0 and shift < 0
+        assert shift == pytest.approx(pred, rel=0.10)
+
+
 class TestTracerCrossCheck:
     def test_traced_focus_matches_abcd_bfd(self):
         """Mesh-trace a paraxial collimated beam through spherical_lens
