@@ -276,6 +276,73 @@ class TestSeidel:
                       y=1, u=0, ybar=0, ubar=0.01)
 
 
+class TestFieldCurvature:
+    """Closed loop for S3/S4 against the EXACT-surface tracer: the
+    tangential and sagittal line foci of a tilted collimated bundle
+    through an analytic (quadric) singlet sit at the Coddington
+    field-curvature positions
+
+        dz_t = -(3 S3 + S4) / (2 n' u'^2)
+        dz_s = -(S3 + S4)  / (2 n' u'^2)
+
+    relative to the on-axis focus (stop at the lens: the bundle is
+    aimed at the front vertex). Analytic surfaces make this exact up to
+    fifth-order terms, so the residual must shrink with field angle."""
+
+    R1, R2, T, N = 0.8, -0.8, 0.2, 1.5
+
+    @classmethod
+    def _line_foci(cls, theta):
+        from lightpycl_tpu.sources import CollimatedSource
+        from lightpycl_tpu.tracer.engine import Tracer
+
+        lens = L.analytic_lens(cls.R1, cls.R2, aperture=0.3,
+                               thickness=cls.T, ior=cls.N)
+        wall = L.analytic_sphere(10.0, material="measure", name="wall")
+        d = np.array([0.0, np.sin(theta), np.cos(theta)])
+        src = CollimatedSource(center=tuple(-0.4 * d), direction=tuple(d),
+                               diameter=0.06, power=1.0, ray_count=1024,
+                               seed=3)
+        res = Tracer().trace(src, lens + wall, trace_iterations=3,
+                             capacity=4096)
+        fwd = np.asarray(res.measured_dir[:, 2] > 0.5)
+        assert fwd.sum() > 600
+        p = np.asarray(res.measured_pos[fwd], float)
+        dd = np.asarray(res.measured_dir[fwd], float)
+        w = np.asarray(res.measured_power[fwd], float)
+        sl = dd[:, :2] / dd[:, 2:3]          # lateral slopes vs z
+        c0 = p[:, :2] - sl * p[:, 2:3]       # lateral position at z = 0
+        W = w / w.sum()
+        foci = []
+        for ax in (0, 1):                    # x -> sagittal, y -> tangential
+            a, b = c0[:, ax], sl[:, ax]
+            am, bm = (W * a).sum(), (W * b).sum()
+            cov = (W * (a - am) * (b - bm)).sum()
+            var = (W * (b - bm) ** 2).sum()
+            foci.append(-cov / var)          # z minimizing lateral variance
+        return foci[1], foci[0]              # (z_tangential, z_sagittal)
+
+    def test_coddington_field_curves(self):
+        z_t0, z_s0 = self._line_foci(0.0)
+        assert z_t0 == pytest.approx(z_s0, abs=1e-3)  # no on-axis astig
+        errs = []
+        for theta, tol in ((0.1, 0.03), (0.2, 0.08)):
+            z_t, z_s = self._line_foci(theta)
+            r = px.seidel([1 / self.R1, 1 / self.R2], [self.T],
+                          [1.0, self.N, 1.0], y=0.03, u=0.0,
+                          ybar=0.0, ubar=np.tan(theta))
+            scale = 2.0 * r["n_out"] * r["u_out"] ** 2
+            pred_t = -(3.0 * r["S3"] + r["S4"]) / scale
+            pred_s = -(r["S3"] + r["S4"]) / scale
+            assert z_t - z_t0 == pytest.approx(pred_t, rel=tol)
+            assert z_s - z_s0 == pytest.approx(pred_s, rel=tol)
+            # astigmatic separation z_t - z_s = -S3 / (n' u'^2)
+            astig = -r["S3"] / (r["n_out"] * r["u_out"] ** 2)
+            assert z_t - z_s == pytest.approx(astig, rel=tol)
+            errs.append(abs((z_t - z_t0) - pred_t) / abs(pred_t))
+        assert errs[0] < errs[1]  # third-order residual grows with field
+
+
 class TestChromatic:
     """First-order chromatic sums CL/CT (axial and lateral color)."""
 
