@@ -43,6 +43,10 @@ SMALL = {
                               "MESH_SEGMENTS": "48",
                               "CKPT": "/tmp/run_all_ckpt.npz"},
     "example_multichip.py": {"RAY_COUNT": "16384"},
+    "example_fresnel_lens.py": {"RAY_COUNT": "4000"},
+    "example_coating_design.py": {"OPT_STEPS": "300"},
+    "example_bestform.py": {"OPT_STEPS": "20"},
+    "example_aberrations.py": {"RAY_COUNT": "1024"},
 }
 
 
