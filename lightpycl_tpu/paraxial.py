@@ -201,6 +201,15 @@ def seidel(curvatures, spacings, indices, *, y, u, ybar, ubar,
     NOTE on stop position: place the chief ray so ybar = 0 at the
     aperture stop. S1..S4 need any two independent rays; only S5 (and
     the split of S2/S3) depends on the stop through (ybar, ubar).
+
+    MIRRORS use the standard folded convention: a reflection is a
+    "refraction" into n' = -n (e.g. a first-surface concave mirror in
+    air facing the incoming light is curvature +1/R with indices
+    [1, -1]); spacings after an odd number of reflections are measured
+    NEGATIVE. Anchors: the spherical mirror reproduces LSA = -y^2/(4R)
+    and Petzval S4 = 2 H^2 / R, and a stop at the center of curvature
+    zeros S2/S3/S5 exactly (the Schmidt-camera principle) —
+    tests/test_paraxial.py::TestSeidelMirror.
     """
     c_arr = [0.0 if (r is None) else float(r) for r in curvatures]
     k = len(c_arr)

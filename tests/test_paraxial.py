@@ -276,6 +276,44 @@ class TestSeidel:
                       y=1, u=0, ybar=0, ubar=0.01)
 
 
+class TestSeidelMirror:
+    """Reflecting surfaces via the folded n' = -n convention."""
+
+    R, Y, UBAR = 10.0, 0.5, 0.02
+
+    def _mirror(self, ybar, ubar):
+        return px.seidel([1.0 / self.R], [], [1.0, -1.0], y=self.Y,
+                         u=0.0, ybar=ybar, ubar=ubar)
+
+    def test_spherical_mirror_lsa(self):
+        # exact marginal focus R - R/(2 cos t) -> LSA = -y^2/(4R) + O(y^4)
+        r = self._mirror(0.0, self.UBAR)
+        lsa = -r["S1"] / (2.0 * r["n_out"] * r["u_out"] ** 2)
+        t = np.arcsin(self.Y / self.R)
+        exact = (self.R - self.R / (2.0 * np.cos(t))) - self.R / 2.0
+        assert lsa == pytest.approx(-self.Y ** 2 / (4.0 * self.R),
+                                    rel=1e-12)
+        assert lsa == pytest.approx(exact, rel=3e-3)  # third order
+
+    def test_mirror_petzval(self):
+        # Petzval sum of a mirror: S4 = -H^2 c (1/n' - 1/n) = 2 H^2 / R
+        r = self._mirror(0.0, self.UBAR)
+        assert r["S4"] == pytest.approx(2.0 * r["H"] ** 2 / self.R,
+                                        rel=1e-12)
+
+    def test_stop_at_center_of_curvature(self):
+        # chief ray through the center of curvature strikes the mirror
+        # normally (Abar = 0): coma, astigmatism, and distortion vanish
+        # exactly and only the Petzval curvature remains — the symmetry
+        # the Schmidt camera exploits (examples/example_schmidt.py).
+        r = self._mirror(-self.UBAR * self.R, self.UBAR)
+        for key in ("S2", "S3", "S5"):
+            assert r[key] == pytest.approx(0.0, abs=1e-18)
+        assert r["S4"] == pytest.approx(2.0 * r["H"] ** 2 / self.R,
+                                        rel=1e-12)
+        assert abs(self._mirror(0.0, self.UBAR)["S3"]) > 0  # stop matters
+
+
 class TestFieldCurvature:
     """Closed loop for S3/S4 against the EXACT-surface tracer: the
     tangential and sagittal line foci of a tilted collimated bundle
