@@ -706,6 +706,12 @@ def surface_flux(tri_flux, scene, element_names=None):
 
     Note this is a FLUX map, not a conservation ledger: a ray refracting
     through both faces of a lens deposits its arriving power on both.
+
+    Analytic (quadric) surfaces: their power lands on the ~zero-area
+    placeholder triangle, so dividing by facet area would print a
+    meaninglessly huge number as 'irradiance' — those rows keep their
+    real 'flux' but get NaN irradiance (tessellate via el.to_mesh() and
+    retrace for a per-facet map of an analytic element).
     """
     flux = np.asarray(tri_flux, np.float64)
     T = flux.shape[0]
@@ -714,6 +720,10 @@ def surface_flux(tri_flux, scene, element_names=None):
     e2 = np.asarray(scene.e2, np.float64)[:T]
     area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
     centroid = v0 + (e1 + e2) / 3.0
+    qt = getattr(scene, "quad_tri", None)
+    if qt is not None:
+        q = np.asarray(qt).astype(np.int64)
+        area[q[(q >= 0) & (q < T)]] = np.nan  # -> NaN irradiance below
     eid = np.asarray(scene.element_id)[:T].astype(np.int64)
     n_el = int(eid.max()) + 1 if T else 0
     totals = np.zeros(max(n_el, 1))

@@ -32,6 +32,12 @@ import jax.numpy as jnp
 # buffers but compiled program expected N+3")
 _INF = float("inf")
 
+# geometry matmuls must never run at the TPU default matmul precision:
+# bf16 truncation of the frame transforms silently shifts hit points by
+# ~1e-3 of the scene scale — exactly the facet-scale error this module
+# exists to eliminate (CLAUDE.md invariant; matches diff.py / step.py)
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _intersect_one(o, d, abgd, rlim2, zlim, vertex, frame, eps, eps_b,
                    t_max):
@@ -39,8 +45,9 @@ def _intersect_one(o, d, abgd, rlim2, zlim, vertex, frame, eps, eps_b,
     miss. o, d (C, 3) world; params as in the module docstring (rlim2 holds
     the SQUARED radial bounds)."""
     al, be, ga, de = abgd[0], abgd[1], abgd[2], abgd[3]
-    ol = (o - vertex) @ frame.T          # local coords (frame rows = axes)
-    dl = d @ frame.T
+    # local coords (frame rows = axes); true-f32 matmul, see _HI above
+    ol = jnp.matmul(o - vertex, frame.T, precision=_HI)
+    dl = jnp.matmul(d, frame.T, precision=_HI)
     # recenter the ray at its closest approach to the local origin: the
     # quadratic's coefficients then involve only O(scene-size) magnitudes
     # even when the origin is max_ray_len away (f32 conditioning)
@@ -122,11 +129,11 @@ def intersect_quadrics(scene, o, d, cfg):
     fr = frame[safe]                      # (C, 3, 3)
     ab = abgd[safe]                       # (C, 4)
     hit = o + jnp.where(jnp.isfinite(bt), bt, 0.0)[:, None] * d
-    pl = jnp.einsum("cij,cj->ci", fr, hit - vertex[safe])
+    pl = jnp.einsum("cij,cj->ci", fr, hit - vertex[safe], precision=_HI)
     grad_l = jnp.stack([2.0 * ab[:, 0] * pl[:, 0],
                         2.0 * ab[:, 0] * pl[:, 1],
                         2.0 * ab[:, 1] * pl[:, 2] + ab[:, 2]], axis=1)
-    n_w = jnp.einsum("ci,cij->cj", grad_l, fr)
+    n_w = jnp.einsum("ci,cij->cj", grad_l, fr, precision=_HI)
     n_w = n_w / jnp.maximum(
         jnp.linalg.norm(n_w, axis=1, keepdims=True), 1e-20)
     tri = jnp.where(jnp.isfinite(bt), scene.quad_tri[safe], -1)

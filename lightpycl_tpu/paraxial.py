@@ -52,12 +52,15 @@ def thin_lens(f: float) -> np.ndarray:
 
 
 def mirror(R: float = None) -> np.ndarray:
-    """Spherical mirror of curvature radius R (None/inf = flat): power
-    P = 2 n / |R| -> focal length |R| / 2 (n = 1 assumed around the
-    mirror; fold the path straight as usual in ABCD analysis)."""
+    """Spherical mirror of curvature radius R (None/inf = flat), SIGNED:
+    R > 0 = concave (converging, f = R/2), R < 0 = convex (diverging,
+    f = R/2 < 0); power P = 2 n / R (n = 1 assumed around the mirror).
+    Fold the path straight as usual in ABCD analysis, so subsequent
+    propagation() runs in ordinary +z — this mirror-local sign convention
+    is therefore distinct from refraction()'s center-after-vertex one."""
     if R is None or np.isinf(R):
         return np.eye(2)
-    return np.array([[1.0, 0.0], [-2.0 / abs(R), 1.0]])
+    return np.array([[1.0, 0.0], [-2.0 / R, 1.0]])
 
 
 def grin_rod(length: float, n0: float, a: float) -> np.ndarray:

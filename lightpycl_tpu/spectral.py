@@ -38,6 +38,7 @@ from lightpycl_tpu.tracer.rays import DetectorState, RayBatch
 from lightpycl_tpu.tracer.scene import Scene
 from lightpycl_tpu.tracer.step import (
     accumulate_detector_arrays, gather_hit_attrs, intersect,
+    merge_analytic,
 )
 
 
@@ -132,6 +133,11 @@ def spectral_step(scene: Scene, sr: SpectralRays, det: DetectorState,
     full (D, W) per-detector spectra."""
     C, W = sr.P.shape
     t, tri = intersect(scene, sr.o, sr.d, cfg, alive=sr.alive)
+    # exact quadric surfaces merge here too (ADVICE r3: they used to be
+    # silently invisible to spectral traces); valid for the shared-
+    # geometry model since analytic surfaces are deterministic and
+    # achromatic (dispersion is refused scene-wide above)
+    t, tri, quad_hit = merge_analytic(scene, sr.o, sr.d, t, tri, cfg)
     hit_valid = (tri >= 0) & sr.alive
     safe_tri = jnp.maximum(tri, 0)
 
@@ -145,6 +151,10 @@ def spectral_step(scene: Scene, sr: SpectralRays, det: DetectorState,
 
     attrs = gather_hit_attrs(scene, safe_tri, with_optics=False,
                              with_coatings=cfg.has_coatings)
+    if quad_hit is not None:
+        # exact quadric gradient replaces the placeholder facet normal
+        use_q, nq = quad_hit
+        attrs["normal"] = jnp.where(use_q[:, None], nq, attrs["normal"])
     mat = attrs["mat"]
     refl = attrs["reflectivity"]
     sn = physics.snell_interaction(sr.d, attrs["normal"], sr.ior,
@@ -362,7 +372,16 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
             rays = step_mod.reorder_rays(scene, rays)
         t, tri = step_mod.intersect(scene, rays.o, rays.d, cfg,
                                     alive=rays.alive)
-        sh = step_mod.shade(scene, rays, t, tri, cfg, key=k)
+        t, tri, quad_hit = merge_analytic(scene, rays.o, rays.d, t, tri,
+                                          cfg)
+        attrs = None
+        if quad_hit is not None:
+            use_q, nq = quad_hit
+            attrs = step_mod.default_hit_attrs(scene, jnp.maximum(tri, 0),
+                                               cfg)
+            attrs["normal"] = jnp.where(use_q[:, None], nq,
+                                        attrs["normal"])
+        sh = step_mod.shade(scene, rays, t, tri, cfg, attrs=attrs, key=k)
         det = step_mod.accumulate_detector(det, sh, rays, cfg_det)
         # the parent's carried wavelength indexes the spectral column
         wl_idx, live_before_w = bin_by(
@@ -499,7 +518,9 @@ def trace_spectral_dispersive(elements, rays: RayBatch, wavelengths,
                          if hasattr(e, "coating_layers")),
         has_gratings=any(e.material == Material.GRATING for e in elements),
         has_metals=any(getattr(e, "metal_n", 0.0) > 0.0 for e in elements),
-        has_diffuse=any(e.material == Material.DIFFUSE for e in elements))
+        has_diffuse=any(e.material == Material.DIFFUSE for e in elements),
+        has_analytic=any(getattr(e, "quad_abgd", None) is not None
+                         for e in elements))
     if any(e.material in (Material.POLARIZER, Material.WAVEPLATE)
            for e in elements) and not cfg.polarization:
         raise ValueError("polarizer/waveplate elements need "
@@ -550,7 +571,9 @@ def _resolve_spectral(elements, cfg, wavelengths, weights):
         has_coatings=any(e.coating_layers() for e in elements
                          if hasattr(e, "coating_layers")),
         has_gratings=False, polarization=False, has_diffuse=False,
-        has_metals=any(getattr(e, "metal_n", 0.0) > 0.0 for e in elements))
+        has_metals=any(getattr(e, "metal_n", 0.0) > 0.0 for e in elements),
+        has_analytic=any(getattr(e, "quad_abgd", None) is not None
+                         for e in elements))
     scene, det_names = build_scene(elements, spatial_sort=cfg.cull)
     wl = jnp.asarray(wavelengths, jnp.float32)
     if weights is None:

@@ -269,6 +269,10 @@ class ShadeOut(NamedTuple):
     child_scat_g: jnp.ndarray  # (2C,) medium Henyey-Greenstein anisotropy
     child_medium: jnp.ndarray  # (2C,) current-medium element id (-1 =
     #   ambient; drives the fluorescence tables)
+    atten: jnp.ndarray         # (C,) Beer-Lambert bulk transmission over
+    #   the segment just traveled (1.0 outside absorbing media). The
+    #   flux_map scatter multiplies the parent's start-of-segment power
+    #   by this so incident flux inside absorbing media is not overcounted
 
 
 def gather_hit_attrs(scene: Scene, safe_tri, with_optics: bool = True,
@@ -1343,6 +1347,7 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         absorbed, escaped,
         escaped_power, dropped_power, child_path,
         child_scat, child_scat_g, child_medium,
+        atten,
     )
 
 
@@ -1470,7 +1475,11 @@ def accumulate_detector(det: DetectorState, sh: ShadeOut, rays: RayBatch,
     C = sh.hit_point.shape[0]
     inc = None
     if cfg.flux_map and tri is not None:
-        inc = jnp.where((tri >= 0) & rays.alive, rays.power, 0.0)
+        # arriving power = start-of-segment power x Beer-Lambert bulk
+        # transmission over the segment (sh.atten == 1 outside absorbing
+        # media), matching the power shade hands every other consumer
+        inc = jnp.where((tri >= 0) & rays.alive,
+                        rays.power * sh.atten, 0.0)
     return accumulate_detector_arrays(det, sh.hit_point, rays.d,
                                       sh.measured_power, sh.det_id, cfg,
                                       opl=sh.child_opl[:C],
@@ -1608,6 +1617,30 @@ class StepAux(NamedTuple):
     live_count: jnp.ndarray      # () i32 live rays AFTER the step
 
 
+def merge_analytic(scene: Scene, o, d, t, tri, cfg: TraceConfig):
+    """Merge the exact quadric nearest hits (geometry/analytic.py,
+    ops/quadric.py) into a triangle-intersect result. The winning
+    surface's attribute row is its placeholder triangle's, so the full
+    material model downstream is untouched — only the geometric normal
+    must be overridden with the exact quadric gradient.
+
+    Returns (t, tri, quad_hit) where quad_hit is None when the scene has
+    no analytic surfaces (or the branch is gated off), else
+    (use_q (C,) bool, nq (C, 3) exact normals) for the caller to apply:
+    attrs["normal"] = where(use_q, nq, attrs["normal"]). Shared by
+    trace_step and both spectral loops (spectral.py) so analytic lenses
+    behave identically in every trace mode."""
+    if not (cfg.has_analytic
+            and getattr(scene, "quad_abgd", None) is not None):
+        return t, tri, None
+    from lightpycl_tpu.ops.quadric import intersect_quadrics
+
+    tq, qtri, nq = intersect_quadrics(scene, o, d, cfg)
+    use_q = tq < t
+    return (jnp.where(use_q, tq, t), jnp.where(use_q, qtri, tri),
+            (use_q, nq))
+
+
 def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
                cfg: TraceConfig, key=None):
     """One bounce: (reorder,) intersect, shade, measure, (roulette,)
@@ -1616,19 +1649,10 @@ def trace_step(scene: Scene, rays: RayBatch, det: DetectorState, led: Ledger,
     if cfg.cull:
         rays = reorder_rays(scene, rays)
     t, tri = intersect(scene, rays.o, rays.d, cfg, alive=rays.alive)
+    t, tri, quad_hit = merge_analytic(scene, rays.o, rays.d, t, tri, cfg)
     attrs = None
-    if cfg.has_analytic and getattr(scene, "quad_abgd", None) is not None:
-        # exact quadric surfaces (geometry/analytic.py): merge their
-        # nearest hit with the triangle result; the winning surface's
-        # attribute row is its placeholder triangle's, so the full
-        # material model downstream is untouched — only the geometric
-        # normal is overridden with the exact quadric gradient
-        from lightpycl_tpu.ops.quadric import intersect_quadrics
-
-        tq, qtri, nq = intersect_quadrics(scene, rays.o, rays.d, cfg)
-        use_q = tq < t
-        t = jnp.where(use_q, tq, t)
-        tri = jnp.where(use_q, qtri, tri)
+    if quad_hit is not None:
+        use_q, nq = quad_hit
         attrs = default_hit_attrs(scene, jnp.maximum(tri, 0), cfg)
         attrs["normal"] = jnp.where(use_q[:, None], nq, attrs["normal"])
     sh = shade(scene, rays, t, tri, cfg, attrs=attrs, key=key)

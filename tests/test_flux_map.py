@@ -82,6 +82,34 @@ class TestFluxMap:
         np.testing.assert_allclose(dome_flux, res.ledger["measured"],
                                    rtol=1e-5)
 
+    def test_absorbing_slab_exit_face_attenuated(self):
+        """flux_map must deposit the ARRIVING power (post Beer-Lambert
+        bulk attenuation): a slab's exit face sees (1-R0) e^{-kL}, not
+        the un-attenuated (1-R0) (ADVICE r3 finding)."""
+        n, k, L_th = 1.5, 2.0, 0.3
+        R0 = ((n - 1) / (n + 1)) ** 2
+        slab = oe.cube((2.0, 2.0, L_th), center=(0, 0, L_th / 2),
+                       material="refractive", ior=n)
+        slab.absorption = k
+        els = [slab,
+               oe.rectangle(4, 4, center=(0, 0, 5.0), material="measure")]
+        src = CollimatedSource(center=(0, 0, -1), direction=(0, 0, 1),
+                               diameter=0.5, ray_count=400, power=1.0,
+                               seed=4)
+        tr = Tracer(TraceConfig(flux_map=True, trace_iterations=6))
+        tr.trace(src, elements=els, mode="device", capacity=4096)
+        sf = tr.get_surface_flux()
+        exit_face = np.abs(sf["centroid"][:, 2] - L_th) < 1e-6
+        direct = (1 - R0) * np.exp(-k * L_th)
+        assert sf["flux"][exit_face].sum() == pytest.approx(direct,
+                                                            rel=0.02)
+        # front face: the full beam (1.0) plus the internally-reflected
+        # return, itself attenuated over its 2L round trip
+        front = np.abs(sf["centroid"][:, 2]) < 1e-6
+        expect_front = 1.0 + R0 * (1 - R0) * np.exp(-2 * k * L_th)
+        assert sf["flux"][front].sum() == pytest.approx(expect_front,
+                                                        rel=0.02)
+
     def test_multichip_matches_device(self):
         """The psum'd per-shard flux maps must equal the single-device map
         exactly (same scatter adds, reassociated)."""

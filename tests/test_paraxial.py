@@ -100,6 +100,16 @@ class TestMirrorAndGrin:
     def test_flat_mirror_is_identity(self):
         np.testing.assert_array_equal(px.mirror(None), np.eye(2))
 
+    def test_convex_mirror_diverges(self):
+        # signed radius (ADVICE r3): R < 0 = convex must DIVERGE — a
+        # collimated ray appears to come from the virtual focus |R|/2
+        # behind the mirror, so the folded slope is positive (away from
+        # axis) with u = y / (R/2)
+        R = -3.0
+        _, u = px.trace_ray(px.mirror(R), 0.4, 0.0)
+        assert u == pytest.approx(0.4 * (-2.0 / R), rel=1e-12)
+        assert u > 0.0
+
     def test_grin_quarter_pitch_focuses(self):
         n0, a = 1.6, 0.3
         g = np.sqrt(a)

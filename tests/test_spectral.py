@@ -469,3 +469,86 @@ class TestSpectralMultichip:
         for k in ("emitted", "measured", "absorbed", "escaped", "culled"):
             assert r8.ledger[k] == pytest.approx(r1.ledger[k],
                                                  abs=2e-5), k
+
+
+class TestSpectralAnalytic:
+    """Exact quadric surfaces in spectral traces (ADVICE r3: analytic
+    elements used to be silently invisible to BOTH spectral loops —
+    rays sailed through their zero-area placeholder triangles with the
+    ledger still closing). Anchors: column-exact parity vs scalar traces
+    (which exercise the same merge_analytic in trace_step) and a
+    focal-disc power level only a really-refracting lens can produce."""
+
+    WL3 = [0.45, 0.55, 0.65]
+
+    def _scene(self):
+        # f = R/(n-1) = 1.0 behind the curved vertex at z ~ 0.05; the
+        # 0.02-radius focal disc catches ~all of a focused paraxial beam
+        # but only (0.02/0.04)^2 = 25% of a straight-through one
+        lens = L.analytic_plano_convex_lens(0.5, 0.4, 0.05, ior=1.5)
+        det = oe.disc(radius=0.02, center=(0, 0, 1.05), material="measure",
+                      name="focal")
+        return [*lens, det]
+
+    def _src(self):
+        return CollimatedSource(center=(0, 0, -0.5), direction=(0, 0, 1),
+                                diameter=0.08, power=1.0, ray_count=256,
+                                seed=3, sampling="hexapolar")
+
+    def _scalar_focal_power(self, els, o, d, p):
+        rays_k = RayBatch.from_arrays(o, d, p, capacity=2048,
+                                      wavelengths=0.55)
+        res = Tracer().trace(self._src(), els, trace_iterations=8,
+                             rays=rays_k, mode="device",
+                             dissipation_target=1.0)
+        scalar = res.detector_power("focal")
+        assert scalar > 0.8  # the lens really focuses (not pass-through)
+        return scalar
+
+    def test_shared_path_matches_scalar(self):
+        els = self._scene()
+        o, d, p = self._src().sample()
+        rays = RayBatch.from_arrays(o, d, p, capacity=2048)
+        per_det, led, names, sr, _ = spectral.trace_spectral(
+            els, rays, self.WL3, iterations=8)
+        per_det = np.asarray(per_det)
+        scalar = self._scalar_focal_power(els, o, d, p)
+        j = names.index("focal")
+        for k in range(len(self.WL3)):
+            assert per_det[j, k] * len(self.WL3) == pytest.approx(
+                scalar, rel=2e-4, abs=1e-6), k
+        # per-column conservation still closes with the quadric merge
+        live = np.asarray(jnp.sum(
+            jnp.where(sr.alive[:, None], sr.P, 0.0), axis=0))
+        acc = sum(np.asarray(getattr(led, f)) for f in
+                  ("measured", "absorbed", "escaped", "culled"))
+        np.testing.assert_allclose(np.asarray(led.emitted), acc + live,
+                                   atol=1e-5)
+
+    def test_dispersive_path_matches_scalar(self):
+        els = self._scene()
+        o, d, p = self._src().sample()
+        rays = RayBatch.from_arrays(o, d, p, capacity=2048)
+        per_dw, led, names, rays_out, det, led_w, _ = \
+            spectral.trace_spectral_dispersive(els, rays, self.WL3,
+                                               iterations=8)
+        per_dw = np.asarray(per_dw)
+        scalar = self._scalar_focal_power(els, o, d, p)
+        j = names.index("focal")
+        for k in range(len(self.WL3)):
+            assert per_dw[j, k] * len(self.WL3) == pytest.approx(
+                scalar, rel=2e-4, abs=1e-6), k
+        r_live = float(np.where(np.asarray(rays_out.alive),
+                                np.asarray(rays_out.power), 0.0).sum())
+        acc = sum(np.asarray(getattr(led_w, f)) for f in
+                  ("measured", "absorbed", "escaped", "culled"))
+        assert float(np.asarray(led_w.emitted).sum()) == pytest.approx(
+            float(acc.sum()) + r_live, abs=1e-5)
+
+    def test_engine_routes_analytic_spectral(self):
+        # engine-level: method='auto' + an analytic scene must trace the
+        # lens (it used to silently pass through)
+        els = self._scene()
+        res = Tracer().trace_spectral(self._src(), self.WL3, elements=els,
+                                      trace_iterations=8, capacity=2048)
+        assert res.detector_power("focal") > 0.8
