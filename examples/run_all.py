@@ -50,7 +50,35 @@ SMALL = {
 }
 
 
+def discover_examples():
+    """All example_*.py files on disk (basenames)."""
+    import glob
+
+    return {os.path.basename(p)
+            for p in glob.glob(os.path.join(HERE, "example_*.py"))}
+
+
+def check_listing(on_disk, listed):
+    """(unlisted, missing) — every on-disk example must have a SMALL
+    entry and every SMALL entry must exist. Both lists must be empty."""
+    return (sorted(set(on_disk) - set(listed)),
+            sorted(set(listed) - set(on_disk)))
+
+
 def main():
+    # Every example_*.py on disk MUST have a SMALL entry (its reduced-size
+    # env) — a new example that isn't listed used to be silently skipped,
+    # letting "all green" rot (VERDICT r3 weak #7). Fail loudly instead.
+    unlisted, missing = check_listing(discover_examples(), SMALL)
+    if unlisted or missing:
+        if unlisted:
+            print(f"ERROR: example(s) not listed in SMALL (add a "
+                  f"reduced-size env entry): {unlisted}")
+        if missing:
+            print(f"ERROR: SMALL lists example(s) that do not exist: "
+                  f"{missing}")
+        return 2
+
     failures = []
     for name, env in SMALL.items():
         os.environ.update(env)
