@@ -62,6 +62,16 @@ TRI_SUB_CULL = int(os.environ.get("LPCL_TRI_SUB_CULL", 8))
 # (broadcast FMAs — true f32, no precision passes, and the K=4 contraction
 # is too skinny to use the MXU well anyway).
 TRANSFORM = os.environ.get("LPCL_TRANSFORM", "vpu")
+# Epilogue micro-variant (roofline study, benchmarks/vpu_roofline.py):
+#   'base'   — shipped r3 kernel
+#   'fma'    — O-transform reassociated right-to-left so Mosaic can emit
+#              pure FMA chains: ox*rx + (oy*ry + (oz*rz + rb)) is 3 FMAs
+#              where the left-to-right order needs mul+fma+fma+add
+#   'qspace' — accumulate q = OW/DW = -t (running MAX) instead of t
+#              (running min): drops the per-pair negate; the winner is
+#              negated once per ray outside the kernel. Bit-exact.
+#   'fq'     — both
+EPILOGUE = os.environ.get("LPCL_EPILOGUE", "base")
 
 _INF = float(np.inf)
 
@@ -75,7 +85,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(mask_ref, o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, n_sub,
-            n_words, cull, eps, eps_b, t_max, transform):
+            n_words, cull, eps, eps_b, t_max, transform, epilogue):
     """One (ray-block, tri-tile-group) cell: n_sub K-tiles of triangles per
     grid step (amortizes the per-step grid overhead — measured 22% on v5e).
     mask: bitpacked (n_rb*n_words,) i32 scalar-prefetch array over REAL tile
@@ -86,10 +96,12 @@ def _kernel(mask_ref, o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, n_sub,
     (revisited across tri groups)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
+    qspace = epilogue in ("qspace", "fq")
 
     @pl.when(j == 0)
     def _():
-        bt_ref[:] = jnp.full(bt_ref.shape, _INF)
+        # q-space accumulates max(q) with q = -t, so init flips to -inf
+        bt_ref[:] = jnp.full(bt_ref.shape, -_INF if qspace else _INF)
         bi_ref[:] = jnp.full(bi_ref.shape, -1, jnp.int32)
 
     # Hoist every ref read out of the sub-tile loop: re-reading refs inside
@@ -101,7 +113,7 @@ def _kernel(mask_ref, o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, n_sub,
         def _compute(s=s):
             _kernel_body(o4, d4, w, bt_ref, bi_ref, j, s, K=K,
                          n_sub=n_sub, eps=eps, eps_b=eps_b, t_max=t_max,
-                         transform=transform)
+                         transform=transform, epilogue=epilogue)
 
         if cull:
             jj = j * n_sub + s
@@ -113,7 +125,9 @@ def _kernel(mask_ref, o4_ref, d4_ref, w_ref, bt_ref, bi_ref, *, K, n_sub,
 
 
 def _kernel_body(o4, d4, w, bt_ref, bi_ref, j, s, *, K, n_sub,
-                 eps, eps_b, t_max, transform):
+                 eps, eps_b, t_max, transform, epilogue="base"):
+    fma_assoc = epilogue in ("fma", "fq")
+    qspace = epilogue in ("qspace", "fq")
     off = s * 3 * K
     if transform == "mxu":
         # precision=HIGHEST: full-f32 MXU passes. The default bf16
@@ -140,7 +154,13 @@ def _kernel_body(o4, d4, w, bt_ref, bi_ref, j, s, *, K, n_sub,
             ry = w[1:2, base:base + K]
             rz = w[2:3, base:base + K]
             rb = w[3:4, base:base + K]
-            O = ox * rx + oy * ry + oz * rz + rb
+            if fma_assoc:
+                # right-to-left association: every + has a fresh product
+                # on its left, so Mosaic emits 3 pure FMAs (the
+                # left-to-right order costs mul+fma+fma+add = 4 slots)
+                O = ox * rx + (oy * ry + (oz * rz + rb))
+            else:
+                O = ox * rx + oy * ry + oz * rz + rb
             D = dx * rx + dy * ry + dz * rz
             return O, D
 
@@ -152,32 +172,50 @@ def _kernel_body(o4, d4, w, bt_ref, bi_ref, j, s, *, K, n_sub,
     # t = +-inf (OW != 0) or NaN (OW == 0, incl. all-zero padding rows) and
     # every comparison below is then false -> no hit. Saves abs+cmp+select
     # per pair (measured ~9% on v5e).
-    t = -OW / DW
-    u = OU + t * DU
-    v = OV + t * DV
-    # Two epilogue shaves vs the straight 6-compare predicate (round-3
-    # sweep, benchmarks/epilogue_variants.py, +2.2% reproducible and
-    # bit-identical): (a) the t < t_max test moves OUT of the kernel — min
-    # over hits is monotone, so filtering the single winner after the
-    # argmin is equivalent to filtering every candidate; (b) the two
-    # barycentric lower bounds fold into one min(u, v) compare. NaN lanes
-    # (padding rows) still fail: min propagates NaN and NaN >= x is false.
-    hit = (
-        (t > eps)
-        & (jnp.minimum(u, v) >= -eps_b) & (u + v <= 1.0 + eps_b)
-    )
-    tt = jnp.where(hit, t, _INF)
+    if qspace:
+        # q = -t: skips the per-pair negate; u/v via fused negate-multiply
+        # (a - b*c is one FMA variant), nearest hit = running MAX of q.
+        # Bit-exact vs t-space (IEEE negation is exact); the single winner
+        # is negated back per ray outside the kernel.
+        q = OW / DW
+        u = OU - q * DU
+        v = OV - q * DV
+        hit = (
+            (q < -eps)
+            & (jnp.minimum(u, v) >= -eps_b) & (u + v <= 1.0 + eps_b)
+        )
+        tt = jnp.where(hit, q, -_INF)
+    else:
+        t = -OW / DW
+        u = OU + t * DU
+        v = OV + t * DV
+        # Two epilogue shaves vs the straight 6-compare predicate (round-3
+        # sweep, benchmarks/epilogue_variants.py, +2.2% reproducible and
+        # bit-identical): (a) the t < t_max test moves OUT of the kernel —
+        # min over hits is monotone, so filtering the single winner after
+        # the argmin is equivalent to filtering every candidate; (b) the
+        # two barycentric lower bounds fold into one min(u, v) compare.
+        # NaN lanes (padding rows) still fail: min propagates NaN and
+        # NaN >= x is false.
+        hit = (
+            (t > eps)
+            & (jnp.minimum(u, v) >= -eps_b) & (u + v <= 1.0 + eps_b)
+        )
+        tt = jnp.where(hit, t, _INF)
 
     # per-tile min + first-argmin, kept as (R,1) column vectors so no
     # lane<->sublane relayout is needed for the accumulator update
-    t_tile = jnp.min(tt, axis=1, keepdims=True)                 # (R,1)
+    if qspace:
+        t_tile = jnp.max(tt, axis=1, keepdims=True)             # (R,1)
+    else:
+        t_tile = jnp.min(tt, axis=1, keepdims=True)             # (R,1)
     col = jax.lax.broadcasted_iota(jnp.int32, tt.shape, 1)
     i_tile = jnp.min(
         jnp.where(tt == t_tile, col, jnp.int32(2**30)), axis=1, keepdims=True
     )
 
     best = bt_ref[:]
-    better = t_tile < best
+    better = (t_tile > best) if qspace else (t_tile < best)
     bt_ref[:] = jnp.where(better, t_tile, best)
     bi_ref[:] = jnp.where(better, i_tile + (j * n_sub + s) * K, bi_ref[:])
 
@@ -262,11 +300,13 @@ def _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max, alive=None):
 @functools.partial(
     jax.jit,
     static_argnames=("eps", "eps_b", "t_max", "ray_block", "tri_tile",
-                     "tri_sub", "interpret", "transform", "cull"),
+                     "tri_sub", "interpret", "transform", "cull",
+                     "epilogue"),
 )
 def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
                            t_max, ray_block, tri_tile, tri_sub, interpret,
-                           transform=TRANSFORM, cull=False):
+                           transform=TRANSFORM, cull=False,
+                           epilogue="base"):
     C = o.shape[0]
     K = tri_tile
     R = ray_block
@@ -308,7 +348,7 @@ def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
     kernel = functools.partial(
         _kernel, K=K, n_sub=n_sub, n_words=n_words, cull=bool(cull),
         eps=float(eps), eps_b=float(eps_b), t_max=float(t_max),
-        transform=transform,
+        transform=transform, epilogue=epilogue,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the flat cull mask, SMEM-resident
@@ -342,6 +382,8 @@ def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
         ),
         interpret=interpret,
     )(mask, o4, d4, w4)
+    if epilogue in ("qspace", "fq"):
+        bt = -bt  # the accumulator held q = -t; exact IEEE negation
     return bt.reshape(-1)[:C], bi.reshape(-1)[:C]
 
 
@@ -401,7 +443,8 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
                      ray_block: int | None = None, tri_tile: int | None = None,
                      tri_sub: int | None = None,
                      interpret: bool | None = None, transform: str | None = None,
-                     cull: bool | None = None, alive=None):
+                     cull: bool | None = None, alive=None,
+                     epilogue: str | None = None):
     """Nearest-hit over the scene. Returns (t (C,), tri (C,); tri == -1,
     t == +inf on miss). Drop-in for step.intersect_jnp.
 
@@ -429,7 +472,7 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
         eps_b=float(cfg.eps_bary),
         t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K, tri_sub=n_sub,
         interpret=bool(interpret), transform=transform or TRANSFORM,
-        cull=bool(cull),
+        cull=bool(cull), epilogue=epilogue or EPILOGUE,
     )
     # indices beyond the real (padded) triangle count cannot occur: padding
     # rows are all-zero -> DW == 0 -> masked out. Miss -> -1 from init.
