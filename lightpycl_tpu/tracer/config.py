@@ -69,10 +69,18 @@ class TraceConfig:
     allow_splitting: bool = True
     compaction: str = "topk"
     # conservative block x tile culling in the Pallas kernel: identical
-    # results to brute force, large wall-clock wins for coherent bundles
-    # (collimated sources); off by default so reported tests/s stays the
-    # honest brute-force number.
-    cull: bool = False
+    # intersect results to brute force (the mask only skips provably
+    # unreachable block x tile cells), 2.9-3.2x end-to-end on coherent
+    # scenes. None (default) = AUTO: the engine enables it when the
+    # source bundle is coherent enough for the mask to bite (cheap
+    # min-cosine test on the sampled directions, see
+    # Tracer._resolve_cull) and disables it otherwise; the kernel
+    # additionally self-disables above the SMEM mask budget. True/False
+    # force it. Direct step.trace_step users: None behaves as False.
+    # Note the per-bounce Morton reorder changes scatter-add ORDER, so
+    # detector sums may differ from the brute path at fp-reassociation
+    # level (~1e-7 relative) — physics identical.
+    cull: bool | None = None
     # opt-in Stokes-Mueller polarization: polarized Fresnel coefficients,
     # TIR retardation, frame tracking. Off (default) = the reference's
     # unpolarized scalar model, R = (Rs+Rp)/2 at every surface.

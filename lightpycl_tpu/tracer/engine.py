@@ -287,10 +287,6 @@ class Tracer:
                     "fluorescence-converted light (spontaneous emission "
                     "is incoherent with the source): disable coherent=True "
                     "or remove the fluorescent element")
-        if cfg.cull and not getattr(self, "_scene_sorted", False):
-            # spatially-sorted triangle tiles are what make the cull bite
-            self.set_elements(self.elements, spatial_sort=True)
-
         if rays is None:
             origins, dirs, powers = source.sample()
             wls = (source.sample_wavelengths()
@@ -299,6 +295,10 @@ class Tracer:
                                         ior_env=cfg.ior_env, capacity=capacity,
                                         wavelengths=wls,
                                         stokes=getattr(source, "stokes", None))
+        cfg = self._resolve_cull(cfg, mode, rays=rays)
+        if cfg.cull and not getattr(self, "_scene_sorted", False):
+            # spatially-sorted triangle tiles are what make the cull bite
+            self.set_elements(self.elements, spatial_sort=True)
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import make_ray_mesh
 
@@ -425,6 +425,7 @@ class Tracer:
         if method not in ("auto", "shared", "batched"):
             raise ValueError(f"trace_spectral method must be 'auto', "
                              f"'shared' or 'batched', got {method!r}")
+        cfg = self._resolve_cull(cfg, mode, rays=rays)
         if cfg.flux_map:
             raise ValueError(
                 "flux_map is not supported by spectral traces yet: run a "
@@ -650,6 +651,49 @@ class Tracer:
                 "arrives at the facet intersect() reported, so the "
                 "per-facet incident flux would overcount")
 
+    # auto-cull coherence threshold: enable when every sampled direction
+    # is within 60 degrees of the bundle mean (min cosine >= 0.5).
+    # Measured (benchmarks/cull_auto_bench.py, v5e): collimated bundles
+    # (min_cos ~ 1) win 2.9-3.2x; isotropic sources (min_cos ~ -1) pay
+    # only the mask+reorder overhead but cull nothing, so auto keeps them
+    # on the brute path.
+    _CULL_MIN_COS = 0.5
+
+    def _resolve_cull(self, cfg: TraceConfig, mode: str,
+                      rays=None, dirs=None, alive=None) -> TraceConfig:
+        """Resolve cull=None (auto) to a concrete bool before compiling.
+
+        The cull mask NEVER changes intersect results (conservative
+        reachability only); coherence just decides whether it can win,
+        so auto = 'on when the source bundle fits a tight direction
+        cone'. mesh2d shards the triangle axis (no global tile stream to
+        mask), so auto resolves False there."""
+        if cfg.cull is not None:
+            return cfg
+        if mode == "mesh2d":
+            return cfg.replace(cull=False)
+        if dirs is None and rays is not None:
+            n = min(int(rays.capacity), 4096)
+            dirs = np.asarray(rays.d[:n])
+            alive = np.asarray(rays.alive[:n])
+        if dirs is None:
+            return cfg.replace(cull=False)
+        d = np.asarray(dirs, np.float64)
+        if alive is not None:
+            d = d[np.asarray(alive, bool)]
+        if d.shape[0] == 0:
+            return cfg.replace(cull=False)
+        m = d.mean(axis=0)
+        nl = np.linalg.norm(m)
+        if nl < 1e-9:
+            return cfg.replace(cull=False)
+        min_cos = float((d @ (m / nl)).min())
+        on = min_cos >= self._CULL_MIN_COS
+        if on:
+            log.info("auto-cull ON (bundle min-cos %.3f >= %.2f)",
+                     min_cos, self._CULL_MIN_COS)
+        return cfg.replace(cull=on)
+
     def _tune_splitting(self, cfg: TraceConfig) -> TraceConfig:
         """Auto-disable the 2C split buffer + compaction when the scene has
         no refractive elements (nothing can split); refuse the unsafe
@@ -839,6 +883,14 @@ class Tracer:
                 "'mesh2d'")
         self._check_flux_map(cfg, mode)
         self._check_time_bins(cfg)
+        if cfg.cull is None:
+            # auto-cull from a small on-device sample of the source's
+            # direction bundle (one tiny dispatch, once per run)
+            _, d_s, _ = source.rays_on_device(
+                jax.random.key(seed ^ 0xC011), min(2048, batch_size))
+            cfg = self._resolve_cull(cfg, mode, dirs=np.asarray(d_s))
+        if cfg.cull and not getattr(self, "_scene_sorted", False):
+            self.set_elements(self.elements, spatial_sort=True)
         scene_sh = None
         if mode == "multichip":
             from lightpycl_tpu.parallel.sharding import make_ray_mesh
@@ -912,6 +964,44 @@ class Tracer:
         t0 = time.perf_counter()
         done = 0
         batch_iters: list = []
+        # Overlapped readback: batch b's device->host transfers (the only
+        # per-batch host work left — sampling is already on-device) happen
+        # while batch b+1 runs. JAX dispatch is async, so simply deferring
+        # the np.asarray() calls one iteration overlaps them with compute;
+        # a crash loses at most the in-flight batch, exactly like before
+        # (the checkpoint for b is written once b is consumed).
+        pending = None  # (b, det_b, led_b)
+
+        def _consume(p):
+            nonlocal hist64, per_det64, image64, image_amp64, tri_flux64, \
+                time64, led64
+            pb, det_b, led_b = p
+            # one fused transfer instead of ~8 tunnel round trips
+            host = jax.device_get((det_b.hist, det_b.per_detector,
+                                   det_b.image, det_b.image_amp,
+                                   det_b.tri_flux, det_b.time_hist,
+                                   jnp.stack(list(led_b))))
+            hist64 += np.asarray(host[0], np.float64)
+            per_det64 += np.asarray(host[1], np.float64)
+            per_batch.append(np.asarray(host[1], np.float64))
+            image64 += np.asarray(host[2], np.float64)
+            image_amp64 += np.asarray(host[3], np.float64)
+            if cfg.flux_map:
+                tri_flux64 += np.asarray(host[4], np.float64)
+            if cfg.time_bins > 0:
+                time64 += np.asarray(host[5], np.float64)
+            led64 += np.asarray(host[6], np.float64)
+            if checkpoint_path is not None:
+                from lightpycl_tpu.io.checkpoint import save_state
+
+                save_state(checkpoint_path, hist64=hist64,
+                           per_det64=per_det64, image64=image64,
+                           image_amp64=image_amp64, tri_flux64=tri_flux64,
+                           time64=time64,
+                           per_batch=np.asarray(per_batch),
+                           led64=led64, next_batch=pb + 1)
+            log.info("batch %d/%d done", pb + 1, n_batches)
+
         for b in range(n_batches):
             key, k = jax.random.split(key)
             if b < start_batch:
@@ -971,30 +1061,21 @@ class Tracer:
                     self.scene, rays, det_b, led_b, cfg, cfg.trace_iterations,
                     jax.random.fold_in(k, 0x5757)  # batch-distinct roulette keys
                 )
-                batch_iters.append(int(np.asarray(iters_b)))
+                # early-exit bounce count: defer the sync to _consume so
+                # it cannot serialize this batch against the next
+                batch_iters.append(iters_b)
             # rays still alive when the batch retires are culled so the
-            # conservation ledger stays exact across batches
+            # conservation ledger stays exact across batches (dispatched
+            # async; read back with the rest in _consume)
             leftover = jnp.sum(jnp.where(rays.alive, rays.power, 0.0))
             led_b = led_b._replace(culled=led_b.culled + leftover)
-            hist64 += np.asarray(det_b.hist, np.float64)
-            per_det64 += np.asarray(det_b.per_detector, np.float64)
-            per_batch.append(np.asarray(det_b.per_detector, np.float64))
-            image64 += np.asarray(det_b.image, np.float64)
-            image_amp64 += np.asarray(det_b.image_amp, np.float64)
-            if cfg.flux_map:
-                tri_flux64 += np.asarray(det_b.tri_flux, np.float64)
-            if cfg.time_bins > 0:
-                time64 += np.asarray(det_b.time_hist, np.float64)
-            led64 += np.asarray(jnp.stack(list(led_b)), np.float64)
-            if checkpoint_path is not None:
-                from lightpycl_tpu.io.checkpoint import save_state
-
-                save_state(checkpoint_path, hist64=hist64, per_det64=per_det64,
-                           image64=image64, image_amp64=image_amp64,
-                           tri_flux64=tri_flux64, time64=time64,
-                           per_batch=np.asarray(per_batch),
-                           led64=led64, next_batch=b + 1)
-            log.info("batch %d/%d done", b + 1, n_batches)
+            if pending is not None:
+                _consume(pending)  # previous batch reads back while this
+                #                    one computes
+            pending = (b, det_b, led_b)
+        if pending is not None:
+            _consume(pending)
+        batch_iters = [int(np.asarray(i)) for i in batch_iters]
         wall = time.perf_counter() - t0
         traced = done * batch_size
         result = TraceResult(
