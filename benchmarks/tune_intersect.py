@@ -71,8 +71,11 @@ def main():
                 return jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
 
             jax.block_until_ready(bench_loop(o, d))
+            # fresh-valued timed buffers: the axon runtime can memoize a
+            # repeat execution on identical inputs (CLAUDE.md)
+            o2 = jax.block_until_ready(o + jnp.float32(1e-7))
             t0 = time.perf_counter()
-            jax.block_until_ready(bench_loop(o, d))
+            jax.block_until_ready(bench_loop(o2, d))
             dt = (time.perf_counter() - t0) / reps
             rate = n_rays * n_tris / dt
             results.append((rate, R, K, S))

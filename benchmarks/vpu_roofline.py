@@ -1,26 +1,48 @@
 """VPU roofline for the intersect kernel (VERDICT r3 item 1).
 
 SURVEY.md §6 calls kernel throughput the make-or-break item; this script
-turns "fast" into "measured fraction of the hardware issue bound":
+turns "fast" into "measured fraction of the hardware issue bound".
 
-  1. PEAK — measure the chip's sustainable f32 VPU rate with a Pallas
-     kernel issuing pure element-wise FMAs on a VMEM-resident block
-     (256 x 1024 = 256 vregs in flight, so the FMA latency chain is fully
-     hidden and the number is the ISSUE bound, not a latency bound).
-  2. DIV — same harness with one IEEE f32 divide (+1 add to keep the
-     chain honest) per element; reported as equivalent FMA-slot cost.
-  3. BUDGET — the shipped kernel's per-pair op count, audited from
-     ops/intersect_pallas.py::_kernel_body (VPU transform):
-       transform   21 slots  (2 coords x [mul+fma+fma+add | mul+fma+fma])
-       epilogue    ~13 slots (neg+div counted separately; fma u, fma v,
-                    cmp t>eps, min(u,v), cmp, add u+v, cmp, 2x and,
-                    select, min-reduce t, eq, where-col, min-reduce idx;
-                    the iota is loop-invariant and hoisted by Mosaic)
-       divide      measured (DIV), plus 1 slot for the negate
-  4. BOUND — peak_slots / slots_per_pair vs the measured tests/s from
-     bench.py (pass --tests-per-s or it runs the kernel itself).
+Methodology (and why there is no standalone peak-FMA microkernel here):
+three attempts at a synthetic peak-FMA Pallas kernel all measured
+50-250x BELOW the intersect kernel's own sustained op rate — Mosaic
+spills large elementwise chains to VMEM and the axon tunnel adds ~25 ms
+per fetched result, so a synthetic microbenchmark UNDERSTATES the
+hardware and would make any real kernel look ">100% of bound".
+The honest construction inverts it:
 
-Prints one JSON line; BASELINE.md records the result.
+  1. AUDITED BUDGET — count the kernel's per-pair VPU slots from
+     ops/intersect_pallas.py::_kernel_body (one slot = one vector
+     op: FMA, mul, add, cmp, min/max, and, select; FMA counts 1):
+
+       transform (VPU path)   21   3 coords x (O: mul+fma+fma+add,
+                                               D: mul+fma+fma)
+       epilogue (qspace)      14   fnma u, fnma v, cmp, min(u,v), cmp,
+                                   add u+v, cmp, 2x and, select,
+                                   tile max-reduce, eq, where-col,
+                                   idx min-reduce
+       divide                  d   IEEE f32 divide, multi-slot on the
+                                   VPU (reciprocal + Newton); plausible
+                                   range d in [4, 10]
+       ('base' adds +1: the per-pair negate qspace eliminates)
+
+  2. ISSUE BOUND — v5e VPU: (8 x 128) lanes x 4 ALUs x 0.94 GHz
+     = 3.85e12 f32 slots/s (public v5e spec; the scaling-book numbers).
+
+  3. MEASURED — the kernel itself, chained-rep methodology. The kernel
+     is simultaneously the strongest witness of ACHIEVABLE rate: at
+     84.8e9 pairs/s x ~39-45 slots/pair it sustains 3.3-3.8e12 slots/s,
+     i.e. 86-99% of the spec bound depending on the divide's true cost.
+
+  4. CONFIRMATION — removing exactly one slot (base -> qspace negate
+     fold) moved throughput +1.1% (predicted +2.6-2.9% if purely
+     issue-bound): the kernel is issue-dominated with secondary
+     structure (divide pipeline, reduction latency) absorbing the rest.
+     The 'fma' reassociation variant measured -0.9% (negative result:
+     Mosaic already schedules the O-transform optimally).
+
+Prints one JSON line with the budget, bound range, and measured
+fraction; BASELINE.md records the conclusion.
 """
 
 import argparse
@@ -29,143 +51,85 @@ import os
 import sys
 import time
 
+V5E_VPU_SLOTS_PER_S = 8 * 128 * 4 * 0.94e9   # lanes x ALUs x clock
+TRANSFORM_SLOTS = 21
+EPILOGUE_SLOTS_QSPACE = 14
+DIV_SLOTS_RANGE = (4.0, 10.0)
+
+
+def measure_kernel(epilogue, reps=4, trials=3):
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import lightpycl_tpu as L
+    from lightpycl_tpu.tracer.config import TraceConfig
+
+    ip = importlib.import_module("lightpycl_tpu.ops.intersect_pallas")
+    oe = L.optical_elements(n_segments=256, n_radial=256)
+    big = oe.sphere(radius=5.0, material="terminator")
+    scene, _ = L.build_scene([big])
+    n_rays = 1 << 19
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.uniform(-1, 1, (n_rays, 3)), jnp.float32)
+    d = rng.normal(size=(n_rays, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
+                    jnp.float32)
+    cfg = TraceConfig()
+
+    @jax.jit
+    def bench(o_in, d_in):
+        def body(c, _):
+            t, i = ip.intersect_pallas(scene, o_in + c, d_in, cfg,
+                                       epilogue=epilogue)
+            chk = jnp.clip(jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)),
+                           0.0, 1.0)
+            return chk * 1e-30, jnp.sum(i)
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+
+    jax.block_until_ready(bench(o, d))
+    best = None
+    for k in range(trials):
+        o2 = jax.block_until_ready(o + jnp.float32(1e-7 * (k + 1)))
+        t0 = time.perf_counter()
+        jax.block_until_ready(bench(o2, d))
+        dt = (time.perf_counter() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    return n_rays * big.num_triangles / best
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--tests-per-s", type=float, default=None,
-                    help="measured kernel throughput (else measured here)")
-    ap.add_argument("--reps", type=int, default=32)
+                    help="reuse a measured qspace rate instead of timing")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/lpcl_jax_cache")
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-    R, KL = 256, 1024           # (sublane-rich, lane-exact) VMEM block
-    N_INNER = 512               # FMAs per element per grid step
-    N_STEPS = 64                # grid steps (re-visits the same block)
+    rate_q = args.tests_per_s or measure_kernel("qspace")
+    rate_b = None if args.tests_per_s else measure_kernel("base")
 
-    def fma_kernel(x_ref, a_ref, o_ref):
-        x = x_ref[:]
-        a = a_ref[:]
-        for _ in range(N_INNER):
-            # x <- x * a + a : one FMA per element per pass; 256 vregs of
-            # ILP hide the chain latency
-            x = x * a + a
-        o_ref[:] = x
-
-    def div_kernel(x_ref, a_ref, o_ref):
-        x = x_ref[:]
-        a = a_ref[:]
-        for _ in range(N_INNER // 8):   # divides are slow; fewer passes
-            x = a / x + a               # 1 div + 1 add per element
-        o_ref[:] = x
-
-    def run(kernel, passes):
-        grid = (N_STEPS,)
-        f = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[pl.BlockSpec((R, KL), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((R, KL), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((R, KL), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((R, KL), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
-        )
-        # keep x in (0.5, 1) so neither kernel over/underflows across
-        # hundreds of passes: x*a+a and a/x+a both stay O(1) for a ~ 0.5
-        x = jnp.full((R, KL), 0.7, jnp.float32)
-        a = jnp.full((R, KL), 0.5, jnp.float32)
-
-        @jax.jit
-        def loop(x, a):
-            def body(c, _):
-                y = f(c, a)
-                return y, ()
-            y, _ = jax.lax.scan(body, x, None, length=args.reps)
-            return y
-
-        jax.block_until_ready(loop(x, a))   # compile + warm
-        # the axon runtime MEMOIZES repeat executions with identical input
-        # buffers (CLAUDE.md) — the timed call must use fresh buffers with
-        # different VALUES or it returns in ~0 s
-        x2 = jax.block_until_ready(x + jnp.float32(1e-6))
-        a2 = jax.block_until_ready(a + jnp.float32(1e-7))
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(x2, a2))
-        dt = time.perf_counter() - t0
-        n_ops = R * KL * passes * N_STEPS * args.reps
-        return n_ops / dt, dt
-
-    fma_rate, fma_dt = run(fma_kernel, N_INNER)    # FMA slots / s
-    # div kernel issues (div + add) per element-pass; its add costs one
-    # slot, so div cost in slots = (fma_rate / pair_rate) - 1
-    divadd_rate, div_dt = run(div_kernel, N_INNER // 8)
-    div_slots = fma_rate / divadd_rate - 1.0
-
-    # ---- audited per-pair budget of the shipped kernel ----
-    transform_slots = 21       # 3 coords x (O: mul+fma+fma+add, D: mul+fma+fma)
-    epilogue_slots = 13        # see module docstring
-    neg_slots = 1              # the -OW before the divide
-    slots_per_pair = transform_slots + epilogue_slots + neg_slots + div_slots
-    bound_pairs = fma_rate / slots_per_pair
-
-    tests_per_s = args.tests_per_s
-    if tests_per_s is None:
-        import importlib
-
-        import lightpycl_tpu as L
-        from lightpycl_tpu.tracer.config import TraceConfig
-
-        ip = importlib.import_module("lightpycl_tpu.ops.intersect_pallas")
-        oe = L.optical_elements(n_segments=256, n_radial=256)
-        big = oe.sphere(radius=5.0, material="terminator")
-        scene, _ = L.build_scene([big])
-        rng = np.random.default_rng(0)
-        n_rays = 1 << 19
-        o = jnp.asarray(rng.uniform(-1, 1, (n_rays, 3)), jnp.float32)
-        d = rng.normal(size=(n_rays, 3))
-        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True),
-                        jnp.float32)
-        cfg = TraceConfig()
-
-        @jax.jit
-        def bench(o_in, d_in):
-            def body(c, _):
-                t, i = ip.intersect_pallas(scene, o_in + c, d_in, cfg)
-                chk = jnp.clip(jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)),
-                               0.0, 1.0)
-                return chk * 1e-30, jnp.sum(i)
-            c, chks = jax.lax.scan(body, jnp.float32(0.0), None, length=4)
-            return c, chks
-
-        jax.block_until_ready(bench(o, d))
-        o2 = jax.block_until_ready(o + jnp.float32(1e-7))  # defeat memoize
-        t0 = time.perf_counter()
-        jax.block_until_ready(bench(o2, d))
-        dt = (time.perf_counter() - t0) / 4
-        tests_per_s = n_rays * big.num_triangles / dt
-
+    d_lo, d_hi = DIV_SLOTS_RANGE
+    slots_lo = TRANSFORM_SLOTS + EPILOGUE_SLOTS_QSPACE + d_lo
+    slots_hi = TRANSFORM_SLOTS + EPILOGUE_SLOTS_QSPACE + d_hi
+    bound_hi = V5E_VPU_SLOTS_PER_S / slots_lo   # cheap divide -> high bound
+    bound_lo = V5E_VPU_SLOTS_PER_S / slots_hi
     out = {
         "metric": "vpu_roofline",
-        "fma_wall_s": fma_dt,      # sanity: must be >> dispatch latency
-        "div_wall_s": div_dt,
-        "fma_slots_per_s": fma_rate,
-        "div_slots": div_slots,
-        "slots_per_pair": slots_per_pair,
-        "bound_tests_per_s": bound_pairs,
-        "measured_tests_per_s": tests_per_s,
-        "fraction_of_bound": tests_per_s / bound_pairs,
+        "vpu_issue_slots_per_s": V5E_VPU_SLOTS_PER_S,
+        "slots_per_pair_range": [slots_lo, slots_hi],
+        "bound_tests_per_s_range": [bound_lo, bound_hi],
+        "measured_tests_per_s_qspace": rate_q,
+        "measured_tests_per_s_base": rate_b,
+        "sustained_slots_per_s_range": [rate_q * slots_lo,
+                                        rate_q * slots_hi],
+        "fraction_of_bound_range": [rate_q / bound_hi, rate_q / bound_lo],
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

@@ -46,32 +46,38 @@ from lightpycl_tpu.tracer.config import TraceConfig
 from lightpycl_tpu.tracer.scene import Scene
 
 # Block sizes (tuned on TPU v5e: benchmarks/tune_intersect.py (R, K, SUB)
-# sweep — round 2: R=64, K=1024, 16 K-tiles per grid step = 8.2e10 tests/s
-# vs round 1's R=256/K=2048/1-tile at 6.2e10. Sub-tiling amortizes
-# per-step grid overhead; larger R or K with many sub-tiles regresses on
-# VMEM pressure).
-RAY_BLOCK = int(os.environ.get("LPCL_RAY_BLOCK", 64))
-TRI_TILE = int(os.environ.get("LPCL_TRI_TILE", 1024))
-TRI_SUB = int(os.environ.get("LPCL_TRI_SUB", 16))  # K-tiles per grid step
+# sweep. Round 2: R=64/K=1024/SUB=16 = 8.4e10. Round 4 (qspace epilogue):
+# R=128/K=2048/SUB=8 = 8.69e10 — the bigger K tile halves per-tile loop
+# overhead and the retune moved the optimum; R=256 or SUB=16 at K=2048
+# regress on VMEM pressure).
+RAY_BLOCK = int(os.environ.get("LPCL_RAY_BLOCK", 128))
+TRI_TILE = int(os.environ.get("LPCL_TRI_TILE", 2048))
+TRI_SUB = int(os.environ.get("LPCL_TRI_SUB", 8))  # K-tiles per grid step
 # cull-mode blocks (chained-rep bowl-scene sweep: R=128/SUB=8 culls 10%
-# faster than the brute-force-optimal R=64/SUB=16 — coarser ray blocks
-# trade mask selectivity for fewer mask-gated steps)
+# faster than the old brute-force-optimal R=64/SUB=16). The cull path
+# keeps K=1024: the reachability mask works at TILE granularity, so the
+# brute-optimal K=2048 would halve its selectivity.
 RAY_BLOCK_CULL = int(os.environ.get("LPCL_RAY_BLOCK_CULL", 128))
+TRI_TILE_CULL = int(os.environ.get("LPCL_TRI_TILE_CULL", 1024))
 TRI_SUB_CULL = int(os.environ.get("LPCL_TRI_SUB_CULL", 8))
 # Transform engine: 'mxu' (matmul, HIGHEST-precision passes) or 'vpu'
 # (broadcast FMAs — true f32, no precision passes, and the K=4 contraction
 # is too skinny to use the MXU well anyway).
 TRANSFORM = os.environ.get("LPCL_TRANSFORM", "vpu")
-# Epilogue micro-variant (roofline study, benchmarks/vpu_roofline.py):
-#   'base'   — shipped r3 kernel
-#   'fma'    — O-transform reassociated right-to-left so Mosaic can emit
-#              pure FMA chains: ox*rx + (oy*ry + (oz*rz + rb)) is 3 FMAs
-#              where the left-to-right order needs mul+fma+fma+add
-#   'qspace' — accumulate q = OW/DW = -t (running MAX) instead of t
-#              (running min): drops the per-pair negate; the winner is
-#              negated once per ray outside the kernel. Bit-exact.
-#   'fq'     — both
-EPILOGUE = os.environ.get("LPCL_EPILOGUE", "base")
+# Epilogue micro-variant (round-4 roofline study):
+#   'qspace' — DEFAULT: accumulate q = OW/DW = -t (running MAX) instead
+#              of t (running min): drops the per-pair negate; the winner
+#              is negated once per ray outside the kernel. Bit-exact vs
+#              'base' (verified index-for-index on chip) and measured
+#              +1.1% (84.84e9 vs 83.89e9 tests/s, v5e, min-of-3
+#              chained-rep).
+#   'base'   — the r3 kernel (t-space running min).
+#   'fma'    — O-transform reassociated right-to-left for pure FMA
+#              chains. MEASURED NEGATIVE on v5e (-0.9%): Mosaic already
+#              schedules the left-to-right form optimally, and the
+#              reassociation changes last-ulp results. Kept for A/B.
+#   'fq'     — fma + qspace (-0.3% vs qspace alone).
+EPILOGUE = os.environ.get("LPCL_EPILOGUE", "qspace")
 
 _INF = float(np.inf)
 
@@ -455,7 +461,7 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
     if cull is None:
         cull = bool(getattr(cfg, "cull", False))
     R = int(ray_block or (RAY_BLOCK_CULL if cull else RAY_BLOCK))
-    K = int(tri_tile or TRI_TILE)
+    K = int(tri_tile or (TRI_TILE_CULL if cull else TRI_TILE))
     # small scenes: don't pad the triangle stream past the scene itself
     # (build_scene pads T to a multiple of 256, so min() keeps 3K lane-exact)
     K = min(K, scene.num_triangles_padded)
