@@ -63,14 +63,31 @@ def main():
         per = jnp.zeros((n_det,), jnp.float32).at[did].add(p)
         return hist, per
 
+    # chunked: a monolithic (C, B) one-hot is C*B*4 bytes = 10.9 GB at the
+    # 4M-ray bench size — past v5e HBM. Scan over 64k-ray chunks keeps the
+    # MXU matmul shape while the one-hot stays ~170 MB live.
+    ONEHOT_CHUNK = 1 << 16
+
     def onehot(v, p, did):
         flat = bins_of(v)
-        oh = jax.nn.one_hot(flat, B, dtype=jnp.float32)        # (C, B)
-        hist = jnp.matmul(p[None, :], oh,
-                          precision=jax.lax.Precision.HIGHEST)[0]
-        ohd = jax.nn.one_hot(did, n_det, dtype=jnp.float32)
-        per = jnp.matmul(p[None, :], ohd,
-                         precision=jax.lax.Precision.HIGHEST)[0]
+        ch = min(ONEHOT_CHUNK, flat.shape[0])
+        n_ch = flat.shape[0] // ch  # bench sizes are powers of two
+
+        def body(acc, xs):
+            f_c, p_c, d_c = xs
+            oh = jax.nn.one_hot(f_c, B, dtype=jnp.float32)     # (ch, B)
+            h = jnp.matmul(p_c[None, :], oh,
+                           precision=jax.lax.Precision.HIGHEST)[0]
+            ohd = jax.nn.one_hot(d_c, n_det, dtype=jnp.float32)
+            pr = jnp.matmul(p_c[None, :], ohd,
+                            precision=jax.lax.Precision.HIGHEST)[0]
+            return (acc[0] + h, acc[1] + pr), None
+
+        (hist, per), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((B,), jnp.float32), jnp.zeros((n_det,), jnp.float32)),
+            (flat.reshape(n_ch, ch), p.reshape(n_ch, ch),
+             did.reshape(n_ch, ch)))
         return hist, per
 
     def segsum(v, p, did):
@@ -79,7 +96,18 @@ def main():
         per = jax.ops.segment_sum(p, did, num_segments=n_det)
         return hist, per
 
-    ref = None
+    # correctness anchor: float64 host sums. Variant-vs-variant f32
+    # comparison is the wrong oracle at this size — a 1M-term f32 sum's
+    # error depends on accumulation ORDER (XLA's segmented scatter vs the
+    # MXU's chunked accumulate), so two correct variants legitimately
+    # differ by ~1e-4 relative. Each row reports its own f64-relative err.
+    flat_h = np.asarray(bins_of(hit))
+    p_h = np.asarray(power, np.float64)
+    hist_ref = np.zeros(B)
+    np.add.at(hist_ref, flat_h, p_h)
+    per_ref = np.zeros(n_det)
+    np.add.at(per_ref, np.asarray(det_id), p_h)
+
     for name, fn in (("scatter", scatter), ("onehot", onehot),
                      ("segsum", segsum)):
         @jax.jit
@@ -91,12 +119,12 @@ def main():
             return jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
 
         h0, p0 = fn(hit, power, det_id)
-        h0, p0 = np.asarray(h0), np.asarray(p0)
-        if ref is None:
-            ref = (h0, p0)
-        else:
-            assert np.allclose(h0, ref[0], rtol=1e-4), name
-            assert np.allclose(p0, ref[1], rtol=1e-4), name
+        h0, p0 = np.asarray(h0, np.float64), np.asarray(p0, np.float64)
+        err_h = float(np.abs(h0 - hist_ref).max()
+                      / max(np.abs(hist_ref).max(), 1e-30))
+        err_p = float(np.abs(p0 - per_ref).max()
+                      / max(np.abs(per_ref).max(), 1e-30))
+        assert err_h < 1e-3 and err_p < 1e-3, (name, err_h, err_p)
         jax.block_until_ready(loop(hit, power, det_id))
         hit2 = jax.block_until_ready(hit + jnp.float32(1e-7))
         t0 = time.perf_counter()
@@ -104,7 +132,9 @@ def main():
         dt = (time.perf_counter() - t0) / reps
         print(json.dumps({"variant": name, "rays": C,
                           "ms_per_call": dt * 1e3,
-                          "rays_per_s": C / dt}), flush=True)
+                          "rays_per_s": C / dt,
+                          "rel_err_vs_f64": max(err_h, err_p)}),
+              flush=True)
     return 0
 
 

@@ -81,6 +81,67 @@ EPILOGUE = os.environ.get("LPCL_EPILOGUE", "qspace")
 
 _INF = float(np.inf)
 
+# SMEM budget for the bitpacked block x tile cull mask (SMEM is ~1 MB;
+# leave half for Mosaic's own scalars). _intersect_pallas_impl
+# self-disables the mask above it (correctness backstop for direct
+# callers); intersect_pallas() never reaches that: it slices the ray
+# axis into chunks whose masks fit (cull_ray_chunk below).
+_CULL_SMEM_BUDGET = 512 << 10
+# Per-chunk mask budget for that slicing — deliberately SMALLER than the
+# SMEM ceiling: the v5e chunk sweep (config-4 bowl, 4M rays, min-of-3
+# chained traces; benchmarks/results/cull_chunk_v5e.jsonl) measured 64KB
+# (419k rays/chunk) at 7.99s vs 128KB 8.92s vs 512KB 10.3s — smaller
+# resident masks leave the Mosaic scalar core SMEM headroom. Env
+# LPCL_CULL_CHUNK_BYTES overrides (sweep hook).
+_CULL_CHUNK_BYTES = 64 << 10
+
+
+def cull_mask_fits(n_rays: int, n_tris_padded: int,
+                   ray_block: int | None = None,
+                   tri_tile: int | None = None) -> bool:
+    """True when the bitpacked (ray_block x tri_tile) cull mask fits the
+    kernel's SMEM budget, i.e. a single _intersect_pallas_impl call at
+    this shape would actually mask anything. Mirrors the impl's
+    self-disable arithmetic exactly."""
+    R = int(ray_block or RAY_BLOCK_CULL)
+    K = min(int(tri_tile or TRI_TILE_CULL), max(n_tris_padded, 1))
+    n_rb = -(-int(n_rays) // R)
+    n_tt = -(-int(n_tris_padded) // K)
+    n_words = -(-n_tt // 32)
+    return n_rb * n_words * 4 <= _CULL_SMEM_BUDGET
+
+
+# Big batches keep the tuned cull rung and CHUNK THE RAY AXIS instead of
+# letting the kernel self-disable (= brute while still paying the Morton
+# sort: the pre-chunking autocull ran BELOW brute at 16M rays,
+# baseline_configs_v5e_r4.jsonl history). Ray chunking costs nothing —
+# the Pallas grid already re-streams the full triangle stream from HBM
+# once per ray-block row, so splitting one call into ceil(C/chunk) calls
+# moves zero extra bytes — and the v5e sweep (results/cull_chunk_v5e.jsonl)
+# measured chunked-64KB FASTER than any single-call variant at 4M rays.
+def cull_ray_chunk(n_rays: int, n_tris_padded: int,
+                   ray_block: int | None = None,
+                   tri_tile: int | None = None) -> int:
+    """Largest ray-chunk size (multiple of the cull ray block) whose
+    bitpacked mask fits the kernel's SMEM budget; intersect_pallas slices
+    the ray axis into chunks of this size when cull is on. Always >= one
+    ray block (a single block's mask row is a few words).
+
+    The default per-chunk budget is _CULL_CHUNK_BYTES (64KB), NOT the
+    full SMEM ceiling: the v5e chunk sweep measured smaller chunks
+    FASTER (64KB 7.99s vs 512KB 10.3s on the 4M-ray config-4 cell,
+    benchmarks/results/cull_chunk_v5e.jsonl). LPCL_CULL_CHUNK_BYTES
+    overrides (clamped to the SMEM budget)."""
+    R = int(ray_block or RAY_BLOCK_CULL)
+    K = min(int(tri_tile or TRI_TILE_CULL), max(n_tris_padded, 1))
+    n_tt = -(-int(n_tris_padded) // K)
+    n_words = -(-n_tt // 32)
+    budget = min(_CULL_SMEM_BUDGET,
+                 int(os.environ.get("LPCL_CULL_CHUNK_BYTES",
+                                    _CULL_CHUNK_BYTES)))
+    n_rb = max(budget // (n_words * 4), 1)
+    return n_rb * R
+
 
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
@@ -334,9 +395,10 @@ def _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive, *, eps, eps_b,
     n_groups = n_tt // n_sub
 
     n_words = -(-n_tt // 32)
-    # SMEM is ~1 MB; auto-disable the cull when even the bitpacked mask
-    # would crowd it out (huge ray counts: use trace_batched instead)
-    if cull and n_rb * n_words * 4 > (512 << 10):
+    # auto-disable the cull when even the bitpacked mask would crowd SMEM
+    # out (huge ray counts: use trace_batched instead). Keep in lockstep
+    # with cull_mask_fits(), which callers use to predict this.
+    if cull and n_rb * n_words * 4 > _CULL_SMEM_BUDGET:
         cull = False
     if cull:
         m = _cull_mask(o4, d4, aabb_lo, aabb_hi, R, t_max,
@@ -473,13 +535,37 @@ def intersect_pallas(scene: Scene, o, d, cfg: TraceConfig,
     n_sub = _pick_sub(n_tiles, int(tri_sub or (TRI_SUB_CULL if cull else TRI_SUB)))
     if alive is None:
         alive = jnp.ones((o.shape[0],), bool)
-    t, i = _intersect_pallas_impl(
-        o, d, w4, aabb_lo, aabb_hi, alive, eps=float(cfg.eps),
-        eps_b=float(cfg.eps_bary),
-        t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K, tri_sub=n_sub,
-        interpret=bool(interpret), transform=transform or TRANSFORM,
-        cull=bool(cull), epilogue=epilogue or EPILOGUE,
-    )
+
+    C = o.shape[0]
+    chunk = cull_ray_chunk(C, scene.num_triangles_padded,
+                           ray_block=R, tri_tile=K) if cull else C
+    kw = dict(eps=float(cfg.eps), eps_b=float(cfg.eps_bary),
+              t_max=float(cfg.max_ray_len), ray_block=R, tri_tile=K,
+              tri_sub=n_sub, interpret=bool(interpret),
+              transform=transform or TRANSFORM, cull=bool(cull),
+              epilogue=epilogue or EPILOGUE)
+    if chunk >= C:
+        t, i = _intersect_pallas_impl(o, d, w4, aabb_lo, aabb_hi, alive,
+                                      **kw)
+    else:
+        # cull at scale: slice the ray axis so every chunk's bitpacked
+        # mask fits SMEM at the TUNED rung (without this the kernel
+        # self-disables = brute while still paying the Morton sort, and
+        # the pre-chunking autocull measured BELOW brute at 16M rays).
+        # Static python loop —
+        # chunk count is shape-derived, so jit traces it once; the
+        # triangle stream's HBM traffic is identical either way (one
+        # full pass per ray-block row in both layouts). Morton-sorted
+        # rays make the slices spatially compact, exactly what the
+        # per-chunk masks want.
+        parts = [
+            _intersect_pallas_impl(
+                o[i0:i0 + chunk], d[i0:i0 + chunk], w4, aabb_lo, aabb_hi,
+                alive[i0:i0 + chunk], **kw)
+            for i0 in range(0, C, chunk)
+        ]
+        t = jnp.concatenate([p[0] for p in parts])
+        i = jnp.concatenate([p[1] for p in parts])
     # indices beyond the real (padded) triangle count cannot occur: padding
     # rows are all-zero -> DW == 0 -> masked out. Miss -> -1 from init.
     # The t < t_max window is applied HERE, on the single winner per ray,

@@ -667,7 +667,11 @@ class Tracer:
         reachability only); coherence just decides whether it can win,
         so auto = 'on when the source bundle fits a tight direction
         cone'. mesh2d shards the triangle axis (no global tile stream to
-        mask), so auto resolves False there."""
+        mask), so auto resolves False there. Ray count does NOT gate
+        auto: past the SMEM mask budget the kernel slices the ray axis
+        into chunks whose masks fit at the tuned rung
+        (ops.intersect_pallas.cull_ray_chunk), so the mask stays
+        effective at any batch size."""
         if cfg.cull is not None:
             return cfg
         if mode == "mesh2d":

@@ -240,6 +240,94 @@ class TestAutoCull:
                                      rays=L.RayBatch.from_arrays(o, d, p))
         assert cfg.cull is False
 
+    def test_smem_budget_ray_chunking(self):
+        """Big batches keep the tuned cull rung and slice the ray axis
+        so every chunk's bitpacked mask fits SMEM (cull_ray_chunk);
+        without this the kernel self-disables to brute while still
+        paying the Morton sort (measured below brute at 16M rays on
+        v5e). Chunked results must equal the unchunked/brute exactly
+        (the mask is conservative per chunk too)."""
+        from lightpycl_tpu.ops.intersect_pallas import (
+            _CULL_SMEM_BUDGET, cull_mask_fits, cull_ray_chunk,
+            intersect_pallas)
+
+        # prediction mirrors the kernel arithmetic: config-4 batches
+        # (4M rays x 137k tris) overflow the budget at the tuned
+        # (128, 1024) rung, so the chunk splits them; the bench bowl
+        # (512k x 73k) stays a single call
+        assert not cull_mask_fits(4_000_000, 137_304)
+        assert cull_ray_chunk(4_000_000, 137_304) < 4_000_000
+        assert cull_mask_fits(524_288, 73_344)
+        assert cull_ray_chunk(524_288, 73_344) >= 524_288
+        # every chunk's own mask fits the budget, at any scale
+        for n, t in ((4_000_000, 137_304), (2_000_000_000, 137_304),
+                     (16_000_000, 1_048_576)):
+            ch = cull_ray_chunk(n, t)
+            assert ch >= 128 and ch % 128 == 0
+            assert cull_mask_fits(ch, t)
+
+        # exactness through the chunked path: force a chunk smaller than
+        # the ray count via a tiny budget
+        import sys
+
+        # NOT `import ... as ipm`: the ops package re-exports the
+        # intersect_pallas FUNCTION, which shadows the submodule on
+        # attribute-style binding
+        ipm = sys.modules["lightpycl_tpu.ops.intersect_pallas"]
+
+        els = self._els()
+        from lightpycl_tpu.tracer.engine import Tracer
+        tr = Tracer()
+        tr.set_elements(els, spatial_sort=True)
+        scene = tr.scene
+        rng = np.random.default_rng(11)
+        n = 1024
+        o = jnp.asarray(rng.uniform(-0.7, 0.7, (n, 3)).astype(np.float32))
+        o = o.at[:, 2].set(3.0)
+        d = jnp.tile(jnp.asarray([[0.01, -0.02, -1.0]], jnp.float32),
+                     (n, 1))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        cfg = TraceConfig()
+        t0, i0 = intersect_pallas(scene, o, d, cfg, cull=False,
+                                  interpret=True)
+        old = ipm._CULL_SMEM_BUDGET
+        try:
+            ipm._CULL_SMEM_BUDGET = 4  # one 128-ray block per chunk
+            assert cull_ray_chunk(n, scene.num_triangles_padded) == 128
+            t1, i1 = intersect_pallas(scene, o, d, cfg, cull=True,
+                                      interpret=True)
+        finally:
+            ipm._CULL_SMEM_BUDGET = old
+        assert old == _CULL_SMEM_BUDGET
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    def test_escalated_block_still_exact(self, rng):
+        """A forced R=256/512 cull intersect must match brute exactly
+        (the mask is conservative at ANY block granularity)."""
+        from lightpycl_tpu.ops.intersect_pallas import intersect_pallas
+
+        els = self._els()
+        from lightpycl_tpu.tracer.engine import Tracer
+        tr = Tracer()
+        tr.set_elements(els, spatial_sort=True)
+        scene = tr.scene
+        n = 2048
+        o = jnp.asarray(
+            rng.uniform(-0.7, 0.7, (n, 3)).astype(np.float32))
+        o = o.at[:, 2].set(3.0)
+        d = jnp.tile(jnp.asarray([[0.01, -0.02, -1.0]], jnp.float32),
+                     (n, 1))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        cfg = TraceConfig()
+        t0, i0 = intersect_pallas(scene, o, d, cfg, cull=False,
+                                  interpret=True)
+        for R in (256, 512):
+            t1, i1 = intersect_pallas(scene, o, d, cfg, cull=True,
+                                      ray_block=R, interpret=True)
+            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
     def test_batched_auto_enables_and_conserves(self):
         from lightpycl_tpu.sources import CollimatedSource
         from lightpycl_tpu.tracer.engine import Tracer
