@@ -77,3 +77,20 @@ gain = frac["with condenser"] / frac["bare die"]
 print(f"on-axis intensity gain from the condenser: {gain:.1f}x")
 assert abs(frac["bare die"] - lambertian) < 0.01
 assert gain > 5.0
+
+# --- export the collimated luminaire as an IES LM-63 photometric file ----
+# (io/ies.py): the far-field web of the LAST trace (with condenser), axis
+# along the -z beam; import it back as a light source to check the flux.
+import tempfile
+
+from lightpycl_tpu.io.ies import ies_source, load_ies, save_ies
+
+ies_path = tempfile.mktemp(suffix=".ies")
+lm = save_ies(ies_path, res.measured_dir, res.measured_power,
+              axis=(0, 0, -1), n_vertical=19,
+              keywords={"LUMINAIRE": "LED die + stigmatic condenser"})
+data = load_ies(ies_path)
+src2 = ies_source(data, direction=(0, 0, -1), ray_count=1000)
+print(f"IES export: {lm:.1f} lm (web integral {data.total_lumens:.1f}; "
+      f"re-imported source power {src2.power:.1f})")
+assert abs(data.total_lumens - lm) < 1e-6 * max(lm, 1.0)

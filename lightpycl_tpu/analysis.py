@@ -538,6 +538,27 @@ def intensity_map(positions, powers, plane_normal=(0, 0, 1), plane_point=(0, 0, 
     return img, edges, edges
 
 
+def illuminance_map(positions, powers, wavelengths=None, lm_per_watt=None,
+                    plane_normal=(0, 0, 1), plane_point=(0, 0, 0),
+                    half_extent: float = 1.0, bins: int = 64):
+    """Photometric illuminance [lux = lm/m^2] on a detector plane.
+
+    The photometric companion of `intensity_map`: per-ray radiant power is
+    converted to lumens (CIE V(lambda) weighting when `wavelengths` [um]
+    are given, else a flat `lm_per_watt`, default 683.002 = powers treated
+    as photopic watts) and divided by the pixel area — scene lengths are
+    taken as meters (LM-63 units type 2, matching io/ies.py).
+    Returns (lux (bins, bins), x_edges, y_edges)."""
+    from lightpycl_tpu.io.ies import _lumens_per_ray
+
+    lm = _lumens_per_ray(powers, wavelengths, lm_per_watt)
+    img, xe, ye = intensity_map(positions, lm, plane_normal=plane_normal,
+                                plane_point=plane_point,
+                                half_extent=half_extent, bins=bins)
+    pixel_area = (xe[1] - xe[0]) * (ye[1] - ye[0])
+    return img / pixel_area, xe, ye
+
+
 # ---------------------------------------------------------------------------
 # Plots (lazy matplotlib; reference: plot_measured_directivity /
 # plot_elements_and_rays, SURVEY.md §3)

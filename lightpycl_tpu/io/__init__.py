@@ -1,8 +1,11 @@
 from lightpycl_tpu.io.dxf import (DXFWriter, load_dxf_mesh, load_dxf_scene,
                                   save_traced_scene)
 from lightpycl_tpu.io.checkpoint import load_state, save_state
+from lightpycl_tpu.io.ies import (IESData, ies_source, load_ies, save_ies,
+                                  luminous_intensity_grid)
 from lightpycl_tpu.io.stl import load_stl, save_stl
 
 __all__ = ["DXFWriter", "save_traced_scene", "load_dxf_mesh",
            "load_dxf_scene", "save_state", "load_state",
-           "load_stl", "save_stl"]
+           "load_stl", "save_stl", "IESData", "ies_source", "load_ies",
+           "save_ies", "luminous_intensity_grid"]
