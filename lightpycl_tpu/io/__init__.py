@@ -3,9 +3,14 @@ from lightpycl_tpu.io.dxf import (DXFWriter, load_dxf_mesh, load_dxf_scene,
 from lightpycl_tpu.io.checkpoint import load_state, save_state
 from lightpycl_tpu.io.ies import (IESData, ies_source, load_ies, save_ies,
                                   luminous_intensity_grid)
+from lightpycl_tpu.io.rayfile import (RayFileData, RayFileSource,
+                                      load_rayfile, save_measured_rayfile,
+                                      save_rayfile)
 from lightpycl_tpu.io.stl import load_stl, save_stl
 
 __all__ = ["DXFWriter", "save_traced_scene", "load_dxf_mesh",
            "load_dxf_scene", "save_state", "load_state",
            "load_stl", "save_stl", "IESData", "ies_source", "load_ies",
-           "save_ies", "luminous_intensity_grid"]
+           "save_ies", "luminous_intensity_grid", "RayFileData",
+           "RayFileSource", "load_rayfile", "save_rayfile",
+           "save_measured_rayfile"]

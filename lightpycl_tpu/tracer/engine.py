@@ -1014,17 +1014,22 @@ class Tracer:
                 break
             done += 1
             k_rays, k_wl = jax.random.split(k)
-            o, d, p = source.rays_on_device(k_rays, batch_size)
-            if hasattr(source, "wavelengths_on_device"):
-                wl = source.wavelengths_on_device(k_wl, batch_size)
+            if hasattr(source, "batch_on_device"):
+                # combined hook (e.g. RayFileSource): ONE draw yields
+                # index-coherent rays/wavelengths/Stokes columns
+                o, d, p, wl, st = source.batch_on_device(k_rays, batch_size)
             else:
+                o, d, p = source.rays_on_device(k_rays, batch_size)
+                wl = (source.wavelengths_on_device(k_wl, batch_size)
+                      if hasattr(source, "wavelengths_on_device") else None)
+                st = getattr(source, "stokes", None)
+            if wl is None:
                 from lightpycl_tpu.tracer.rays import D_LINE_UM
 
                 wl = jnp.full((batch_size,), D_LINE_UM, jnp.float32)
             rays = RayBatch.from_arrays(
                 o, d, p * (1.0 / n_batches), ior_env=cfg.ior_env,
-                wavelengths=wl, stokes=getattr(source, "stokes", None),
-                capacity=capacity)
+                wavelengths=wl, stokes=st, capacity=capacity)
             if mode == "multichip":
                 from lightpycl_tpu.parallel.sharding import (
                     shard_rays, trace_multichip,

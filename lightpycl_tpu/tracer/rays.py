@@ -140,8 +140,17 @@ class RayBatch(NamedTuple):
             # aliased leaves trip "donate the same buffer twice"
             sf = [jnp.zeros((c,), jnp.float32) for _ in range(3)]
         else:
-            sf = [jnp.broadcast_to(jnp.asarray(x, jnp.float32), (c,))
-                  for x in stokes]
+            # each fraction may be a scalar (whole-batch polarization) or a
+            # per-ray (n,) array (ray-file replay); pad the latter with zeros
+            sf = []
+            for x in stokes:
+                x = jnp.asarray(x, jnp.float32)
+                if x.ndim == 0:
+                    sf.append(jnp.full((c,), x, jnp.float32))
+                else:
+                    x = jnp.broadcast_to(x, (n,))
+                    sf.append(jnp.concatenate(
+                        [x, jnp.zeros((pad,), jnp.float32)]) if pad else x)
         return RayBatch(o, d, p, jnp.full((c,), ior_env, jnp.float32), alive, w,
                         jnp.zeros((c,), jnp.float32), sf[0], sf[1], sf[2], b,
                         jnp.zeros((c,), jnp.float32),
