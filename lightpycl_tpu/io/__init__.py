@@ -6,6 +6,8 @@ from lightpycl_tpu.io.ies import (IESData, ies_source, load_ies, save_ies,
 from lightpycl_tpu.io.rayfile import (RayFileData, RayFileSource,
                                       load_rayfile, save_measured_rayfile,
                                       save_rayfile)
+from lightpycl_tpu.io.obj import (load_obj, load_obj_scene, load_ply,
+                                  save_obj, save_ply)
 from lightpycl_tpu.io.stl import load_stl, save_stl
 
 __all__ = ["DXFWriter", "save_traced_scene", "load_dxf_mesh",
@@ -13,4 +15,5 @@ __all__ = ["DXFWriter", "save_traced_scene", "load_dxf_mesh",
            "load_stl", "save_stl", "IESData", "ies_source", "load_ies",
            "save_ies", "luminous_intensity_grid", "RayFileData",
            "RayFileSource", "load_rayfile", "save_rayfile",
-           "save_measured_rayfile"]
+           "save_measured_rayfile", "load_obj", "load_obj_scene", "save_obj",
+           "load_ply", "save_ply"]
