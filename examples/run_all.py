@@ -47,6 +47,7 @@ SMALL = {
     "example_coating_design.py": {"OPT_STEPS": "300"},
     "example_bestform.py": {"OPT_STEPS": "20"},
     "example_aberrations.py": {"RAY_COUNT": "1024"},
+    "example_zmx.py": {"RAY_COUNT": "3000"},
 }
 
 
