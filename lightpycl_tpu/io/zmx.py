@@ -57,6 +57,14 @@ _GLASS_ALIASES = {
     "SF11": "N-SF11",
     "BAF10": "N-BAF10",
     "SK16": "N-SK16",
+    "SF5": "N-SF5",
+    "SF6": "N-SF6",
+    "BAK4": "N-BAK4",
+    "FK51A": "N-FK51A",
+    "K5": "N-K5",
+    "LAK22": "N-LAK22",
+    "SSK5": "N-SSK5",
+    "LASF9": "N-LASF9",
     "SILICA": "FUSED-SILICA",
     "F_SILICA": "FUSED-SILICA",
     "FUSED_SILICA": "FUSED-SILICA",

@@ -145,6 +145,46 @@ SELLMEIER = {
                (0.00704687339, 0.0229005, 92.7508526)),
     "FUSED-SILICA": ((0.6961663, 0.4079426, 0.8974794),
                      (0.0046791483, 0.0135120631, 97.9340025)),
+    # round 4 additions — every entry is verified against the glass's
+    # published (n_d, V_d) in tests/test_dispersion.py (d-line index to
+    # 5e-4, Abbe number to 0.5), so a transcription typo cannot ship
+    "N-SF5": ((1.52481889, 0.187085527, 1.42729015),
+              (0.011254756, 0.0588995392, 129.141675)),
+    "N-SF6": ((1.77931763, 0.338149866, 2.08734474),
+              (0.0133714182, 0.0617533621, 174.01759)),
+    "N-BAK4": ((1.28834642, 0.132817724, 0.945395373),
+               (0.00779980626, 0.0315631177, 105.965875)),
+    "N-FK51A": ((0.971247817, 0.216901417, 0.904651666),
+                (0.00472301995, 0.0153575612, 168.68133)),
+    "N-K5": ((1.08511833, 0.199562005, 0.930511663),
+             (0.00661099503, 0.024110866, 111.982777)),
+    "N-LAK22": ((1.14229781, 0.535138441, 1.04088385),
+                (0.00585778594, 0.0198546147, 100.834017)),
+    "N-SSK5": ((1.59222659, 0.103520774, 1.05174016),
+               (0.00920284626, 0.0423530072, 106.927374)),
+    "N-LASF9": ((2.00029547, 0.298926886, 1.80691843),
+                (0.0121426017, 0.0538736236, 156.530829)),
+}
+
+# published catalog (n_d, V_d) of every SELLMEIER glass — the
+# transcription-check anchor (tests/test_dispersion.py) and a convenient
+# lookup for paraxial chromatic design (paraxial.seidel / io.zmx)
+PUBLISHED_ND_VD = {
+    "N-BK7": (1.5168, 64.17),
+    "N-SF10": (1.72828, 28.53),
+    "N-SF11": (1.7847, 25.68),
+    "F2": (1.6200, 36.37),
+    "N-BAF10": (1.6700, 47.11),
+    "N-SK16": (1.6204, 60.32),
+    "FUSED-SILICA": (1.4585, 67.8),
+    "N-SF5": (1.67271, 32.25),
+    "N-SF6": (1.80518, 25.36),
+    "N-BAK4": (1.56883, 55.98),
+    "N-FK51A": (1.48656, 84.47),
+    "N-K5": (1.52249, 59.48),
+    "N-LAK22": (1.65113, 55.89),
+    "N-SSK5": (1.65844, 50.88),
+    "N-LASF9": (1.85025, 32.17),
 }
 
 

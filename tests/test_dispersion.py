@@ -30,23 +30,21 @@ class TestSellmeierCatalog:
     index / Abbe anchors, and the extended-Cauchy (lambda^-4) fit the
     tracer consumes (GeoObject.dispersion_c)."""
 
-    # published Schott / Malitson values
-    ND = {"N-BK7": 1.5168, "N-SF10": 1.72828, "N-SF11": 1.7847,
-          "F2": 1.6200, "N-BAF10": 1.6700, "N-SK16": 1.6204,
-          "FUSED-SILICA": 1.4585}
-    VD = {"N-BK7": 64.17, "N-SF10": 28.53, "N-SF11": 25.68,
-          "F2": 36.37, "N-BAF10": 47.11, "N-SK16": 60.32,
-          "FUSED-SILICA": 67.8}
-
     def test_catalog_dline_and_abbe_anchors(self):
-        from lightpycl_tpu.materials import SELLMEIER, sellmeier_index
+        # every catalog glass must carry a published (n_d, V_d) anchor
+        # (materials.PUBLISHED_ND_VD) and reproduce it from its Sellmeier
+        # coefficients — a transcription typo in either table fails here
+        from lightpycl_tpu.materials import (PUBLISHED_ND_VD, SELLMEIER,
+                                             sellmeier_index)
 
+        assert set(PUBLISHED_ND_VD) == set(SELLMEIER)
         for g in SELLMEIER:
             n_d = sellmeier_index(D_LINE, g)
             v_d = (n_d - 1.0) / (sellmeier_index(F_LINE, g)
                                  - sellmeier_index(C_LINE, g))
-            assert n_d == pytest.approx(self.ND[g], abs=2e-4), g
-            assert v_d == pytest.approx(self.VD[g], rel=5e-3), g
+            nd_pub, vd_pub = PUBLISHED_ND_VD[g]
+            assert n_d == pytest.approx(nd_pub, abs=2e-4), g
+            assert v_d == pytest.approx(vd_pub, rel=5e-3), g
 
     def test_extended_cauchy_fit_quality(self):
         from lightpycl_tpu.materials import (SELLMEIER, glass_from_sellmeier,
