@@ -92,6 +92,11 @@ SMOKE_TESTS = {
     ("test_flux_map.py", "test_sphere_uniform_irradiance"),
     ("test_time_hist.py", "test_direct_flight_single_bin"),
     ("test_paraxial.py", "test_unit_determinant"),
+    ("test_ies.py", "test_isotropic_uniform_candela"),
+    ("test_rayfile.py", "test_round_trip_all_blocks"),
+    ("test_obj_ply.py", "test_round_trip"),
+    ("test_zmx.py", "test_singlet_matches_thick_lens"),
+    ("test_scene_io.py", "test_every_field_survives"),
 }
 
 
