@@ -868,3 +868,111 @@ def ghost_paths(result, elements=None, top: int = 10, detector=None):
             rec["label"] = " -> ".join(f"{_name(e)}:{b}" for e, b in chain)
         out.append(rec)
     return out
+
+
+# ---------------------------------------------------------------------------
+# traced field analysis (extension beyond the reference's on-axis analysis:
+# SURVEY.md §3 'Measurement & directivity analysis' row covers the detector
+# surface; these sweep the FIELD — the other axis an imaging designer needs)
+
+
+def line_foci(positions, directions, powers=None):
+    """Astigmatic line foci of a traced bundle: the z planes minimizing
+    the power-weighted lateral variance along each transverse axis,
+    computed in closed form from the ray intercept/slope statistics
+    (cov/var — no scan). For a bundle tilted in the y-z plane, the
+    y-focus is the TANGENTIAL line focus and the x-focus the SAGITTAL.
+
+    Returns (z_tangential, z_sagittal)."""
+    p = np.asarray(positions, np.float64)
+    d = np.asarray(directions, np.float64)
+    w = (np.ones(len(p)) if powers is None
+         else np.asarray(powers, np.float64))
+    ok = np.abs(d[:, 2]) > 1e-12
+    p, d, w = p[ok], d[ok], w[ok]
+    if len(p) < 2:
+        raise ValueError("line_foci needs >= 2 rays with dz != 0")
+    sl = d[:, :2] / d[:, 2:3]            # lateral slope vs z
+    c0 = p[:, :2] - sl * p[:, 2:3]       # lateral position at z = 0
+    W = w / w.sum()
+    foci = []
+    for ax in (0, 1):
+        a, b = c0[:, ax], sl[:, ax]
+        am, bm = (W * a).sum(), (W * b).sum()
+        cov = (W * (a - am) * (b - bm)).sum()
+        var = (W * (b - bm) ** 2).sum()
+        if var <= 0:
+            raise ValueError("line_foci: bundle has no slope spread on "
+                             f"axis {ax} (collimated output?)")
+        foci.append(float(-cov / var))
+    return foci[1], foci[0]
+
+
+def field_sweep(elements, angles, *, beam_diameter, z_image, efl=None,
+                source_dist=None, aim=(0.0, 0.0, 0.0), ray_count=1024,
+                trace_iterations=4, capacity=None, config=None, seed=0,
+                forward_min=0.5):
+    """Trace a collimated bundle at each field angle (tilted in the y-z
+    plane, aimed at `aim` — put the aperture stop there) and return the
+    traced field curves an imaging designer reads off a lens report:
+
+      'theta'         the input angles [rad]
+      'chief_height'  power-weighted y centroid at the z_image plane
+      'z_tangential'/'z_sagittal'  astigmatic line foci (line_foci)
+      'z_best', 'rms_best'         overall best focus per field
+      'detected_power'             forward power reaching the detector
+      'distortion_pct'  100 * (y - efl tan(theta)) / (efl tan(theta)),
+                        present when `efl` is given (f-tan-theta
+                        reference; 0 for a distortion-free lens,
+                        pincushion > 0) — angles where |tan| < 1e-12
+                        are NaN
+
+    The scene must contain a measure surface past the optics (the image
+    disc from `io.zmx_to_scene`, or an enclosing sphere). Works on both
+    meshed and analytic-surface scenes."""
+    from lightpycl_tpu.sources import CollimatedSource
+    from lightpycl_tpu.tracer.engine import Tracer
+
+    angles = np.atleast_1d(np.asarray(angles, np.float64))
+    aim = np.asarray(aim, np.float64)
+    if source_dist is None:
+        source_dist = max(float(z_image), 2.0 * beam_diameter)
+    tracer = Tracer(config) if config is not None else Tracer()
+    cap = capacity or 8 * ray_count
+    out = {k: [] for k in ("chief_height", "z_tangential", "z_sagittal",
+                           "z_best", "rms_best", "detected_power")}
+    for i, th in enumerate(angles):
+        d = np.array([0.0, np.sin(th), np.cos(th)])
+        src = CollimatedSource(center=tuple(aim - source_dist * d),
+                               direction=tuple(d), diameter=beam_diameter,
+                               power=1.0, ray_count=ray_count,
+                               seed=seed + i)
+        res = tracer.trace(src, list(elements),
+                           trace_iterations=trace_iterations, capacity=cap)
+        fwd = np.asarray(res.measured_dir[:, 2] > forward_min)
+        if fwd.sum() < 2:
+            raise ValueError(
+                f"field angle {th:.4f} rad: {int(fwd.sum())} forward "
+                "measured rays — beam misses the optics/detector "
+                "(check aim/source_dist/beam_diameter)")
+        p = np.asarray(res.measured_pos[fwd], np.float64)
+        dd = np.asarray(res.measured_dir[fwd], np.float64)
+        w = np.asarray(res.measured_power[fwd], np.float64)
+        spot = spot_diagram(p, dd, float(z_image), w)
+        z_t, z_s = line_foci(p, dd, w)
+        z_b, rms_b = best_focus(p, dd, w)
+        out["chief_height"].append(float(spot["centroid"][1]))
+        out["z_tangential"].append(z_t)
+        out["z_sagittal"].append(z_s)
+        out["z_best"].append(z_b)
+        out["rms_best"].append(rms_b)
+        out["detected_power"].append(float(w.sum()))
+    result = {"theta": angles}
+    result.update({k: np.asarray(v) for k, v in out.items()})
+    if efl is not None:
+        ref = efl * np.tan(angles)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            result["distortion_pct"] = np.where(
+                np.abs(ref) > 1e-12,
+                100.0 * (result["chief_height"] - ref) / ref, np.nan)
+    return result
