@@ -911,7 +911,7 @@ def line_foci(positions, directions, powers=None):
 def field_sweep(elements, angles, *, beam_diameter, z_image, efl=None,
                 source_dist=None, aim=(0.0, 0.0, 0.0), ray_count=1024,
                 trace_iterations=4, capacity=None, config=None, seed=0,
-                forward_min=0.5):
+                forward_min=0.5, sampling="hexapolar"):
     """Trace a collimated bundle at each field angle (tilted in the y-z
     plane, aimed at `aim` — put the aperture stop there) and return the
     traced field curves an imaging designer reads off a lens report:
@@ -929,7 +929,10 @@ def field_sweep(elements, angles, *, beam_diameter, z_image, efl=None,
 
     The scene must contain a measure surface past the optics (the image
     disc from `io.zmx_to_scene`, or an enclosing sphere). Works on both
-    meshed and analytic-surface scenes."""
+    meshed and analytic-surface scenes. `sampling` defaults to the
+    deterministic 'hexapolar' grid (the optical-design standard for
+    field reports — noise-free, so +/-theta fields mirror exactly);
+    pass 'random'/'halton' for Monte-Carlo bundles."""
     from lightpycl_tpu.sources import CollimatedSource
     from lightpycl_tpu.tracer.engine import Tracer
 
@@ -946,7 +949,7 @@ def field_sweep(elements, angles, *, beam_diameter, z_image, efl=None,
         src = CollimatedSource(center=tuple(aim - source_dist * d),
                                direction=tuple(d), diameter=beam_diameter,
                                power=1.0, ray_count=ray_count,
-                               seed=seed + i)
+                               seed=seed + i, sampling=sampling)
         res = tracer.trace(src, list(elements),
                            trace_iterations=trace_iterations, capacity=cap)
         fwd = np.asarray(res.measured_dir[:, 2] > forward_min)
@@ -959,8 +962,27 @@ def field_sweep(elements, angles, *, beam_diameter, z_image, efl=None,
         dd = np.asarray(res.measured_dir[fwd], np.float64)
         w = np.asarray(res.measured_power[fwd], np.float64)
         spot = spot_diagram(p, dd, float(z_image), w)
-        z_t, z_s = line_foci(p, dd, w)
-        z_b, rms_b = best_focus(p, dd, w)
+        try:
+            z_t, z_s = line_foci(p, dd, w)
+        except ValueError as e:
+            if "slope spread" not in str(e):
+                raise
+            # A bundle that misses the optics entirely still lands
+            # forward on an enclosing measure sphere — but collimated,
+            # with no slope spread to focus. Same user error, same
+            # diagnostic as the too-few-forward-rays case above.
+            raise ValueError(
+                f"field angle {th:.4f} rad: forward measured bundle is "
+                "collimated — beam misses the optics (check "
+                "aim/source_dist/beam_diameter)") from e
+        # Bracket the focus scan around the astigmatic line foci and the
+        # nominal image plane: best_focus's default range is the span of
+        # the measured hit positions, which on an enclosing measure
+        # sphere is the detector surface, not the focal region.
+        zc = (z_t, z_s, float(z_image))
+        dz = max(max(zc) - min(zc), 0.25 * abs(float(z_image)), 1e-3)
+        z_b, rms_b = best_focus(p, dd, w,
+                                z_range=(min(zc) - dz, max(zc) + dz))
         out["chief_height"].append(float(spot["centroid"][1]))
         out["z_tangential"].append(z_t)
         out["z_sagittal"].append(z_s)
