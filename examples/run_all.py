@@ -48,6 +48,7 @@ SMALL = {
     "example_bestform.py": {"OPT_STEPS": "20"},
     "example_aberrations.py": {"RAY_COUNT": "1024"},
     "example_zmx.py": {"RAY_COUNT": "3000"},
+    "example_cassegrain.py": {"RAY_COUNT": "3000"},
 }
 
 

@@ -305,6 +305,29 @@ class OpticalElements:
         return GeoObject(V, T, Material.MIRROR, 1.0,
                          reflectivity=reflectivity, **kw).translate(center)
 
+    def conic_mirror(self, r, diameter: float, k: float = 0.0, coeffs=(),
+                     hole_diameter: float = 0.0, reflectivity: float = 0.98,
+                     center=(0, 0, 0), **kw) -> GeoObject:
+        """Conic/even-asphere mirror z = _asphere_sag(rho; 1/r, k, coeffs):
+        vertex at the origin, r signed like `spherical_mirror` (r > 0
+        concave toward +z), conic k (0 sphere, -1 paraboloid, < -1
+        hyperboloid — the Cassegrain secondary), optional even-asphere
+        terms, and an optional central hole (`hole_diameter`) for
+        catadioptric layouts where light passes through the primary
+        (telescope `.zmx` import, io/zmx.py). r None/inf with a hole is
+        the flat annular fold mirror."""
+        a = diameter / 2.0
+        r0 = hole_diameter / 2.0
+        if not 0.0 <= r0 < a:
+            raise ValueError("need 0 <= hole_diameter < diameter")
+        rho = np.linspace(a, r0, self.n_radial + 1)
+        if r0 == 0.0:
+            rho[-1] = 0.0  # exact apex
+        z = _asphere_sag(rho, r, k, coeffs)
+        V, T = revolve_profile(np.stack([rho, z], axis=1), self.n_segments)
+        return GeoObject(V, T, Material.MIRROR, 1.0,
+                         reflectivity=reflectivity, **kw).translate(center)
+
     def spherical_lens(self, r1, r2, aperture: float, thickness: float,
                        ior: float = 1.5, center=(0, 0, 0), **kw) -> GeoObject:
         """Spherical lens on the z axis: front vertex at z=0, back vertex at

@@ -89,6 +89,7 @@ class ZmxSurface:
     parm: dict = field(default_factory=dict)  # EVENASPH: PARM i -> a_{2i}
     is_stop: bool = False
     comment: str = ""
+    obsc: float = 0.0            # OBSC central-obscuration radius (0 = none)
 
     @property
     def radius(self) -> Optional[float]:
@@ -141,6 +142,16 @@ def _floats(tokens, n):
     return out
 
 
+def _req_float(tokens, path, ln, tag):
+    """First numeric token of a record, or ValueError naming the line
+    (the load_zmx contract: malformed blocks raise with the offender)."""
+    vals = _floats(tokens, 1)
+    if not vals:
+        raise ValueError(f"{path}:{ln}: {tag} record needs a numeric "
+                         f"argument, got {tokens!r}")
+    return vals[0]
+
+
 def load_zmx(path) -> ZmxPrescription:
     """Parse a Zemax ``.zmx`` file into a :class:`ZmxPrescription`.
 
@@ -176,10 +187,21 @@ def load_zmx(path) -> ZmxPrescription:
             elif tag == "UNIT":
                 presc.unit = args[0].upper() if args else "MM"
             elif tag == "ENPD":
-                presc.enpd = float(args[0])
+                presc.enpd = _req_float(args, path, ln, "ENPD")
             elif tag == "WAVM" and len(args) >= 2:
-                # WAVM index wavelength weight; index is 1-based
-                wav[int(args[0])] = float(args[1])
+                # WAVM index wavelength weight; index is 1-based.
+                # OpticStudio writes all 24 slots — unused ones carry
+                # weight 0 (trimmed after the parse).
+                wav[int(args[0])] = (
+                    _req_float(args[1:], path, ln, "WAVM"),
+                    _floats(args[2:], 1)[0] if len(args) >= 3 else 1.0)
+            elif tag in ("WAVL", "WAVN"):
+                # legacy format: a bare list of wavelengths in order
+                for k, w in enumerate(_floats(args, len(args)), 1):
+                    wav[k] = (w, wav.get(k, (0.0, 1.0))[1])
+            elif tag == "WWGT":
+                for k, w in enumerate(_floats(args, len(args)), 1):
+                    wav[k] = (wav.get(k, (0.0, 1.0))[0], w)
             elif tag == "PWAV" and args:
                 presc.primary_wl_index = int(args[0])
             # VERS / FTYP / GCAT / COAT / etc: ignored metadata
@@ -193,13 +215,19 @@ def load_zmx(path) -> ZmxPrescription:
                     f"{path}:{ln}: unsupported surface TYPE {surf.type} "
                     f"(supported: {sorted(_SUPPORTED_TYPES)})")
         elif tag == "CURV":
-            surf.curv = _floats(args, 1)[0]
+            surf.curv = _req_float(args, path, ln, "CURV")
         elif tag == "DISZ":
-            surf.disz = _floats(args, 1)[0]
+            surf.disz = _req_float(args, path, ln, "DISZ")
         elif tag == "CONI":
-            surf.conic = _floats(args, 1)[0]
+            surf.conic = _req_float(args, path, ln, "CONI")
         elif tag == "DIAM":
-            surf.semi_diam = _floats(args, 1)[0]
+            surf.semi_diam = _req_float(args, path, ln, "DIAM")
+        elif tag == "OBSC":
+            # circular central obscuration: radius is the second numeric
+            # (`OBSC <type> <radius> ...`), or the first if only one given
+            vals = _floats(args, 2)
+            surf.obsc = vals[1] if len(vals) >= 2 else _req_float(
+                args, path, ln, "OBSC")
         elif tag == "PARM" and len(args) >= 2:
             surf.parm[int(args[0])] = float(args[1])
         elif tag == "GLAS":
@@ -214,17 +242,18 @@ def load_zmx(path) -> ZmxPrescription:
         # MEMA / MAZH / CLAP / FLAP / other per-surface tags: ignored
 
     if wav:
-        presc.wavelengths_um = [wav[k] for k in sorted(wav)]
+        # drop unused placeholder slots (OpticStudio writes all 24 WAVM
+        # slots; unused ones carry weight 0) unless every slot has weight
+        # 0, and remap the 1-based PWAV index onto the kept slots
+        keys = sorted(k for k in wav if wav[k][0] > 0.0)
+        used = [k for k in keys if wav[k][1] != 0.0] or keys
+        presc.wavelengths_um = [wav[k][0] for k in used]
+        presc.primary_wl_index = max(
+            1, sum(1 for k in used if k <= presc.primary_wl_index))
     if len(presc.surfaces) < 3:
         raise ValueError(
             f"{path}: {len(presc.surfaces)} surfaces — a sequential file "
             "needs at least object, one surface, image")
-    for s in presc.surfaces:
-        if s.glass == "MIRROR" and (s.conic != 0.0 or s.parm):
-            raise ValueError(
-                f"{path}: mirror surface {s.index} with conic/asphere terms "
-                "is not supported (use zernike_mirror / parabolic_mirror "
-                "primitives directly)")
     return presc
 
 
@@ -277,24 +306,40 @@ def zmx_paraxial(presc: ZmxPrescription, wavelength_um: float = None,
     """Cardinal points of the prescription from its paraxial ABCD matrix.
 
     Returns ``paraxial.system_properties`` output (efl/bfd/ffd/pp1/pp2/
-    power) plus ``'matrix'`` (front vertex -> back vertex). Mirrors raise:
-    the fold-out bookkeeping belongs to a dedicated tool, and the traced
-    scene is the ground truth for catadioptric systems.
+    power) plus ``'matrix'`` (front vertex -> back vertex). Mirrors are
+    folded straight (the textbook unfolding): after an odd number of
+    reflections the Zemax-signed radii and thicknesses flip sign, so all
+    distances (and the returned ``bfd``) are measured ALONG the light
+    path — for a Cassegrain the bfd is the secondary-to-image distance,
+    matching |traced z_image - secondary z|, not a signed lab-frame z.
+    A mirror met inside glass (Mangin) gets power 2 n / R.
     """
     wl = wavelength_um or presc.primary_wavelength_um
     mats_: list = []
     n = 1.0
+    sign = 1.0  # +1 travelling +z, flipped at every mirror (fold parity)
     inner = presc.surfaces[1:-1]
     for j, s in enumerate(inner):
         if s.is_mirror:
-            raise ValueError("zmx_paraxial supports dioptric systems only "
-                             f"(mirror at surface {s.index})")
+            # Zemax signs R in unfolded coordinates (center of curvature
+            # at vertex + R): a converging mirror met travelling +z has
+            # R < 0, which is paraxial.mirror's R > 0 concave; after an
+            # odd number of folds the sense flips again.
+            if s.radius is not None:
+                r_eff = -sign * s.radius
+                mats_.append(np.array([[1.0, 0.0],
+                                       [-2.0 * n / r_eff, 1.0]]))
+            sign = -sign
+            if j < len(inner) - 1 and s.disz:
+                mats_.append(paraxial.propagation(sign * s.disz, n))
+            continue
         n2 = (_resolve_glass(s, wl, glass_overrides)[0]
               if s.glass is not None else 1.0)
         if s.curv != 0.0 or n2 != n:
-            mats_.append(paraxial.refraction(s.radius or math.inf, n, n2))
+            r_eff = (sign * s.radius) if s.radius is not None else math.inf
+            mats_.append(paraxial.refraction(r_eff, n, n2))
         if j < len(inner) - 1 and s.disz:
-            mats_.append(paraxial.propagation(s.disz, n2))
+            mats_.append(paraxial.propagation(sign * s.disz, n2))
         n = n2
     if n != 1.0:
         raise ValueError("prescription ends inside glass (last surface "
@@ -313,16 +358,25 @@ def zmx_paraxial(presc: ZmxPrescription, wavelength_um: float = None,
 def zmx_to_scene(src, wavelength_um: float = None, glass_overrides=None,
                  n_segments: int = 64, n_radial: int = 16,
                  include_stop: bool = True, detector: bool = True,
-                 detector_scale: float = 1.0, cement_gap: float = None):
+                 detector_scale: float = 1.0, cement_gap: float = None,
+                 holes: dict = None):
     """Build traceable GeoObjects from a ``.zmx`` path or prescription.
 
     Each glass run becomes one lens element (``spherical_lens``, or
     ``aspheric_lens`` when a surface carries CONI/PARM terms) with the
     catalog glass's extended-Cauchy dispersion attached, so scalar,
     spectral, and dispersive traces all see the right n(lambda). MIRROR
-    surfaces become ``spherical_mirror`` elements; the STOP becomes an
-    absorbing annulus; the image plane becomes a ``measure`` disc of
-    radius ``detector_scale`` x its semi-diameter.
+    surfaces become ``spherical_mirror`` / ``conic_mirror`` elements
+    (conic + even-asphere terms honored — Newtonian/Cassegrain/RC
+    prescriptions import directly); the STOP becomes an absorbing
+    annulus; the image plane becomes a ``measure`` disc of radius
+    ``detector_scale`` x its semi-diameter.
+
+    ``holes`` maps surface index -> central hole radius for mirrors.
+    Sequential prescriptions don't model the primary's hole (each
+    surface is intersected exactly once in Zemax), but a non-sequential
+    trace needs it so rays returning from the secondary can pass; an
+    OBSC record on a mirror is used as the default hole radius.
 
     Returns ``(elements, info)``: info carries ``z_image`` (front vertex
     of surface 1 -> image plane, including any cement gaps),
@@ -358,10 +412,22 @@ def zmx_to_scene(src, wavelength_um: float = None, glass_overrides=None,
             raise ValueError(f"surface {s.index}: infinite thickness inside "
                              "the system")
         if s.is_mirror:
-            el = oe.spherical_mirror(
-                r=s.radius if s.radius is not None else 1e9,
-                diameter=2.0 * semi(s), center=(0, 0, z),
-                name=s.comment or f"mirror_s{s.index}")
+            name = s.comment or f"mirror_s{s.index}"
+            hole = float((holes or {}).get(s.index, s.obsc))
+            if hole > 0.0 and s.index not in (holes or {}) and s.obsc > 0:
+                warnings.append(
+                    f"OBSC on mirror surface {s.index} built as a central "
+                    f"hole of radius {s.obsc:g} (non-sequential tracing "
+                    "needs the real hole; pass holes={...} to override)")
+            if s.conic != 0.0 or s.parm or hole > 0.0:
+                el = oe.conic_mirror(
+                    r=s.radius, diameter=2.0 * semi(s), k=s.conic,
+                    coeffs=_even_coeffs(s), hole_diameter=2.0 * hole,
+                    center=(0, 0, z), name=name)
+            else:
+                el = oe.spherical_mirror(
+                    r=s.radius if s.radius is not None else 1e9,
+                    diameter=2.0 * semi(s), center=(0, 0, z), name=name)
             elements.append(el)
             positions.append((el.name, z))
             z += s.disz  # negative after a mirror: propagation reverses
@@ -479,5 +545,7 @@ def save_zmx(path, presc: ZmxPrescription) -> None:
             lines.append(f"  GLAS {s.glass}{extra}")
         if s.semi_diam > 0:
             lines.append(f"  DIAM {s.semi_diam:.9g} 1 0 0 1 \"\"")
+        if s.obsc > 0:
+            lines.append(f"  OBSC 0 {s.obsc:.9g}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -19,7 +19,10 @@ class TraceConfig:
     Attributes:
       trace_iterations: fixed trace depth (bounces) per run
       max_ray_len:      rays miss beyond this distance (drawn to this length
-                        and terminated, like the reference)
+                        and terminated, like the reference). The engine
+                        auto-expands the DEFAULT when the scene + source
+                        reach exceeds it (telescope-scale imports); an
+                        explicitly set value is always respected
       ior_env:          ambient index of refraction
       eps:              self-intersection guard: hits require t > eps
                         (world units; the reference's kernel epsilon)

@@ -295,6 +295,7 @@ class Tracer:
                                         ior_env=cfg.ior_env, capacity=capacity,
                                         wavelengths=wls,
                                         stokes=getattr(source, "stokes", None))
+        cfg = self._resolve_ray_len(cfg, origins=np.asarray(rays.o))
         cfg = self._resolve_cull(cfg, mode, rays=rays)
         if cfg.cull and not getattr(self, "_scene_sorted", False):
             # spatially-sorted triangle tiles are what make the cull bite
@@ -425,17 +426,15 @@ class Tracer:
         if method not in ("auto", "shared", "batched"):
             raise ValueError(f"trace_spectral method must be 'auto', "
                              f"'shared' or 'batched', got {method!r}")
+        cfg = self._resolve_ray_len(cfg, origins=np.asarray(rays.o))
         cfg = self._resolve_cull(cfg, mode, rays=rays)
-        if cfg.flux_map:
-            raise ValueError(
-                "flux_map is not supported by spectral traces yet: run a "
-                "scalar trace (the per-facet flux map is wavelength-"
-                "integrated anyway)")
-        if cfg.time_bins > 0:
-            raise ValueError(
-                "time_bins is not supported by spectral traces yet: run a "
-                "scalar trace (the time-of-flight histogram is wavelength-"
-                "integrated anyway)")
+        # flux_map and time_bins compose with spectral traces: both
+        # surfaces are wavelength-integrated, so the shared path deposits
+        # row-total power (spectral_step) and the batched path runs the
+        # scalar accumulators verbatim (_dispersive_loop). Same validity
+        # constraints as the scalar engine:
+        self._check_flux_map(cfg, mode)
+        self._check_time_bins(cfg)
         if any(getattr(e, "fluorescence", 0.0) > 0.0 for e in self.elements):
             raise ValueError(
                 "trace_spectral assumes wavelengths are conserved, but the "
@@ -543,6 +542,13 @@ class Tracer:
                 np.asarray(wavelengths, np.float32)),
             spectral_ledger=spectral_ledger,
             image_amp_spectral=image_amp_spectral,
+            tri_flux=(np.asarray(det.tri_flux)[: self.num_triangles]
+                      if det.tri_flux.shape[0] > 1 else None),
+            time_hist=(np.asarray(det.time_hist)
+                       if cfg.time_bins > 0 else None),
+            opl_edges=(np.linspace(cfg.opl_min, cfg.opl_max,
+                                   cfg.time_bins + 1)
+                       if cfg.time_bins > 0 else None),
         )
         # sanity: ledger totals must reproduce the emitted power
         assert abs(result.ledger["emitted"] - emitted_rows) < 1e-4 * max(
@@ -651,6 +657,42 @@ class Tracer:
                 "arrives at the facet intersect() reported, so the "
                 "per-facet incident flux would overcount")
 
+    def _resolve_ray_len(self, cfg: TraceConfig,
+                         origins=None) -> TraceConfig:
+        """Auto-expand the miss horizon for large scenes.
+
+        max_ray_len's default (1e3) silently swallows geometry farther
+        than 1000 length units — a telescope prescription imported from
+        .zmx (primary 1500 mm from the source) traced to an all-escaped
+        ledger with no hint why. When the config still carries the class
+        default and the farthest reachable point (every ray origin ->
+        far scene AABB corner, or the AABB diagonal once rays are
+        inside) exceeds it, expand to 2x that reach rounded up to a
+        power of two (one compile cache key per scene scale, not per
+        scene). An explicitly set max_ray_len is always respected — it
+        is the documented physical cutoff knob."""
+        default = type(cfg).__dataclass_fields__["max_ray_len"].default
+        if cfg.max_ray_len != default or not self.elements:
+            return cfg
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for e in self.elements:
+            v = np.asarray(e.vertices, np.float64)
+            lo = np.minimum(lo, v.min(axis=0))
+            hi = np.maximum(hi, v.max(axis=0))
+        reach = float(np.linalg.norm(hi - lo))  # bounce-to-bounce bound
+        if origins is not None:
+            o = np.asarray(origins, np.float64).reshape(-1, 3)
+            far = np.maximum(np.abs(o - lo), np.abs(o - hi))
+            reach = max(reach, float(np.linalg.norm(far, axis=1).max()))
+        if reach <= cfg.max_ray_len:
+            return cfg
+        val = float(2.0 ** np.ceil(np.log2(2.0 * reach)))
+        log.info("max_ray_len auto-expanded %g -> %g (scene reach %.3g; "
+                 "set TraceConfig(max_ray_len=...) to pin it)",
+                 cfg.max_ray_len, val, reach)
+        return cfg.replace(max_ray_len=val)
+
     # auto-cull coherence threshold: enable when every sampled direction
     # is within 60 degrees of the bundle mean (min cosine >= 0.5).
     # Measured (benchmarks/cull_auto_bench.py, v5e): collimated bundles
@@ -666,16 +708,17 @@ class Tracer:
         The cull mask NEVER changes intersect results (conservative
         reachability only); coherence just decides whether it can win,
         so auto = 'on when the source bundle fits a tight direction
-        cone'. mesh2d shards the triangle axis (no global tile stream to
-        mask), so auto resolves False there. Ray count does NOT gate
-        auto: past the SMEM mask budget the kernel slices the ray axis
-        into chunks whose masks fit at the tuned rung
+        cone'. mesh2d included (r5): each triangle shard is a contiguous
+        slice of the spatially-sorted tile stream, so per-shard masks
+        work verbatim; the per-bounce Morton resort runs inside
+        trace_mesh2d with a pmin/pmax-global quantization box so every
+        TRI rank permutes identically. Ray count does NOT gate auto:
+        past the SMEM mask budget the kernel slices the ray axis into
+        chunks whose masks fit at the tuned rung
         (ops.intersect_pallas.cull_ray_chunk), so the mask stays
         effective at any batch size."""
         if cfg.cull is not None:
             return cfg
-        if mode == "mesh2d":
-            return cfg.replace(cull=False)
         if dirs is None and rays is not None:
             n = min(int(rays.capacity), 4096)
             dirs = np.asarray(rays.d[:n])
@@ -893,6 +936,10 @@ class Tracer:
             _, d_s, _ = source.rays_on_device(
                 jax.random.key(seed ^ 0xC011), min(2048, batch_size))
             cfg = self._resolve_cull(cfg, mode, dirs=np.asarray(d_s))
+        center = getattr(source, "center", None)
+        cfg = self._resolve_ray_len(
+            cfg, origins=None if center is None else np.asarray(
+                center, np.float64).reshape(1, 3))
         if cfg.cull and not getattr(self, "_scene_sorted", False):
             self.set_elements(self.elements, spatial_sort=True)
         scene_sh = None

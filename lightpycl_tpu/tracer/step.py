@@ -540,6 +540,22 @@ def _shade_birefringent(scene, rays, sn, attrs, live_p, s_dir, hit_valid,
     return out
 
 
+def _relaunch_push(rays: RayBatch, t_draw):
+    """Scale-proportional nudge (C, 1) moving a child's origin off its
+    parent's facet along the outgoing direction.
+
+    An f32 hit point o + t*d carries ~(|o| + t) ulp of roundoff; when a
+    scene is large (telescope-scale .zmx imports: |o| ~ 1500), that
+    error exceeds the fixed cfg.eps self-intersection guard and the
+    relaunched child re-hits its own facet at t ~ roundoff — the bounce
+    is silently lost (observed: 6% of a Newtonian's power escaping).
+    1e-6 * (|o| + t) is ~8x the worst-case rounding, yet below the
+    default eps=1e-4 guard for scenes smaller than |o| ~ 100, so on
+    small scenes no hit/miss decision changes (origins shift by ~1e-6
+    relative — under f32 noise)."""
+    return (1e-6 * (jnp.linalg.norm(rays.o, axis=1) + t_draw))[:, None]
+
+
 def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
           attrs=None, key=None) -> ShadeOut:
     """Apply surface interaction at the nearest hit (reference:
@@ -1219,7 +1235,9 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
                 refr_med = jnp.where(is_rough, rays.medium, refr_med)
         else:
             refr_med = rays.medium
-        child_o = jnp.concatenate([hit_point, hit_point], axis=0)
+        push = _relaunch_push(rays, t_draw)
+        child_o = jnp.concatenate(
+            [hit_point + push * da, hit_point + push * db], axis=0)
         child_d = jnp.concatenate([da, db], axis=0)
         child_power = jnp.concatenate([pa, pb], axis=0)
         child_ior = jnp.concatenate([a_ior, b_ior], axis=0)
@@ -1227,7 +1245,10 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # slot B is a surface child and keeps the parent's
         child_wl = jnp.concatenate([a_wl, rays.wavelength], axis=0)
         child_ab = jnp.concatenate([a_absorb, refr_absorb], axis=0)
-        child_opl = jnp.concatenate([opl_new, opl_new], axis=0)
+        # the relaunch push IS traveled path: fold it into the child's
+        # OPL (in the child's medium) so ToF/coherence stay exact
+        child_opl = jnp.concatenate([opl_new + push[:, 0] * a_ior,
+                                     opl_new + push[:, 0] * b_ior], axis=0)
         child_path = jnp.concatenate([path_a, path_b], axis=0)
         child_scat = jnp.concatenate([a_scat, refr_scat], axis=0)
         child_scat_g = jnp.concatenate([a_scat_g, refr_scat_g], axis=0)
@@ -1264,10 +1285,12 @@ def shade(scene: Scene, rays: RayBatch, t, tri, cfg: TraceConfig,
         # no refractive elements in the scene (engine-verified): only the
         # reflected branch exists, children stay in their parent slots and
         # the 2C buffer + compaction gather are skipped entirely
-        child_o, child_d, child_power, child_ior = hit_point, da, pa, a_ior
+        push = _relaunch_push(rays, t_draw)
+        child_o = hit_point + push * da
+        child_d, child_power, child_ior = da, pa, a_ior
         child_wl = a_wl
         child_ab = a_absorb
-        child_opl = opl_new
+        child_opl = opl_new + push[:, 0] * a_ior
         child_path = path_a
         child_scat, child_scat_g = rays.scat, rays.scat_g
         child_medium = rays.medium

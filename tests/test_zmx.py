@@ -305,8 +305,10 @@ class TestScene:
         elements, info = zmx_to_scene(p, detector=False)
         assert elements[0].material == L.Material.MIRROR
         assert elements[0].name == "mirror_s1"
-        with pytest.raises(ValueError, match="mirror"):
-            zmx_paraxial(presc)
+        # CURV 0.01 -> R=+100 in Zemax coords: center of curvature past
+        # the vertex, convex toward the incoming +z light -> f = -R/2
+        props = zmx_paraxial(presc)
+        assert props["efl"] == pytest.approx(-50.0)
 
     def test_glass_into_image_raises(self, tmp_path):
         text = "\n".join([
@@ -320,3 +322,154 @@ class TestScene:
         p.write_text(text)
         with pytest.raises(ValueError, match="image"):
             zmx_to_scene(p)
+
+
+NEWTONIAN = "\n".join([
+    "MODE SEQ", "NAME newtonian f/5 prime focus",
+    "UNIT MM X W X CM MR CPMM", "WAVM 1 0.5876 1", "PWAV 1",
+    "SURF 0", "  TYPE STANDARD", "  DISZ INFINITY",
+    # parabolic primary, f = 1000 (R = -2000, k = -1), light returns 1000
+    "SURF 1", "  TYPE STANDARD", "  COMM primary", "  CURV -0.0005",
+    "  CONI -1", "  DISZ -1000", "  GLAS MIRROR", "  DIAM 100 1 0 0 1 \"\"",
+    "SURF 2", "  TYPE STANDARD", "  DISZ 0", "  DIAM 2 1 0 0 1 \"\"",
+])
+
+# classical Cassegrain: f1=100 parabolic primary, hyperbolic secondary
+# 60 before it (m = 3): EFL = 300, back focus (secondary->image) = 120,
+# image 60 behind the primary vertex. f2 = s s'/(s - s') with s = 40,
+# s' = 120 -> f2 = -60, R2 = -120; k2 = -((m+1)/(m-1))^2 = -4.
+CASSEGRAIN = "\n".join([
+    "MODE SEQ", "NAME classical cassegrain m=3",
+    "UNIT MM X W X CM MR CPMM", "WAVM 1 0.5876 1", "PWAV 1",
+    "SURF 0", "  TYPE STANDARD", "  DISZ INFINITY",
+    "SURF 1", "  TYPE STANDARD", "  COMM primary", "  CURV -0.005",
+    "  CONI -1", "  DISZ -60", "  GLAS MIRROR",
+    "  DIAM 25 1 0 0 1 \"\"", "  OBSC 0 9",
+    "SURF 2", "  TYPE STANDARD", "  COMM secondary",
+    f"  CURV {-1.0 / 120.0:.17g}", "  CONI -4",
+    "  DISZ 120", "  GLAS MIRROR", "  DIAM 11 1 0 0 1 \"\"",
+    "SURF 3", "  TYPE STANDARD", "  DISZ 0", "  DIAM 2 1 0 0 1 \"\"",
+])
+
+
+class TestCatadioptric:
+    """Telescope prescriptions: mirror fold in the paraxial layer and
+    conic mirrors (with the primary's hole) in the traced scene."""
+
+    def test_newtonian_paraxial(self, tmp_path):
+        p = tmp_path / "newt.zmx"
+        p.write_text(NEWTONIAN)
+        props = zmx_paraxial(load_zmx(p))
+        assert props["efl"] == pytest.approx(1000.0)
+        assert props["bfd"] == pytest.approx(1000.0)  # along the path
+
+    def test_newtonian_traces_to_focus(self, tmp_path):
+        p = tmp_path / "newt.zmx"
+        p.write_text(NEWTONIAN)
+        elements, info = zmx_to_scene(p, n_segments=128, n_radial=64,
+                                      detector_scale=3.0)
+        assert info["z_image"] == pytest.approx(-1000.0)  # lab frame
+        src = CollimatedSource(center=(0, 0, -1500.0), direction=(0, 0, 1),
+                               diameter=150.0, power=1.0, ray_count=4096,
+                               seed=11, sampling="halton")
+        res = Tracer(TraceConfig()).trace(src, elements, trace_iterations=3,
+                                          capacity=8192)
+        back = res.measured_dir[:, 2] < -0.5  # focused return beam only
+        w = res.measured_power[back]
+        # losses: 0.98 reflectivity, (6/75)^2 detector shadow
+        assert w.sum() > 0.96 * 0.98
+        z_best, rms = best_focus(res.measured_pos[back],
+                                 res.measured_dir[back], w,
+                                 z_range=(-1010.0, -990.0))
+        assert z_best == pytest.approx(-1000.0, abs=1.0)
+        assert rms < 1.0  # parabola: residual is tessellation blur only
+
+    def test_cassegrain_paraxial(self, tmp_path):
+        p = tmp_path / "cass.zmx"
+        p.write_text(CASSEGRAIN)
+        props = zmx_paraxial(load_zmx(p))
+        assert props["efl"] == pytest.approx(300.0)
+        assert props["bfd"] == pytest.approx(120.0)  # secondary -> image
+
+    def test_cassegrain_traces_to_focus(self, tmp_path):
+        p = tmp_path / "cass.zmx"
+        p.write_text(CASSEGRAIN)
+        presc = load_zmx(p)
+        assert presc.surfaces[1].obsc == 9.0
+        elements, info = zmx_to_scene(p, n_segments=256, n_radial=96,
+                                      detector_scale=5.0)
+        assert any("central hole" in s for s in info["warnings"])
+        assert info["z_image"] == pytest.approx(60.0)  # behind the primary
+        src = CollimatedSource(center=(0, 0, -150.0), direction=(0, 0, 1),
+                               diameter=50.0, power=1.0, ray_count=2048,
+                               seed=13, sampling="halton")
+        res = Tracer(TraceConfig()).trace(src, elements, trace_iterations=4,
+                                          capacity=8192)
+        fwd = res.measured_dir[:, 2] > 0.5  # through the hole to the image
+        w = res.measured_power[fwd]
+        # annulus 11..25 of the 25-semi beam, two 0.98 reflections
+        frac = 1.0 - (11.0 / 25.0) ** 2
+        assert w.sum() == pytest.approx(frac * 0.98**2, rel=0.05)
+        z_best, rms = best_focus(res.measured_pos[fwd],
+                                 res.measured_dir[fwd], w,
+                                 z_range=(40.0, 80.0))
+        # residual is the primary's facet slope error magnified m=3
+        assert z_best == pytest.approx(60.0, abs=2.0)
+        assert rms < 1.0
+
+    def test_hole_override_kwarg(self, tmp_path):
+        p = tmp_path / "cass.zmx"
+        p.write_text(CASSEGRAIN)
+        elements, info = zmx_to_scene(p, holes={1: 7.0}, detector=False)
+        primary = elements[0]
+        r = np.linalg.norm(primary.vertices[:, :2], axis=1)
+        assert r.min() == pytest.approx(7.0, abs=1e-6)
+        assert not any("OBSC" in s for s in info["warnings"])
+
+
+class TestParserRobustness:
+    def test_malformed_numeric_names_line(self, tmp_path):
+        text = "\n".join([
+            "MODE SEQ",
+            "SURF 0", "  TYPE STANDARD", "  DISZ INFINITY",
+            "SURF 1", "  TYPE STANDARD", "  CURV oops", "  DISZ 3",
+            "SURF 2", "  TYPE STANDARD", "  DISZ 0",
+        ])
+        p = tmp_path / "bad.zmx"
+        p.write_text(text)
+        with pytest.raises(ValueError, match=r"bad\.zmx:7.*CURV"):
+            load_zmx(p)
+
+    def test_empty_enpd_raises(self, tmp_path):
+        text = "MODE SEQ\nENPD\nSURF 0\n  DISZ INFINITY\n"
+        p = tmp_path / "bad.zmx"
+        p.write_text(text)
+        with pytest.raises(ValueError, match="ENPD"):
+            load_zmx(p)
+
+    def test_wavm_placeholder_slots_trimmed(self, tmp_path):
+        lines = ["MODE SEQ",
+                 "WAVM 1 0.486 1", "WAVM 2 0.588 1", "WAVM 3 0.656 1"]
+        lines += [f"WAVM {k} 0.55 0" for k in range(4, 25)]
+        lines += ["PWAV 2",
+                  "SURF 0", "  TYPE STANDARD", "  DISZ INFINITY",
+                  "SURF 1", "  TYPE STANDARD", "  DISZ 3",
+                  "SURF 2", "  TYPE STANDARD", "  DISZ 0"]
+        p = tmp_path / "w.zmx"
+        p.write_text("\n".join(lines))
+        presc = load_zmx(p)
+        assert presc.wavelengths_um == [0.486, 0.588, 0.656]
+        assert presc.primary_wavelength_um == 0.588
+
+    def test_legacy_wavl_parsed(self, tmp_path):
+        text = "\n".join([
+            "MODE SEQ", "WAVL 0.486 0.588 0.656", "WWGT 1 1 1", "PWAV 3",
+            "SURF 0", "  TYPE STANDARD", "  DISZ INFINITY",
+            "SURF 1", "  TYPE STANDARD", "  DISZ 3",
+            "SURF 2", "  TYPE STANDARD", "  DISZ 0",
+        ])
+        p = tmp_path / "w.zmx"
+        p.write_text(text)
+        presc = load_zmx(p)
+        assert presc.wavelengths_um == [0.486, 0.588, 0.656]
+        assert presc.primary_wavelength_um == 0.656
