@@ -51,6 +51,9 @@ class SpectralRays(NamedTuple):
     ior: jnp.ndarray      # (C,) f32 current-medium IOR (achromatic)
     absorb: jnp.ndarray   # (C,) f32 current-medium absorption [1/len]
     alive: jnp.ndarray    # (C,) bool
+    opl: jnp.ndarray      # (C,) f32 accumulated optical path length
+    #   (shared across columns — achromatic geometry means every spectral
+    #   sample rides the same path; feeds the ToF time_hist)
 
     @property
     def capacity(self) -> int:
@@ -66,6 +69,7 @@ class SpectralRays(NamedTuple):
             o=rays.o, d=rays.d,
             P=rays.power[:, None] * w[None, :],
             ior=rays.ior, absorb=rays.absorb, alive=rays.alive,
+            opl=rays.opl,
         )
 
 
@@ -208,9 +212,16 @@ def spectral_step(scene: Scene, sr: SpectralRays, det: DetectorState,
     measured_P = jnp.where(is_meas[:, None], live_P, 0.0)
     did = jnp.clip(attrs["detector_id"], 0, per_det.shape[0] - 1)
     per_det = per_det.at[did].add(measured_P)
+    # OPL shared across columns (achromatic geometry); row-total power
+    # feeds the wavelength-integrated surfaces (ToF histogram, flux map)
+    # exactly as the scalar step does
+    opl_new = sr.opl + sr.ior * t_draw
+    inc = (jnp.where(hit_valid, jnp.sum(live_P, axis=1), 0.0)
+           if cfg.flux_map else None)
     det = accumulate_detector_arrays(
         det, hit_point, sr.d, jnp.sum(measured_P, axis=1),
-        attrs["detector_id"], cfg)
+        attrs["detector_id"], cfg, opl=opl_new,
+        tri=tri if cfg.flux_map else None, incident_power=inc)
 
     absorbed = (bulk_absorbed
                 + jnp.sum(jnp.where(is_term[:, None], live_P, 0.0), axis=0)
@@ -219,8 +230,13 @@ def spectral_step(scene: Scene, sr: SpectralRays, det: DetectorState,
                           axis=0))
     escaped = jnp.sum(jnp.where(is_miss[:, None], live_P, 0.0), axis=0)
 
-    # children at slots (i, C+i), compacted back to C by total-row power
-    child_o = jnp.concatenate([hit_point, hit_point])
+    # children at slots (i, C+i), compacted back to C by total-row power.
+    # Same scale-proportional relaunch push as the scalar shade
+    # (step._relaunch_push): off the parent facet along the outgoing
+    # direction, its length folded into the child OPL below
+    push = (1e-6 * (jnp.linalg.norm(sr.o, axis=1) + t_draw))[:, None]
+    child_o = jnp.concatenate([hit_point + push * da,
+                               hit_point + push * db])
     child_d = jnp.concatenate([da, db])
     child_P = jnp.concatenate([pa, pb])
     child_ior = jnp.concatenate([sr.ior, b_ior])
@@ -236,9 +252,12 @@ def spectral_step(scene: Scene, sr: SpectralRays, det: DetectorState,
     # contribute nothing)
     culled_cols = jnp.sum(child_P, axis=0) - jnp.sum(sel_P, axis=0)
 
+    child_opl = jnp.concatenate([opl_new + push[:, 0] * sr.ior,
+                                 opl_new + push[:, 0] * b_ior])
     new_sr = SpectralRays(
         o=child_o[idx], d=child_d[idx], P=sel_P,
         ior=child_ior[idx], absorb=child_ab[idx], alive=sel_live,
+        opl=child_opl[idx],
     )
     led = SpectralLedger(
         emitted=led.emitted,
@@ -255,7 +274,10 @@ def trace_spectral_jit(scene: Scene, sr: SpectralRays, wavelengths,
                        cfg: TraceConfig, iterations: int, n_detectors: int):
     W = sr.P.shape[1]
     det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
-                              n_detectors, cfg.image_bins)
+                              n_detectors, cfg.image_bins,
+                              n_tris=(scene.mat.shape[0] if cfg.flux_map
+                                      else 0),
+                              time_bins=cfg.time_bins)
     per_det = jnp.zeros((max(n_detectors, 1), W), jnp.float32)
     z = jnp.zeros((W,), jnp.float32)
     led = SpectralLedger(
@@ -339,7 +361,10 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
     D = max(n_detectors, 1)
     W = wl_grid.shape[0]
     det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
-                              D, cfg.image_bins)
+                              D, cfg.image_bins,
+                              n_tris=(scene.mat.shape[0] if cfg.flux_map
+                                      else 0),
+                              time_bins=cfg.time_bins)
     per_dw = jnp.zeros((D, W), jnp.float32)
     # white-light coherent planes: per-wavelength complex field sums on
     # the image grid (each lambda interferes only with itself; summed
@@ -382,7 +407,7 @@ def _dispersive_loop(scene: Scene, rays: RayBatch, wl_grid,
             attrs["normal"] = jnp.where(use_q[:, None], nq,
                                         attrs["normal"])
         sh = step_mod.shade(scene, rays, t, tri, cfg, attrs=attrs, key=k)
-        det = step_mod.accumulate_detector(det, sh, rays, cfg_det)
+        det = step_mod.accumulate_detector(det, sh, rays, cfg_det, tri=tri)
         # the parent's carried wavelength indexes the spectral column
         wl_idx, live_before_w = bin_by(
             rays.wavelength, jnp.where(rays.alive, rays.power, 0.0))
@@ -612,7 +637,10 @@ def _trace_spectral_multichip_jit(scene, sr, wl, cfg, iterations, mesh,
     def local(scene, sr, wl):
         W = sr.P.shape[1]
         det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
-                                  n_detectors, cfg.image_bins)
+                                  n_detectors, cfg.image_bins,
+                                  n_tris=(scene.mat.shape[0] if cfg.flux_map
+                                          else 0),
+                                  time_bins=cfg.time_bins)
         per_det = jnp.zeros((max(n_detectors, 1), W), jnp.float32)
         z = jnp.zeros((W,), jnp.float32)
         led = SpectralLedger(

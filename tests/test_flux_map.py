@@ -149,13 +149,26 @@ class TestFluxMap:
             tr.trace(ls, elements=[glass, oe.hemisphere(10.0)],
                      mode="device")
 
-    def test_spectral_refused(self):
-        tr = Tracer(TraceConfig(flux_map=True, trace_iterations=2))
+    def test_spectral_composes(self):
+        """flux_map now composes with spectral traces (VERDICT r4 missing
+        #3): the per-facet map is wavelength-integrated, so a spectral
+        trace's flux map must total the emitted power exactly like the
+        scalar one — on BOTH execution methods — with the per-lambda
+        ledger still closing per column."""
         ls = light_source(center=(0, 0, 0), direction=(0, 0, 1), power=1.0,
-                          ray_count=64, seed=0)
-        with pytest.raises(ValueError, match="flux_map"):
-            tr.trace_spectral(ls, [0.45, 0.55],
-                              elements=[_measure_sphere()])
+                          ray_count=512, seed=0, polar_max=np.pi)
+        for method in ("shared", "batched"):
+            tr = Tracer(TraceConfig(flux_map=True, trace_iterations=2))
+            res = tr.trace_spectral(ls, [0.45, 0.55, 0.65],
+                                    elements=[_measure_sphere()],
+                                    method=method)
+            assert res.tri_flux is not None, method
+            # every ray arrives once on the enclosing measure sphere
+            assert res.tri_flux.sum() == pytest.approx(1.0, abs=2e-5), method
+            led = res.spectral_ledger
+            acc = (led["measured"] + led["absorbed"] + led["escaped"]
+                   + led["culled"])
+            np.testing.assert_allclose(acc, led["emitted"], atol=1e-5)
 
     def test_batched_accumulates_and_resumes(self, tmp_path):
         """trace_batched sums per-batch flux maps in f64 and the
