@@ -100,11 +100,34 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
         if cfg.needs_rng:
             shard_key = jax.random.fold_in(
                 key, jax.lax.axis_index(RAY_AXIS))
+        if cfg.cull:
+            # Morton quantization box must be identical on every TRI rank
+            # (rays are replicated across it; a per-shard box would
+            # desynchronize the permutation): pmin/pmax the local shard's
+            # valid-triangle bounds into the global scene AABB.
+            valid = jnp.any(scene_shard.ww != 0.0, axis=1)[:, None]
+            box_lo = jax.lax.pmin(jnp.min(
+                jnp.where(valid, scene_shard.v0, jnp.float32(3.4e38)),
+                axis=0), TRI_AXIS)
+            box_hi = jax.lax.pmax(jnp.max(
+                jnp.where(valid, scene_shard.v0, jnp.float32(-3.4e38)),
+                axis=0), TRI_AXIS)
 
         def body(i, st):
             rays, det, led = st
+            if cfg.cull:
+                # per-bounce Morton resort (ray order is free; identical
+                # across TRI ranks by the global box) makes each ray
+                # block a coherent patch, so the PER-SHARD cull masks —
+                # each shard's contiguous slice of the spatially-sorted
+                # tile stream has its own AABBs — actually bite
+                order = step_mod.morton_order(rays.o, rays.alive,
+                                              box_lo, box_hi)
+                rays = jax.tree_util.tree_map(lambda a: a[order], rays)
             # 1. local nearest hit + global reduction over the triangle axis
-            t_loc, i_loc = step_mod.intersect(scene_shard, rays.o, rays.d, cfg)
+            t_loc, i_loc = step_mod.intersect(
+                scene_shard, rays.o, rays.d, cfg,
+                alive=rays.alive if cfg.cull else None)
             i_glob = jnp.where(i_loc >= 0, i_loc + my_tri * shard_size,
                                jnp.int32(2**30))
             t_min = jax.lax.pmin(t_loc, TRI_AXIS)

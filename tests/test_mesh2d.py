@@ -163,3 +163,33 @@ def test_mesh2d_dual_order_grating_matches_single_device():
         assert float(getattr(led, k)) == pytest.approx(
             res1.ledger[k], rel=1e-5, abs=1e-6), k
     assert np.allclose(np.asarray(det.hist), res1.hist, atol=1e-5)
+
+
+def test_mesh2d_cull_exact_parity():
+    """r5 (VERDICT r4 next #8): the cull accelerator reaches the 2-D mesh
+    path. Each triangle shard is a contiguous slice of the spatially-
+    sorted tile stream, so per-shard masks are conservative locally; the
+    Morton resort uses a pmin/pmax-global quantization box so every TRI
+    rank permutes identically. Contract: same ledger/histogram as the
+    cull-off mesh2d trace (within f32 reduction-order jitter)."""
+    from lightpycl_tpu.parallel.mesh2d import make_mesh2d
+
+    els, src, _ = setup_case()
+    mesh = make_mesh2d(2, 4)
+    r_off = Tracer(TraceConfig()).trace(
+        src, els, trace_iterations=5, mode="mesh2d", mesh=mesh,
+        capacity=1024, cull=False)
+    r_on = Tracer(TraceConfig()).trace(
+        src, els, trace_iterations=5, mode="mesh2d", mesh=mesh,
+        capacity=1024, cull=True)
+    for k in ("measured", "absorbed", "escaped"):
+        assert r_on.ledger[k] == pytest.approx(r_off.ledger[k],
+                                               rel=2e-5, abs=1e-7), k
+    np.testing.assert_allclose(r_on.hist, r_off.hist, atol=1e-5)
+    # auto (cull=None) resolves ON for this collimated bundle and
+    # matches too — the accelerator is the default on the 2-D path now
+    r_auto = Tracer(TraceConfig()).trace(
+        src, els, trace_iterations=5, mode="mesh2d", mesh=mesh,
+        capacity=1024)
+    assert r_auto.ledger["measured"] == pytest.approx(
+        r_on.ledger["measured"], rel=2e-5)
