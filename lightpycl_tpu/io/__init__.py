@@ -11,6 +11,7 @@ from lightpycl_tpu.io.obj import (load_obj, load_obj_scene, load_ply,
 from lightpycl_tpu.io.stl import load_stl, save_stl
 from lightpycl_tpu.io.zmx import (ZmxPrescription, ZmxSurface, load_zmx,
                                   save_zmx, zmx_paraxial, zmx_to_scene)
+from lightpycl_tpu.io.seq import load_seq, seq_paraxial, seq_to_scene
 from lightpycl_tpu.io.scene import load_scene, save_scene
 
 __all__ = ["DXFWriter", "save_traced_scene", "load_dxf_mesh",
@@ -21,4 +22,5 @@ __all__ = ["DXFWriter", "save_traced_scene", "load_dxf_mesh",
            "save_measured_rayfile", "load_obj", "load_obj_scene", "save_obj",
            "load_ply", "save_ply", "ZmxPrescription", "ZmxSurface",
            "load_zmx", "save_zmx", "zmx_paraxial", "zmx_to_scene",
+           "load_seq", "seq_paraxial", "seq_to_scene",
            "load_scene", "save_scene"]
