@@ -36,17 +36,24 @@ def main():
 
     ref = None
     for transform in ("vpu", "mxu"):
-        for R, K in ((256, 512), (512, 1024), (1024, 2048), (256, 2048), (512, 512)):
+        for R, K, SUB in ((256, 512, 1), (512, 1024, 1), (1024, 2048, 1),
+                          (128, 2048, 8), (256, 2048, 8)):
             try:
                 w4 = ip.pack_w4(scene, K)
 
+                z3 = jnp.zeros((1, 3), jnp.float32)
+                no_alive = jnp.ones((n_rays,), bool)
+
                 @jax.jit
-                def loop(o_in, d_in, w4=w4, R=R, K=K, tf=transform):
+                def loop(o_in, d_in, w4=w4, R=R, K=K, SUB=SUB,
+                         tf=transform):
                     def body(carry, _):
                         t, i = ip._intersect_pallas_impl(
-                            o_in + carry, d_in, w4, eps=cfg.eps,
-                            eps_b=cfg.eps_bary, t_max=cfg.max_ray_len,
-                            ray_block=R, tri_tile=K, interpret=False,
+                            o_in + carry, d_in, w4, z3, z3, no_alive,
+                            eps=cfg.eps,
+                            eps_b=cfg.eps_bary, t_max=1e3,
+                            ray_block=R, tri_tile=K, tri_sub=SUB,
+                            interpret=False,
                             transform=tf)
                         chk = jnp.clip(jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)),
                                        0.0, 1.0)
@@ -63,10 +70,10 @@ def main():
                 if ref is None:
                     ref = c
                 tag = "OK " if c == ref else "DIFF"
-                print(f"{transform} R={R:5d} K={K:5d}: {dt*1e3:8.2f} ms  "
+                print(f"{transform} R={R:5d} K={K:5d} SUB={SUB}: {dt*1e3:8.2f} ms  "
                       f"{rate:.3e} tests/s  [{tag} chk={c}]", flush=True)
             except Exception as e:
-                print(f"{transform} R={R:5d} K={K:5d}: FAILED "
+                print(f"{transform} R={R:5d} K={K:5d} SUB={SUB}: FAILED "
                       f"{type(e).__name__}: {str(e)[:100]}", flush=True)
 
 
