@@ -112,10 +112,25 @@ def main():
               f"({C * n_tris / dt:.3g} tests/s)", flush=True)
         return dt
 
+    # the engine disables splitting for this scene (mirror + measure, no
+    # refractive elements -> _tune_splitting sets allow_splitting=False),
+    # so the REAL config-4 device path skips the 2C top-k compaction:
+    # time that variant too (r5 — the floor the batched run should hit)
+    cfg_ns = cfg.replace(allow_splitting=False)
+
+    def stage_d2(o2):
+        rays = rays0._replace(o=o2)
+        det = DetectorState.zeros(cfg.hist_azimuth_bins, cfg.hist_polar_bins,
+                                  len(det_names), cfg.image_bins)
+        led = Ledger.start(1.0)
+        new_rays, det, led, _ = sm.trace_step(scene, rays, det, led, cfg_ns)
+        return chk_of(new_rays.power), led.measured
+
     t_a = timed(stage_a, "A intersect")
     t_b = timed(stage_b, "B +shade")
     t_c = timed(stage_c, "C +detector")
     t_d = timed(stage_d, "D full step (+compact)")
+    t_d2 = timed(stage_d2, "D2 full step (no-split)")
 
     rec = {
         "bench": "bounce_profile",
@@ -125,8 +140,10 @@ def main():
         "t_detector_ms": (t_c - t_b) * 1e3,
         "t_compact_ms": (t_d - t_c) * 1e3,
         "t_full_ms": t_d * 1e3,
+        "t_full_nosplit_ms": t_d2 * 1e3,
         "tests_per_s_intersect_only": C * n_tris / t_a,
         "tests_per_s_full_step": C * n_tris / t_d,
+        "tests_per_s_full_step_nosplit": C * n_tris / t_d2,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(rec))

@@ -1053,13 +1053,17 @@ class Tracer:
                            led64=led64, next_batch=pb + 1)
             log.info("batch %d/%d done", pb + 1, n_batches)
 
-        for b in range(n_batches):
-            key, k = jax.random.split(key)
-            if b < start_batch:
-                continue  # consumed keys stay aligned with the original run
-            if max_batches is not None and done >= max_batches:
-                break
-            done += 1
+        # ONE jitted graph per batch for sampling + RayBatch assembly
+        # instead of ~40 individually dispatched jnp ops (source sampling
+        # + from_arrays padding/basis). Config-4 wall is unchanged (the
+        # async queue already overlapped the op submissions with device
+        # compute — measured r5), but one traced call per batch keeps the
+        # dispatch stream flat and the per-batch host cost O(1) on
+        # high-RTT backends.
+        from lightpycl_tpu.tracer.rays import D_LINE_UM
+
+        @jax.jit
+        def _assemble_batch(k):
             k_rays, k_wl = jax.random.split(k)
             if hasattr(source, "batch_on_device"):
                 # combined hook (e.g. RayFileSource): ONE draw yields
@@ -1071,12 +1075,19 @@ class Tracer:
                       if hasattr(source, "wavelengths_on_device") else None)
                 st = getattr(source, "stokes", None)
             if wl is None:
-                from lightpycl_tpu.tracer.rays import D_LINE_UM
-
                 wl = jnp.full((batch_size,), D_LINE_UM, jnp.float32)
-            rays = RayBatch.from_arrays(
+            return RayBatch.from_arrays(
                 o, d, p * (1.0 / n_batches), ior_env=cfg.ior_env,
                 wavelengths=wl, stokes=st, capacity=capacity)
+
+        for b in range(n_batches):
+            key, k = jax.random.split(key)
+            if b < start_batch:
+                continue  # consumed keys stay aligned with the original run
+            if max_batches is not None and done >= max_batches:
+                break
+            done += 1
+            rays = _assemble_batch(k)
             if mode == "multichip":
                 from lightpycl_tpu.parallel.sharding import (
                     shard_rays, trace_multichip,
