@@ -120,10 +120,18 @@ def trace_mesh2d(scene: Scene, rays: RayBatch, cfg: TraceConfig,
                 # across TRI ranks by the global box) makes each ray
                 # block a coherent patch, so the PER-SHARD cull masks —
                 # each shard's contiguous slice of the spatially-sorted
-                # tile stream has its own AABBs — actually bite
-                order = step_mod.morton_order(rays.o, rays.alive,
-                                              box_lo, box_hi)
-                rays = jax.tree_util.tree_map(lambda a: a[order], rays)
+                # tile stream has its own AABBs — actually bite. The
+                # fixed-depth loop has no early exit, so once the batch
+                # dies the 2M-slot argsort would run for nothing every
+                # remaining bounce (measured: the dead-tail overhead ate
+                # the whole live-phase win at depth 4) — cond it away.
+                def _resort(r):
+                    order = step_mod.morton_order(r.o, r.alive,
+                                                  box_lo, box_hi)
+                    return jax.tree_util.tree_map(lambda a: a[order], r)
+
+                rays = jax.lax.cond(jnp.any(rays.alive), _resort,
+                                    lambda r: r, rays)
             # 1. local nearest hit + global reduction over the triangle axis
             t_loc, i_loc = step_mod.intersect(
                 scene_shard, rays.o, rays.d, cfg,
