@@ -49,6 +49,7 @@ SMALL = {
     "example_aberrations.py": {"RAY_COUNT": "1024"},
     "example_zmx.py": {"RAY_COUNT": "3000"},
     "example_cassegrain.py": {"RAY_COUNT": "3000"},
+    "example_field_sweep.py": {"RAY_COUNT": "2048"},
 }
 
 
