@@ -124,18 +124,27 @@ def orchestrate():
     subprocess.run([sys.executable, __file__, "--single", "--out", ref_out],
                    env=ref_env, check=True, timeout=900)
 
-    procs, outs = [], []
-    for i in range(N_PROCESSES):
-        out = os.path.join(tmp, f"worker{i}.json")
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, __file__, "--worker", str(i),
-             "--port", str(port), "--out", out],
-            env=env_base))
-    for p in procs:
-        rc = p.wait(timeout=900)
-        if rc != 0:
-            raise SystemExit(f"worker exited rc={rc}")
+    def _spawn_workers(port):
+        procs, outs = [], []
+        for i in range(N_PROCESSES):
+            out = os.path.join(tmp, f"worker{i}.json")
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable, __file__, "--worker", str(i),
+                 "--port", str(port), "--out", out],
+                env=env_base))
+        rcs = [p.wait(timeout=900) for p in procs]
+        return rcs, outs
+
+    rcs, outs = _spawn_workers(port)
+    if any(rcs):
+        # a stale listener on the coordinator port fails the bind; one
+        # retry on a different port keeps the driver witness robust
+        print(f"workers exited {rcs}; retrying on port {port + 7}",
+              file=sys.stderr)
+        rcs, outs = _spawn_workers(port + 7)
+    if any(rcs):
+        raise SystemExit(f"workers exited rc={rcs}")
 
     ref = json.load(open(ref_out))
     w = [json.load(open(o)) for o in outs]

@@ -96,7 +96,11 @@ SMOKE_TESTS = {
     ("test_rayfile.py", "test_round_trip_all_blocks"),
     ("test_obj_ply.py", "test_round_trip"),
     ("test_zmx.py", "test_singlet_matches_thick_lens"),
+    ("test_zmx.py", "test_cassegrain_paraxial"),
+    ("test_seq.py", "test_singlet_matches_thick_lens"),
     ("test_scene_io.py", "test_every_field_survives"),
+    ("test_scene_scale.py", "test_telescope_scene_expands_pow2"),
+    ("test_field_sweep.py", "test_line_foci_synthetic"),
 }
 
 
