@@ -50,6 +50,7 @@ SMALL = {
     "example_zmx.py": {"RAY_COUNT": "3000"},
     "example_cassegrain.py": {"RAY_COUNT": "3000"},
     "example_field_sweep.py": {"RAY_COUNT": "2048"},
+    "example_codev.py": {"RAY_COUNT": "4000"},
 }
 
 

@@ -389,7 +389,14 @@ def zmx_to_scene(src, wavelength_um: float = None, glass_overrides=None,
     image = presc.surfaces[-1]
     track = sum(s.disz for s in inner if math.isfinite(s.disz))
     if cement_gap is None:
-        cement_gap = 1e-6 * max(abs(track), 1.0)
+        # MUST exceed the tracer's self-intersection guard (TraceConfig
+        # eps, default 1e-4): with a thinner gap the ray exiting the
+        # front element finds the cemented partner's surface at
+        # t < eps, the hit is rejected as a self-intersection, and the
+        # second refraction is silently skipped — the bundle then
+        # focuses at a completely wrong plane (r5 bug, caught by the
+        # CODE V achromat example; pinned by the traced-doublet tests)
+        cement_gap = max(1e-6 * max(abs(track), 1.0), 5e-4)
 
     semis = [s.semi_diam for s in presc.surfaces if s.semi_diam > 0]
     fallback_semi = max(semis) if semis else presc.enpd / 2.0

@@ -251,6 +251,59 @@ class TestScene:
         # the flint carries F2 dispersion, distinct from the crown's
         assert elements[1].dispersion_b > elements[0].dispersion_b
 
+    def test_cemented_doublet_traces_to_paraxial_focus(self, tmp_path):
+        """r5 regression: the DEFAULT cement gap must exceed the
+        tracer's eps self-intersection guard. A thinner gap makes the
+        ray exiting the crown find the flint's front surface at
+        t < eps, the refraction is silently skipped, and the bundle
+        focuses at a completely wrong plane (caught live: best focus
+        19.8 instead of 44.5 on the CODE V achromat example)."""
+        r1, r2, r3 = 20.0, -15.0, -60.0
+        t1, t2 = 4.0, 2.0
+        n1 = N_BK7
+        n2 = float(materials.sellmeier_index(WL, "F2"))
+        M = paraxial.compose(
+            paraxial.refraction(r1, 1.0, n1),
+            paraxial.propagation(t1, n1),
+            paraxial.refraction(r2, n1, n2),
+            paraxial.propagation(t2, n2),
+            paraxial.refraction(r3, n2, 1.0))
+        bfd = paraxial.system_properties(M)["bfd"]
+        text = "\n".join([
+            "MODE SEQ", "UNIT MM X W X CM MR CPMM", "WAVM 1 0.5876 1",
+            "SURF 0", "  TYPE STANDARD", "  DISZ INFINITY",
+            "SURF 1", "  TYPE STANDARD", f"  CURV {1/r1}", f"  DISZ {t1}",
+            "  GLAS N-BK7", "  DIAM 6 1 0 0 1 \"\"",
+            "SURF 2", "  TYPE STANDARD", f"  CURV {1/r2}", f"  DISZ {t2}",
+            "  GLAS F2", "  DIAM 6 1 0 0 1 \"\"",
+            "SURF 3", "  TYPE STANDARD", f"  CURV {1/r3}",
+            f"  DISZ {bfd:.9g}", "  DIAM 6 1 0 0 1 \"\"",
+            "SURF 4", "  TYPE STANDARD", "  DISZ 0", "  DIAM 3 1 0 0 1 \"\"",
+        ])
+        p = tmp_path / "doublet.zmx"
+        p.write_text(text)
+        elements, info = zmx_to_scene(p, n_segments=96, n_radial=48,
+                                      detector_scale=3.0)
+        from lightpycl_tpu.io.zmx import ZmxSurface  # noqa: F401
+        # default gap: above the eps guard, still metrologically tiny
+        gap = dict(info["positions"])["lens_s2"] - t1
+        assert 1e-4 < gap < 1e-2
+        src = CollimatedSource(center=(0, 0, -5.0), direction=(0, 0, 1),
+                               diameter=4.0, power=1.0, ray_count=2048,
+                               seed=4, sampling="halton")
+        res = Tracer(TraceConfig()).trace(src, elements,
+                                          trace_iterations=6, capacity=8192)
+        fwd = res.measured_dir[:, 2] > 0.5
+        w = res.measured_power[fwd]
+        # two glass-air pairs (~0.957^2 BK7, ~0.945^2 F2 at these n's)
+        assert w.sum() > 0.75
+        z_best, rms = best_focus(res.measured_pos[fwd],
+                                 res.measured_dir[fwd], w,
+                                 z_range=(info["z_image"] - 10,
+                                          info["z_image"] + 10))
+        assert z_best == pytest.approx(info["z_image"], abs=1.0)
+        assert rms < 0.2
+
     def test_even_asphere(self, tmp_path):
         text = "\n".join([
             "MODE SEQ", "WAVM 1 0.5876 1",
