@@ -445,6 +445,19 @@ def zmx_to_scene(src, wavelength_um: float = None, glass_overrides=None,
                 raise ValueError(f"surface {s.index}: glass runs into the "
                                  "image plane")
             nxt = inner[i + 1]
+            if nxt.is_mirror:
+                # a Mangin (second-surface) mirror would build the lens
+                # back and the mirror as coincident surfaces — the eps
+                # self-intersection guard makes the trace order between
+                # them undefined, so the scene would be silently wrong.
+                # Refuse loudly instead.
+                raise ValueError(
+                    f"surface {nxt.index}: MIRROR at the end of a glass "
+                    "run (a Mangin / second-surface mirror) is not "
+                    "supported by the scene builder — the reflecting "
+                    "surface would coincide with the lens back face. "
+                    "Model it from primitives: a lens element plus a "
+                    "spherical_mirror offset by > TraceConfig.eps")
             n_at_wl, disp = _resolve_glass(s, wl, glass_overrides)
             aperture = 2.0 * max(semi(s), semi(nxt))
             name = s.comment or f"lens_s{s.index}"

@@ -526,3 +526,30 @@ class TestParserRobustness:
         presc = load_zmx(p)
         assert presc.wavelengths_um == [0.486, 0.588, 0.656]
         assert presc.primary_wavelength_um == 0.656
+
+
+class TestManginGuard:
+    def test_mangin_refused_loudly(self, tmp_path):
+        """A glass run ending on a MIRROR surface (Mangin) would build
+        the reflecting surface coincident with the lens back face — eps
+        makes the trace order undefined, so the builder refuses (r5)."""
+        # full sequential Mangin: in, silvered back, return pass out
+        text = "\n".join([
+            "MODE SEQ", "WAVM 1 0.5876 1",
+            "SURF 0", "  TYPE STANDARD", "  DISZ INFINITY",
+            "SURF 1", "  TYPE STANDARD", "  CURV 0.02", "  DISZ 3",
+            "  GLAS N-BK7", "  DIAM 6 1 0 0 1 \"\"",
+            "SURF 2", "  TYPE STANDARD", "  CURV 0.01", "  DISZ -3",
+            "  GLAS MIRROR", "  DIAM 6 1 0 0 1 \"\"",
+            "SURF 3", "  TYPE STANDARD", "  CURV 0.02", "  DISZ -20",
+            "  DIAM 6 1 0 0 1 \"\"",
+            "SURF 4", "  TYPE STANDARD", "  DISZ 0", "  DIAM 3 1 0 0 1 \"\"",
+        ])
+        p = tmp_path / "mangin.zmx"
+        p.write_text(text)
+        with pytest.raises(ValueError, match="Mangin"):
+            zmx_to_scene(p)
+        # the paraxial fold handles it fine (P = 2n/R at the mirror;
+        # the return refraction through surface 3 closes back to air)
+        props = zmx_paraxial(load_zmx(p))
+        assert np.isfinite(props["efl"])
